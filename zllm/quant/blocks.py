@@ -1,0 +1,615 @@
+"""Blockwise quantization codecs (numpy, host-side).
+
+Decode/encode for the GGML block formats (layouts: reference
+ggml/src/ggml-common.h:89-430; reference kernels: ggml/src/ggml-quants.c).
+These are the host-side reference codecs: the TPU execution path never calls
+them per-step — weights are repacked once at load (zllm.quant.repack) and
+dequantized inside Pallas kernels.  Decoders are bit-compatible with the
+reference; encoders produce valid blocks (the simple formats match the
+reference's rounding exactly, the K-quant encoders use our own scale search).
+
+All functions operate on `blocks: uint8[N, type_size] -> f32[N, block_size]`
+(decode) and the reverse (encode).  Use `dequantize`/`quantize` for whole
+tensors with arbitrary leading shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from ..gguf.constants import GGML_BLOCK_SIZES, QK_K, GGMLType
+
+_DECODERS: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {}
+_ENCODERS: dict[GGMLType, Callable[[np.ndarray], np.ndarray]] = {}
+
+
+def _decoder(gtype: GGMLType):
+    def wrap(fn):
+        _DECODERS[gtype] = fn
+        return fn
+
+    return wrap
+
+
+def _encoder(gtype: GGMLType):
+    def wrap(fn):
+        _ENCODERS[gtype] = fn
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# shared bit-fiddling helpers
+# ---------------------------------------------------------------------------
+
+def _f16(b: np.ndarray) -> np.ndarray:
+    """fp16 bytes -> f32 column vector."""
+    return b.view("<f2").astype(np.float32)
+
+
+def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
+    return x.astype("<f2").view(np.uint8)
+
+
+def _nib_lo_hi(qs: np.ndarray, pair: int) -> np.ndarray:
+    """Unpack ggml nibble pairing: within each run of `pair` bytes, low
+    nibbles are elements [0, pair), high nibbles are elements [pair, 2*pair).
+    qs: uint8[N, B] with B % pair == 0 -> uint8[N, 2*B] element-ordered."""
+    n = qs.shape[0]
+    g = qs.reshape(n, -1, pair)
+    lo = g & np.uint8(0x0F)
+    hi = g >> np.uint8(4)
+    return np.stack([lo, hi], axis=2).reshape(n, -1)
+
+
+def _nib_pack(q: np.ndarray, pair: int) -> np.ndarray:
+    """Inverse of _nib_lo_hi: element-ordered 4-bit values -> packed bytes."""
+    n = q.shape[0]
+    g = q.reshape(n, -1, 2, pair).astype(np.uint8)
+    return (g[:, :, 0, :] | (g[:, :, 1, :] << np.uint8(4))).reshape(n, -1)
+
+
+def _bits_unpack(b: np.ndarray, nbits: int, stride: int) -> np.ndarray:
+    """Unpack `nbits`-wide fields: element (k*stride + j) lives in byte j at
+    bit position k*nbits.  b: uint8[N, stride] -> uint8[N, (8//nbits)*stride]."""
+    n = b.shape[0]
+    per = 8 // nbits
+    shifts = (np.arange(per, dtype=np.uint8) * nbits).reshape(1, per, 1)
+    vals = (b.reshape(n, 1, stride) >> shifts) & np.uint8((1 << nbits) - 1)
+    return vals.reshape(n, per * stride)
+
+
+def _bits_pack(q: np.ndarray, nbits: int, stride: int) -> np.ndarray:
+    """Inverse of _bits_unpack."""
+    n = q.shape[0]
+    per = 8 // nbits
+    g = q.reshape(n, per, stride).astype(np.uint8)
+    shifts = (np.arange(per, dtype=np.uint8) * nbits).reshape(1, per, 1)
+    return np.bitwise_or.reduce(g << shifts, axis=1)
+
+
+def _round_away(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (C roundf), unlike numpy's banker rounding."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _signed_absmax(x: np.ndarray) -> np.ndarray:
+    """Per-row value with the largest magnitude, sign preserved -> [N,1]."""
+    idx = np.abs(x).argmax(axis=-1, keepdims=True)
+    return np.take_along_axis(x, idx, axis=-1)
+
+
+def _safe_inv(d: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(d != 0, 1.0 / d, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# trivial scalar formats
+# ---------------------------------------------------------------------------
+
+@_decoder(GGMLType.F32)
+def _dec_f32(b):
+    return b.view("<f4").astype(np.float32)
+
+
+@_decoder(GGMLType.F16)
+def _dec_f16(b):
+    return _f16(b)
+
+
+@_decoder(GGMLType.F64)
+def _dec_f64(b):
+    return b.view("<f8").astype(np.float32)
+
+
+@_decoder(GGMLType.BF16)
+def _dec_bf16(b):
+    return (b.view("<u2").astype(np.uint32) << 16).view(np.float32)
+
+
+for _t, _dt in ((GGMLType.I8, "<i1"), (GGMLType.I16, "<i2"), (GGMLType.I32, "<i4"), (GGMLType.I64, "<i8")):
+    _DECODERS[_t] = (lambda dt: lambda b: b.view(dt).astype(np.float32))(_dt)
+
+
+@_encoder(GGMLType.F32)
+def _enc_f32(x):
+    return x.astype("<f4").view(np.uint8)
+
+
+@_encoder(GGMLType.F16)
+def _enc_f16(x):
+    return _to_f16_bytes(x)
+
+
+@_encoder(GGMLType.BF16)
+def _enc_bf16(x):
+    u = x.astype(np.float32).view(np.uint32)
+    # quiet NaNs, then round-to-nearest-even into the top 16 bits
+    u = np.where((u & 0x7FFFFFFF) > 0x7F800000, (u & np.uint32(0xFFFF0000)) | np.uint32(0x00400000), u)
+    u = ((u.astype(np.uint64) + (0x7FFF + ((u >> 16) & 1))) >> 16).astype(np.uint16)
+    return u.view(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# 32-wide legacy blocks
+# ---------------------------------------------------------------------------
+
+@_decoder(GGMLType.Q4_0)
+def _dec_q4_0(b):
+    d, qs = b[:, :2], b[:, 2:]
+    q = _nib_lo_hi(qs, 16).astype(np.int8) - np.int8(8)
+    return _f16(d) * q.astype(np.float32)
+
+
+@_encoder(GGMLType.Q4_0)
+def _enc_q4_0(x):
+    d = _signed_absmax(x) / -8.0
+    q = np.trunc(x * _safe_inv(d) + 8.5).clip(0, 15).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), _nib_pack(q, 16)], axis=1)
+
+
+@_decoder(GGMLType.Q4_1)
+def _dec_q4_1(b):
+    d, m, qs = b[:, :2], b[:, 2:4], b[:, 4:]
+    q = _nib_lo_hi(qs, 16).astype(np.float32)
+    return _f16(d) * q + _f16(m)
+
+
+@_encoder(GGMLType.Q4_1)
+def _enc_q4_1(x):
+    mx = x.max(axis=-1, keepdims=True)
+    mn = x.min(axis=-1, keepdims=True)
+    d = (mx - mn) / 15.0
+    q = np.trunc((x - mn) * _safe_inv(d) + 0.5).clip(0, 15).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), _to_f16_bytes(mn), _nib_pack(q, 16)], axis=1)
+
+
+def _qh_bits32(qh_bytes: np.ndarray) -> np.ndarray:
+    """32 per-element high bits from 4 bytes (bit i -> element i)."""
+    n = qh_bytes.shape[0]
+    u = qh_bytes.reshape(n, 4)
+    bits = np.unpackbits(u, axis=-1, bitorder="little")
+    return bits  # [N, 32]
+
+
+def _qh_pack32(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits.astype(np.uint8), axis=-1, bitorder="little")
+
+
+@_decoder(GGMLType.Q5_0)
+def _dec_q5_0(b):
+    d, qh, qs = b[:, :2], b[:, 2:6], b[:, 6:]
+    lo = _nib_lo_hi(qs, 16)
+    hi = _qh_bits32(qh)
+    q = (lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(16)
+    return _f16(d) * q.astype(np.float32)
+
+
+@_encoder(GGMLType.Q5_0)
+def _enc_q5_0(x):
+    d = _signed_absmax(x) / -16.0
+    q = np.trunc(x * _safe_inv(d) + 16.5).clip(0, 31).astype(np.uint8)
+    qs = _nib_pack(q & np.uint8(0x0F), 16)
+    qh = _qh_pack32(q >> 4)
+    return np.concatenate([_to_f16_bytes(d), qh, qs], axis=1)
+
+
+@_decoder(GGMLType.Q5_1)
+def _dec_q5_1(b):
+    d, m, qh, qs = b[:, :2], b[:, 2:4], b[:, 4:8], b[:, 8:]
+    q = (_nib_lo_hi(qs, 16) | (_qh_bits32(qh) << np.uint8(4))).astype(np.float32)
+    return _f16(d) * q + _f16(m)
+
+
+@_encoder(GGMLType.Q5_1)
+def _enc_q5_1(x):
+    mx = x.max(axis=-1, keepdims=True)
+    mn = x.min(axis=-1, keepdims=True)
+    d = (mx - mn) / 31.0
+    q = np.trunc((x - mn) * _safe_inv(d) + 0.5).clip(0, 31).astype(np.uint8)
+    qs = _nib_pack(q & np.uint8(0x0F), 16)
+    qh = _qh_pack32(q >> 4)
+    return np.concatenate([_to_f16_bytes(d), _to_f16_bytes(mn), qh, qs], axis=1)
+
+
+@_decoder(GGMLType.Q8_0)
+def _dec_q8_0(b):
+    d, qs = b[:, :2], b[:, 2:]
+    return _f16(d) * qs.view(np.int8).astype(np.float32)
+
+
+@_encoder(GGMLType.Q8_0)
+def _enc_q8_0(x):
+    d = np.abs(x).max(axis=-1, keepdims=True) / 127.0
+    q = _round_away(x * _safe_inv(d)).astype(np.int8)
+    return np.concatenate([_to_f16_bytes(d), q.view(np.uint8)], axis=1)
+
+
+@_decoder(GGMLType.Q8_1)
+def _dec_q8_1(b):
+    # block_q8_1: f32 d, f32 s (= d * sum(qs)), 32x int8
+    d = b[:, :4].view("<f4").astype(np.float32)
+    return d * b[:, 8:].view(np.int8).astype(np.float32)
+
+
+@_encoder(GGMLType.Q8_1)
+def _enc_q8_1(x):
+    d = np.abs(x).max(axis=-1, keepdims=True) / 127.0
+    q = _round_away(x * _safe_inv(d)).astype(np.int8)
+    s = (d * q.astype(np.float32).sum(axis=-1, keepdims=True)).astype("<f4")
+    return np.concatenate([d.astype("<f4").view(np.uint8), s.view(np.uint8), q.view(np.uint8)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# MXFP4 (OCP microscaling e2m1 with shared E8M0 scale)
+# ---------------------------------------------------------------------------
+
+# e2m1 magnitudes doubled to integers; index = 4-bit code (bit3 = sign)
+MXFP4_VALUES = np.array([0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], dtype=np.int8)
+
+
+def e8m0_half_to_f32(e: np.ndarray) -> np.ndarray:
+    """2**(e-127)/2 as float32 bits, denormal-safe (ggml_e8m0_to_fp32_half)."""
+    e = e.astype(np.uint32)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e, (e - 1) << np.uint32(23))
+    return bits.view(np.float32)
+
+
+@_decoder(GGMLType.MXFP4)
+def _dec_mxfp4(b):
+    e, qs = b[:, :1], b[:, 1:]
+    d = e8m0_half_to_f32(e)
+    idx = _nib_lo_hi(qs, 16)
+    return d * MXFP4_VALUES[idx].astype(np.float32)
+
+
+@_encoder(GGMLType.MXFP4)
+def _enc_mxfp4(x):
+    amax = np.abs(x).max(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore"):
+        e = np.where(amax > 0, np.floor(np.log2(amax)) - 2 + 127, 0).astype(np.uint8)
+    d = e8m0_half_to_f32(e)
+    err = np.abs(d[:, :, None] * MXFP4_VALUES.astype(np.float32)[None, None, :] - x[:, :, None])
+    idx = err.argmin(axis=-1).astype(np.uint8)
+    return np.concatenate([e, _nib_pack(idx, 16)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# K-quant superblocks (256 elements)
+# ---------------------------------------------------------------------------
+
+def _unpack_kscales(sb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Q4_K/Q5_K 12-byte packed 6-bit (scale, min) x 8 -> two uint8[N, 8]."""
+    n = sb.shape[0]
+    a, b, c = sb[:, 0:4], sb[:, 4:8], sb[:, 8:12]
+    sc = np.concatenate([a & 0x3F, (c & 0x0F) | ((a >> 6) << 4)], axis=1)
+    mn = np.concatenate([b & 0x3F, (c >> 4) | ((b >> 6) << 4)], axis=1)
+    return sc.reshape(n, 8), mn.reshape(n, 8)
+
+
+def _pack_kscales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_kscales."""
+    sc = sc.astype(np.uint8)
+    mn = mn.astype(np.uint8)
+    a = (sc[:, :4] & 0x3F) | ((sc[:, 4:] >> 4) << 6)
+    b = (mn[:, :4] & 0x3F) | ((mn[:, 4:] >> 4) << 6)
+    c = (sc[:, 4:] & 0x0F) | ((mn[:, 4:] & 0x0F) << 4)
+    return np.concatenate([a, b, c], axis=1)
+
+
+@_decoder(GGMLType.Q2_K)
+def _dec_q2_k(b):
+    n = b.shape[0]
+    scales, qs, d, dmin = b[:, :16], b[:, 16:80], b[:, 80:82], b[:, 82:84]
+    dl = _f16(d) * (scales & 0x0F).astype(np.float32)  # [N,16]
+    ml = _f16(dmin) * (scales >> 4).astype(np.float32)
+    q = np.concatenate(
+        [_bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).reshape(n, 16, 16)
+    return (dl[:, :, None] * q.astype(np.float32) - ml[:, :, None]).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.Q2_K)
+def _enc_q2_k(x):
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    m_f = np.maximum(0.0, -g.min(axis=-1))  # [N,16]
+    s_f = np.maximum(0.0, (g.max(axis=-1) + m_f)) / 3.0
+    d = s_f.max(axis=-1, keepdims=True) / 15.0
+    dmin = m_f.max(axis=-1, keepdims=True) / 15.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(0, 15).astype(np.uint8)
+    mn = _round_away(m_f * _safe_inv(dmin)).clip(0, 15).astype(np.uint8)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * mn.astype(np.float32)
+    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, 3)
+    q = q.reshape(n, QK_K).astype(np.uint8)
+    qs = np.concatenate([_bits_pack(q[:, c * 128 : (c + 1) * 128], 2, 32) for c in range(2)], axis=1)
+    scales = sc | (mn << np.uint8(4))
+    return np.concatenate([scales, qs, _to_f16_bytes(d), _to_f16_bytes(dmin)], axis=1)
+
+
+@_decoder(GGMLType.Q3_K)
+def _dec_q3_k(b):
+    n = b.shape[0]
+    hmask, qs, sb, d = b[:, :32], b[:, 32:96], b[:, 96:108], b[:, 108:110]
+    # 6-bit scales: low nibbles in bytes 0-7, top 2 bits in bytes 8-11
+    lo = np.concatenate([sb[:, :8] & 0x0F, sb[:, :8] >> 4], axis=1)  # [N,16]
+    hi = _bits_unpack(sb[:, 8:12], 2, 4)  # [N,16] order 4s+i
+    scales = ((lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)).astype(np.float32)
+    dl = _f16(d) * scales  # [N,16]
+    ql = np.concatenate(
+        [_bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).astype(np.int8)
+    hb = _bits_unpack(hmask, 1, 32)  # element (32b + j) from byte j bit b
+    q = ql - np.where(hb == 0, np.int8(4), np.int8(0))
+    return (dl[:, :, None] * q.reshape(n, 16, 16).astype(np.float32)).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.Q3_K)
+def _enc_q3_k(x):
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    s_f = _signed_absmax(g.reshape(-1, 16)).reshape(n, 16) / -4.0
+    d = np.abs(s_f).max(axis=-1, keepdims=True) / 31.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(-32, 31).astype(np.int8)
+    dl = d * sc.astype(np.float32)
+    q = _round_away(g * _safe_inv(dl)[:, :, None]).clip(-4, 3).astype(np.int8).reshape(n, QK_K)
+    hbit = (q >= 0).astype(np.uint8)  # 1 -> no -4 offset
+    ql = np.where(q >= 0, q, q + 4).astype(np.uint8)
+    qs = np.concatenate([_bits_pack(ql[:, c * 128 : (c + 1) * 128], 2, 32) for c in range(2)], axis=1)
+    hmask = _bits_pack(hbit, 1, 32)
+    s6 = (sc.astype(np.int16) + 32).astype(np.uint8)
+    lo_bytes = (s6[:, :8] & 0x0F) | ((s6[:, 8:] & 0x0F) << 4)
+    hi_bytes = _bits_pack(s6 >> 4, 2, 4)
+    return np.concatenate([hmask, qs, lo_bytes, hi_bytes, _to_f16_bytes(d)], axis=1)
+
+
+@_decoder(GGMLType.Q4_K)
+def _dec_q4_k(b):
+    n = b.shape[0]
+    d, dmin, sb, qs = b[:, :2], b[:, 2:4], b[:, 4:16], b[:, 16:]
+    sc, mn = _unpack_kscales(sb)
+    dl = _f16(d) * sc.astype(np.float32)  # [N,8]
+    ml = _f16(dmin) * mn.astype(np.float32)
+    q = _nib_lo_hi(qs, 32).reshape(n, 8, 32)  # 64-element chunks: lo 0-31, hi 32-63
+    return (dl[:, :, None] * q.astype(np.float32) - ml[:, :, None]).reshape(n, QK_K)
+
+
+def _kscale_search(x: np.ndarray, qmax: int) -> tuple[np.ndarray, ...]:
+    """Two-level (scale, min) search shared by Q4_K/Q5_K: 8 groups of 32."""
+    n = x.shape[0]
+    g = x.reshape(n, 8, 32)
+    m_f = np.maximum(0.0, -g.min(axis=-1))  # [N,8]
+    s_f = np.maximum(0.0, g.max(axis=-1) + m_f) / qmax
+    d = s_f.max(axis=-1, keepdims=True) / 63.0
+    dmin = m_f.max(axis=-1, keepdims=True) / 63.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(0, 63).astype(np.uint8)
+    mn = _round_away(m_f * _safe_inv(dmin)).clip(0, 63).astype(np.uint8)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * mn.astype(np.float32)
+    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, qmax)
+    return d, dmin, sc, mn, q.reshape(n, QK_K).astype(np.uint8)
+
+
+@_encoder(GGMLType.Q4_K)
+def _enc_q4_k(x):
+    d, dmin, sc, mn, q = _kscale_search(x, 15)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_kscales(sc, mn), _nib_pack(q, 32)], axis=1
+    )
+
+
+@_decoder(GGMLType.Q5_K)
+def _dec_q5_k(b):
+    n = b.shape[0]
+    d, dmin, sb, qh, qs = b[:, :2], b[:, 2:4], b[:, 4:16], b[:, 16:48], b[:, 48:]
+    sc, mn = _unpack_kscales(sb)
+    dl = _f16(d) * sc.astype(np.float32)
+    ml = _f16(dmin) * mn.astype(np.float32)
+    lo = _nib_lo_hi(qs, 32)
+    hi = _bits_unpack(qh, 1, 32)  # element (32b + j) from byte j bit b
+    q = (lo | (hi << np.uint8(4))).reshape(n, 8, 32)
+    return (dl[:, :, None] * q.astype(np.float32) - ml[:, :, None]).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.Q5_K)
+def _enc_q5_k(x):
+    d, dmin, sc, mn, q = _kscale_search(x, 31)
+    qs = _nib_pack(q & np.uint8(0x0F), 32)
+    qh = _bits_pack(q >> 4, 1, 32)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_kscales(sc, mn), qh, qs], axis=1
+    )
+
+
+@_decoder(GGMLType.Q6_K)
+def _dec_q6_k(b):
+    n = b.shape[0]
+    ql, qh, sb, d = b[:, :128], b[:, 128:192], b[:, 192:208], b[:, 208:210]
+    scales = sb.view(np.int8).astype(np.float32)  # [N,16]
+    dl = _f16(d) * scales
+    lo = np.concatenate([_nib_lo_hi(ql[:, c * 64 : (c + 1) * 64], 64) for c in range(2)], axis=1)
+    hi = np.concatenate([_bits_unpack(qh[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1)
+    q = (lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)
+    return (dl[:, :, None] * q.reshape(n, 16, 16).astype(np.float32)).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.Q6_K)
+def _enc_q6_k(x):
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    s_f = _signed_absmax(g.reshape(-1, 16)).reshape(n, 16) / -32.0
+    d = np.abs(s_f).max(axis=-1, keepdims=True) / 127.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(-128, 127).astype(np.int8)
+    dl = d * sc.astype(np.float32)
+    q = _round_away(g * _safe_inv(dl)[:, :, None]).clip(-32, 31).astype(np.int8)
+    qb = (q.reshape(n, QK_K).astype(np.int16) + 32).astype(np.uint8)
+    ql = np.concatenate([_nib_pack(qb[:, c * 128 : (c + 1) * 128] & 0x0F, 64) for c in range(2)], axis=1)
+    qh = np.concatenate([_bits_pack(qb[:, c * 128 : (c + 1) * 128] >> 4, 2, 32) for c in range(2)], axis=1)
+    return np.concatenate([ql, qh, sc.view(np.uint8), _to_f16_bytes(d)], axis=1)
+
+
+@_decoder(GGMLType.Q8_K)
+def _dec_q8_k(b):
+    d = b[:, :4].view("<f4").astype(np.float32)
+    qs = b[:, 4:260].view(np.int8).astype(np.float32)
+    return d * qs
+
+
+@_encoder(GGMLType.Q8_K)
+def _enc_q8_k(x):
+    mx = _signed_absmax(x)
+    iscale = np.where(mx != 0, -127.0 * _safe_inv(mx), 0.0)
+    q = np.minimum(127, _round_away(x * iscale)).astype(np.int8)
+    d = _safe_inv(iscale).astype("<f4")
+    bsums = q.reshape(x.shape[0], 16, 16).astype(np.int32).sum(axis=-1).astype("<i2")
+    return np.concatenate([d.view(np.uint8), q.view(np.uint8), bsums.view(np.uint8)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# IQ4 (non-linear 4-bit codebook)
+# ---------------------------------------------------------------------------
+
+IQ4NL_VALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113], dtype=np.int8
+)
+
+
+def _iq4_nearest(scaled: np.ndarray) -> np.ndarray:
+    """Nearest IQ4 codebook index for already-scaled values."""
+    err = np.abs(scaled[..., None] - IQ4NL_VALUES.astype(np.float32))
+    return err.argmin(axis=-1).astype(np.uint8)
+
+
+@_decoder(GGMLType.IQ4_NL)
+def _dec_iq4_nl(b):
+    d, qs = b[:, :2], b[:, 2:]
+    idx = _nib_lo_hi(qs, 16)
+    return _f16(d) * IQ4NL_VALUES[idx].astype(np.float32)
+
+
+@_encoder(GGMLType.IQ4_NL)
+def _enc_iq4_nl(x):
+    d = _signed_absmax(x) / -127.0
+    idx = _iq4_nearest(x * _safe_inv(d))
+    return np.concatenate([_to_f16_bytes(d), _nib_pack(idx, 16)], axis=1)
+
+
+@_decoder(GGMLType.IQ4_XS)
+def _dec_iq4_xs(b):
+    n = b.shape[0]
+    d, sh, sl, qs = b[:, :2], b[:, 2:4], b[:, 4:8], b[:, 8:]
+    lo = _nib_lo_hi(sl, 1).reshape(n, 8)  # byte i -> groups 2i, 2i+1
+    # group g's top 2 bits live at bit 2g of the little-endian u16
+    sh16 = sh.view("<u2").astype(np.uint32)
+    hi = np.stack([(sh16[:, 0] >> (2 * g)) & 3 for g in range(8)], axis=1).astype(np.uint8)
+    sc = ((lo | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)).astype(np.float32)
+    dl = _f16(d) * sc  # [N,8]
+    idx = _nib_lo_hi(qs, 16).reshape(n, 8, 32)
+    q = IQ4NL_VALUES[idx].astype(np.float32)
+    return (dl[:, :, None] * q).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.IQ4_XS)
+def _enc_iq4_xs(x):
+    n = x.shape[0]
+    g = x.reshape(n, 8, 32)
+    s_f = _signed_absmax(g.reshape(-1, 32)).reshape(n, 8) / -127.0
+    d = np.abs(s_f).max(axis=-1, keepdims=True) / 31.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(-32, 31).astype(np.int8)
+    dl = d * sc.astype(np.float32)
+    idx = _iq4_nearest(g * _safe_inv(dl)[:, :, None]).reshape(n, QK_K)
+    s6 = (sc.astype(np.int16) + 32).astype(np.uint8)
+    sl = (s6[:, 0::2] & 0x0F) | ((s6[:, 1::2] & 0x0F) << 4)
+    sh16 = np.zeros((n,), dtype=np.uint16)
+    for gi in range(8):
+        sh16 |= ((s6[:, gi] >> 4).astype(np.uint16)) << (2 * gi)
+    return np.concatenate(
+        [_to_f16_bytes(d), sh16.astype("<u2").view(np.uint8).reshape(n, 2), sl, _nib_pack(idx, 16)],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ternary
+# ---------------------------------------------------------------------------
+
+@_decoder(GGMLType.TQ2_0)
+def _dec_tq2_0(b):
+    n = b.shape[0]
+    qs, d = b[:, :64], b[:, 64:66]
+    q = np.concatenate(
+        [_bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).astype(np.int8) - np.int8(1)
+    return _f16(d) * q.astype(np.float32).reshape(n, QK_K)
+
+
+@_encoder(GGMLType.TQ2_0)
+def _enc_tq2_0(x):
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    q = (_round_away(x * _safe_inv(d)).astype(np.int8) + 1).astype(np.uint8)
+    qs = np.concatenate([_bits_pack(q[:, c * 128 : (c + 1) * 128], 2, 32) for c in range(2)], axis=1)
+    return np.concatenate([qs, _to_f16_bytes(d)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def supported_decode() -> set[GGMLType]:
+    return set(_DECODERS)
+
+
+def supported_encode() -> set[GGMLType]:
+    return set(_ENCODERS)
+
+
+def dequantize(data: np.ndarray, gtype: GGMLType) -> np.ndarray:
+    """uint8[..., row_bytes] (or typed scalar array) -> f32[..., n_elements]."""
+    gtype = GGMLType(gtype)
+    blk, bsz = GGML_BLOCK_SIZES[gtype]
+    if data.dtype != np.uint8:
+        data = np.ascontiguousarray(data).view(np.uint8)
+    lead = data.shape[:-1]
+    blocks = data.reshape(-1, bsz)
+    out = _DECODERS[gtype](blocks)
+    return np.ascontiguousarray(out, dtype=np.float32).reshape(*lead, -1)
+
+
+def quantize(data: np.ndarray, gtype: GGMLType) -> np.ndarray:
+    """f32[..., n] -> uint8[..., row_bytes]."""
+    gtype = GGMLType(gtype)
+    blk, bsz = GGML_BLOCK_SIZES[gtype]
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if data.shape[-1] % blk != 0:
+        raise ValueError(f"last dim {data.shape[-1]} not divisible by {gtype.name} block {blk}")
+    lead = data.shape[:-1]
+    blocks = data.reshape(-1, blk)
+    if gtype not in _ENCODERS:
+        raise NotImplementedError(f"no encoder for {gtype.name}")
+    out = _ENCODERS[gtype](blocks)
+    return np.ascontiguousarray(out, dtype=np.uint8).reshape(*lead, -1)
