@@ -1,0 +1,64 @@
+"""Tokenizer tests against the reference's committed vocab GGUFs and their
+golden .inp/.out vectors (pattern: reference tests/test-tokenizer-0.cpp)."""
+
+import os
+
+import pytest
+
+from zllm.gguf import read_gguf
+from zllm.tokenizer import Tokenizer
+
+REF_MODELS = "/root/reference/models"
+SEP = "__ggml_vocab_test__"
+
+# vocabs with both the gguf and golden vectors present; bert (WPM) excluded
+# until the WPM tokenizer lands
+GOLDEN = [
+    "ggml-vocab-llama-spm",
+    "ggml-vocab-phi-3",
+    "ggml-vocab-gpt-2",
+    "ggml-vocab-mpt",
+    "ggml-vocab-falcon",
+    "ggml-vocab-starcoder",
+    "ggml-vocab-refact",
+    "ggml-vocab-deepseek-llm",
+    "ggml-vocab-deepseek-coder",
+]
+
+
+def _load_cases(stem: str):
+    with open(os.path.join(REF_MODELS, stem + ".gguf.inp"), encoding="utf-8") as fh:
+        inputs = fh.read().split(SEP + "\n")
+    with open(os.path.join(REF_MODELS, stem + ".gguf.out"), encoding="utf-8") as fh:
+        outputs = fh.read().splitlines()
+    inputs = [s.removesuffix("\n") for s in inputs]
+    if inputs and inputs[-1] == "":
+        inputs = inputs[:-1]
+    expected = [[int(t) for t in line.split()] for line in outputs]
+    assert len(inputs) == len(expected), f"{stem}: {len(inputs)} inputs vs {len(expected)} outputs"
+    return list(zip(inputs, expected))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MODELS), reason="reference models not available")
+@pytest.mark.parametrize("stem", GOLDEN)
+def test_golden_vectors(stem):
+    f = read_gguf(os.path.join(REF_MODELS, stem + ".gguf"))
+    tok = Tokenizer.from_gguf(f)
+    failures = []
+    for text, want in _load_cases(stem):
+        got = tok.encode(text, add_special=False, parse_special=False)
+        if got != want:
+            failures.append((text, want, got))
+    assert not failures, f"{stem}: {len(failures)} mismatches; first: {failures[0]!r}"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MODELS), reason="reference models not available")
+def test_spm_roundtrip_and_specials():
+    f = read_gguf(os.path.join(REF_MODELS, "ggml-vocab-llama-spm.gguf"))
+    tok = Tokenizer.from_gguf(f)
+    ids = tok.encode("Hello, world!", add_special=True)
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "Hello, world!"
+    # parse_special picks up control tokens from raw text
+    ids2 = tok.encode("<s>hi</s>", parse_special=True)
+    assert ids2[0] == tok.bos_id and ids2[-1] == tok.eos_id
