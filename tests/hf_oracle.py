@@ -1,0 +1,46 @@
+"""Subprocess oracle: builds a tiny random HF Llama, dumps state_dict +
+reference logits/greedy tokens to an .npz.  Run in a separate process
+because torch and jax deadlock each other's threadpools when co-resident
+(observed in this image: jit lowering blocks on array materialization)."""
+
+import json
+import os
+import sys
+
+os.environ["USE_TF"] = "0"
+os.environ["USE_FLAX"] = "0"
+
+
+def main(out_path: str, cfg_json: str):
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(2)
+    import transformers
+
+    cfg = json.loads(cfg_json)
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(**cfg, attn_implementation="eager")
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg["vocab_size"], size=(2, 12)).astype(np.int64)
+    with torch.no_grad():
+        logits = hf(torch.tensor(toks)).logits.numpy()
+
+    prompt = [5, 17, 42, 7]
+    with torch.no_grad():
+        greedy = hf.generate(
+            torch.tensor([prompt], dtype=torch.int64), max_new_tokens=6, do_sample=False
+        )[0, len(prompt) :].numpy()
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["toks"] = toks
+    out["logits"] = logits
+    out["greedy"] = greedy
+    np.savez(out_path, **out)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -1,0 +1,108 @@
+"""HF -> GGUF converter (llama-family; grows per-arch like the reference's
+convert_hf_to_gguf.py ~150 converter classes, of which this is the seed).
+
+Accepts either an in-memory transformers model or a state_dict + config
+mapping, applies the llama.cpp Q/K permutation (HF half-split rotary ->
+ggml adjacent-pair rotary), and writes GGUF with optional quantization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.writer import GGUFWriter
+from ..quant import blocks as qb
+
+
+def _permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """llama.cpp conversion permute (reference: convert_hf_to_gguf.py
+    LlamaModel.permute): regroup each head's rows from [first-half,
+    second-half] rotary layout into interleaved (even, odd) pairs."""
+    out_dim = w.shape[0]
+    return (
+        w.reshape(n_head, 2, out_dim // n_head // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+def _emit(writer: GGUFWriter, name: str, data: np.ndarray, gtype: GGMLType):
+    data = np.ascontiguousarray(data.astype(np.float32))
+    blk, _ = qb.GGML_BLOCK_SIZES[gtype]
+    if data.ndim >= 1 and data.shape[-1] % blk != 0:
+        gtype = GGMLType.F32  # fallback for non-divisible rows
+    if gtype == GGMLType.F32:
+        writer.add_tensor(name, data)
+    else:
+        writer.add_tensor(name, qb.quantize(data, gtype), logical_shape=data.shape, gtype=gtype)
+
+
+def convert_hf_llama(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    vector_gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """state_dict: HF LlamaForCausalLM tensors (numpy or torch); config:
+    HF config dict (hidden_size, num_attention_heads, ...)."""
+
+    def npy(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    head_dim = int(config.get("head_dim", n_embd // n_head))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "llama")
+    w.add("general.name", str(config.get("_name_or_path", "converted")))
+    w.add("llama.block_count", n_layer)
+    w.add("llama.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add("llama.embedding_length", n_embd)
+    w.add("llama.feed_forward_length", int(config["intermediate_size"]))
+    w.add("llama.attention.head_count", n_head)
+    w.add("llama.attention.head_count_kv", n_kv)
+    w.add("llama.attention.key_length", head_dim)
+    w.add("llama.attention.value_length", head_dim)
+    w.add("llama.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add("llama.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add("llama.rope.dimension_count", head_dim)
+    w.add("llama.vocab_size", int(config["vocab_size"]))
+    rs = config.get("rope_scaling") or {}
+    if rs.get("rope_type") == "llama3":
+        w.add("llama.rope.scaling.type", "linear")
+        w.add("llama.rope.scaling.factor", float(rs["factor"]))
+        w.add("llama.rope.scaling.low_freq_factor", float(rs["low_freq_factor"]))
+        w.add("llama.rope.scaling.high_freq_factor", float(rs["high_freq_factor"]))
+        w.add("llama.rope.scaling.original_context_length", int(rs["original_max_position_embeddings"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_q.weight", _permute_qk(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
+        _emit(w, o + "attn_k.weight", _permute_qk(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
+        _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

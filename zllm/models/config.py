@@ -1,0 +1,156 @@
+"""Model hyper-parameters resolved from GGUF metadata.
+
+The analogue of the reference's llama_hparams + llm_load_hparams
+(src/llama-model.cpp:636+), as a frozen dataclass consumed by the
+functional forward passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from ..gguf.reader import GGUFFile
+from ..ops.layers import RopeParams
+
+_ROPE_SCALING_NAMES = {0: "none", 1: "linear", 2: "yarn", 3: "longrope"}
+
+
+@dataclass(frozen=True)
+class MoeConfig:
+    n_experts: int
+    n_experts_used: int
+    n_ff_exp: int
+    n_shared_experts: int = 0
+    gate_func: str = "softmax"  # softmax | sigmoid
+    norm_topk_prob: bool = True
+    scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    arch: str
+    n_layers: int
+    n_embd: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    n_ff: int
+    vocab_size: int
+    ctx_len: int = 4096
+    norm_eps: float = 1e-5
+    norm_kind: str = "rms"  # rms | layer
+    rope: RopeParams = field(default_factory=lambda: RopeParams(dim=0))
+    moe: MoeConfig | None = None
+    tie_embedding: bool = False
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    logit_scale: float = 1.0
+    sliding_window: int = 0
+    swa_pattern: int = 1  # every n-th layer is full-attention (gemma-style); 1 = all full
+    qkv_bias: bool = False
+    attn_sinks: bool = False
+    post_norms: bool = False  # gemma-style post-attn/post-ffn norms
+    act: str = "silu"
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    def is_swa_layer(self, il: int) -> bool:
+        return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
+
+    @classmethod
+    def from_gguf(cls, f: GGUFFile) -> "ModelConfig":
+        arch = f.architecture
+
+        def kv(suffix: str, default=None):
+            return f.metadata.get(f"{arch}.{suffix}", default)
+
+        n_heads = int(kv("attention.head_count"))
+        n_embd = int(kv("embedding_length"))
+        head_dim = int(kv("attention.key_length", n_embd // n_heads))
+        vocab = f.kv("tokenizer.ggml.tokens")
+        vocab_size = int(kv("vocab_size", len(vocab) if vocab is not None else 0))
+
+        rope_dim = int(kv("rope.dimension_count", head_dim))
+        scaling_raw = kv("rope.scaling.type", "none")
+        if isinstance(scaling_raw, (int, float)):
+            scaling = _ROPE_SCALING_NAMES.get(int(scaling_raw), "none")
+        else:
+            scaling = str(scaling_raw)
+        scale_factor = float(kv("rope.scaling.factor", 1.0))
+        # llama3-style smooth scaling is flagged by the low/high freq factors
+        if scaling in ("none", "linear") and kv("rope.scaling.low_freq_factor") is not None:
+            scaling = "llama3"
+        rope = RopeParams(
+            dim=rope_dim,
+            base=float(kv("rope.freq_base", 10000.0)),
+            style="neox" if arch in _NEOX_ROPE_ARCHES else "norm",
+            scaling=scaling if scale_factor != 1.0 or scaling == "llama3" else "none",
+            scale_factor=scale_factor,
+            orig_ctx=int(kv("rope.scaling.original_context_length", kv("context_length", 4096))),
+            low_freq_factor=float(kv("rope.scaling.low_freq_factor", 1.0)),
+            high_freq_factor=float(kv("rope.scaling.high_freq_factor", 4.0)),
+            attn_factor=float(kv("rope.scaling.attn_factor", 1.0)),
+        )
+
+        moe = None
+        n_experts = int(kv("expert_count", 0))
+        if n_experts > 0:
+            moe = MoeConfig(
+                n_experts=n_experts,
+                n_experts_used=int(kv("expert_used_count", 2)),
+                n_ff_exp=int(kv("expert_feed_forward_length", kv("feed_forward_length"))),
+                n_shared_experts=int(kv("expert_shared_count", 0)),
+                gate_func={1: "softmax", 2: "sigmoid"}.get(int(kv("expert_gating_func", 1)), "softmax"),
+                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("qwen2moe", "qwen3moe"))),
+            )
+
+        return cls(
+            arch=arch,
+            n_layers=int(kv("block_count")),
+            n_embd=n_embd,
+            n_heads=n_heads,
+            n_kv_heads=int(kv("attention.head_count_kv", n_heads)),
+            head_dim=head_dim,
+            n_ff=int(kv("feed_forward_length")),
+            vocab_size=vocab_size,
+            ctx_len=int(kv("context_length", 4096)),
+            norm_eps=float(
+                kv("attention.layer_norm_rms_epsilon", kv("attention.layer_norm_epsilon", 1e-5))
+            ),
+            rope=rope,
+            moe=moe,
+            attn_logit_softcap=float(kv("attn_logit_softcapping", 0.0)),
+            final_logit_softcap=float(kv("final_logit_softcapping", 0.0)),
+            logit_scale=float(kv("logit_scale", 1.0)),
+            sliding_window=int(kv("attention.sliding_window", 0)),
+            qkv_bias=arch in ("qwen2", "qwen2moe"),
+        )
+
+    def with_(self, **kw) -> "ModelConfig":
+        return replace(self, **kw)
+
+
+# arches whose GGUF weights expect half-split (NeoX) rotary embedding;
+# llama-family GGUFs are permuted at conversion to use adjacent-pair rope
+# (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
+_NEOX_ROPE_ARCHES = {
+    "qwen2",
+    "qwen2moe",
+    "qwen3",
+    "qwen3moe",
+    "gemma",
+    "gemma2",
+    "gemma3",
+    "phi2",
+    "phi3",
+    "stablelm",
+    "gptneox",
+    "olmo2",
+    "gpt-oss",
+}

@@ -1,0 +1,137 @@
+"""Llama-family transformer forward pass (functional JAX).
+
+Covers the graph the reference builds in src/models/llama.cpp:4-160 (and
+the shared pieces of src/llama-graph.cpp: build_ffn, build_moe_ffn,
+build_attn): RMSNorm -> QKV(+bias) -> RoPE -> GQA attention -> SwiGLU FFN
+(or MoE) with residuals, final norm, output head.  The same function
+serves llama/mistral/tinyllama/qwen2(bias)/mixtral(MoE) GGUFs; per-arch
+deviations (gemma's post-norms, softcaps, phi's partial rotary) hang off
+ModelConfig flags.
+
+Quantized weights arrive as QTensor planes; `linear` dispatches to the
+fused Pallas dequant-matmul on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import apply_rope, attention_ref, geglu, rms_norm, swiglu
+from ..ops.linear import linear
+from ..runtime.kvcache import KVCache, causal_mask
+
+
+def embed(params, cfg, tokens: jax.Array) -> jax.Array:
+    x = params["tok_emb"][tokens]
+    if cfg.arch.startswith("gemma"):
+        x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
+    return x
+
+
+def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
+    """Mixture-of-experts FFN (reference: build_moe_ffn,
+    src/llama-graph.cpp:964-1140).  Dense-dispatch formulation: every
+    expert runs, gated by the (renormalized) top-k router weights — exact
+    for correctness; the sparse dispatch path comes with expert sharding."""
+    moe = cfg.moe
+    router = linear(h, layer["ffn_gate_inp"])  # [..., E]
+    if moe.gate_func == "sigmoid":
+        probs = jax.nn.sigmoid(router.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, moe.n_experts_used)
+    if moe.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    # scatter the kept weights back to a dense [..., E] gate
+    dense_gate = jnp.zeros_like(probs)
+    dense_gate = jax.vmap(
+        lambda g, i, v: g.at[i].set(v),
+        in_axes=(0, 0, 0),
+    )(dense_gate.reshape(-1, moe.n_experts), topi.reshape(-1, moe.n_experts_used), topv.reshape(-1, moe.n_experts_used))
+    dense_gate = dense_gate.reshape(probs.shape)
+
+    # experts: [E, K, N] stacked dense weights (quantized experts arrive
+    # with the EP sharding work)
+    gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
+    act = swiglu if cfg.act == "silu" else geglu
+    ge = jnp.einsum("...k,ekf->...ef", h, gate_w)
+    ue = jnp.einsum("...k,ekf->...ef", h, up_w)
+    de = jnp.einsum("...ef,efk->...ek", act(ge, ue), down_w)
+    out = jnp.einsum("...ek,...e->...k", de, dense_gate.astype(de.dtype))
+
+    if "ffn_gate_shexp" in layer:
+        sh = act(linear(h, layer["ffn_gate_shexp"]), linear(h, layer["ffn_up_shexp"]))
+        out = out + linear(sh, layer["ffn_down_shexp"])
+    return out.astype(h.dtype)
+
+
+def forward(
+    params,
+    cfg,
+    tokens: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32 absolute positions
+    kv: KVCache | None = None,
+    *,
+    logits_for: str = "all",  # "all" | "last"
+):
+    """Returns (logits [B, T or 1, vocab] f32, updated kv)."""
+    x = embed(params, cfg, tokens)
+    scale = 1.0 / (cfg.head_dim**0.5)
+    b, t = tokens.shape
+
+    for il, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = linear(h, layer["wq"], layer.get("bq")).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = linear(h, layer["wk"], layer.get("bk")).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = linear(h, layer["wv"], layer.get("bv")).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+
+        if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
+            q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
+
+        q = apply_rope(q, positions, cfg.rope)
+        k = apply_rope(k, positions, cfg.rope)
+
+        if kv is not None:
+            kv = kv.update(il, k, v, positions)
+            k_all, v_all = kv.layer(il)
+            window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
+            mask = causal_mask(positions, kv.max_len, window)
+        else:
+            k_all, v_all = k, v
+            window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
+            kv_pos = positions[:, None, :]  # [B,1,S]
+            mask = kv_pos <= positions[:, :, None]
+            if window > 0:
+                mask = mask & (kv_pos > positions[:, :, None] - window)
+
+        att = attention_ref(
+            q, k_all, v_all, mask, scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            sinks=layer.get("attn_sinks"),
+        )
+        att = linear(att.reshape(b, t, -1), layer["wo"], layer.get("bo"))
+        if "attn_post_norm" in layer:
+            att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
+        x = x + att
+
+        h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+        if cfg.moe is not None and "ffn_gate_inp" in layer:
+            ff = moe_ffn(layer, cfg, h2)
+        else:
+            act = swiglu if cfg.act == "silu" else geglu
+            ff = linear(act(linear(h2, layer["ffn_gate"]), linear(h2, layer["ffn_up"])), layer["ffn_down"])
+        if "ffn_post_norm" in layer:
+            ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
+        x = x + ff
+
+    x = rms_norm(x, params["out_norm"], cfg.norm_eps)
+    if logits_for == "last":
+        x = x[:, -1:, :]
+    logits = linear(x, params["output"]).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap > 0:
+        logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    return logits, kv

@@ -1,0 +1,144 @@
+"""GGUF -> params pytree loader.
+
+The analogue of the reference's model loader + repack path
+(src/llama-model-loader.cpp load_all_data; ggml-cpu/repack.cpp set_tensor):
+2-D matmul weights in a repackable quant format become QTensor planes
+(quantized in HBM, dequantized inside the matmul kernels); everything else
+(norm weights, biases, embeddings, experts for now) is dequantized to a
+dense dtype at load.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFFile, read_gguf
+from ..quant import blocks as qb
+from ..quant.repack import REPACK_FORMATS, repack
+from ..tokenizer import Tokenizer
+from .config import ModelConfig
+
+log = logging.getLogger(__name__)
+
+# GGUF tensor suffix -> params key, per layer
+_LAYER_MAP = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_output.weight": "wo",
+    "attn_q.bias": "bq",
+    "attn_k.bias": "bk",
+    "attn_v.bias": "bv",
+    "attn_output.bias": "bo",
+    "attn_q_norm.weight": "attn_q_norm",
+    "attn_k_norm.weight": "attn_k_norm",
+    "attn_post_norm.weight": "attn_post_norm",
+    "post_attention_norm.weight": "attn_post_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "ffn_post_norm.weight": "ffn_post_norm",
+    "post_ffw_norm.weight": "ffn_post_norm",
+    "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_gate_exps.weight": "ffn_gate_exps",
+    "ffn_up_exps.weight": "ffn_up_exps",
+    "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
+    "attn_sinks.weight": "attn_sinks",
+}
+
+# params keys holding 2-D matmul weights (eligible for quantized execution)
+_MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down", "ffn_gate_inp", "output"}
+
+# 1-D / small tensors stay f32; large dense tensors go bf16 by default
+_VECTOR_KEYS = {
+    "attn_norm", "ffn_norm", "attn_q_norm", "attn_k_norm", "attn_post_norm",
+    "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
+}
+
+
+def _load_dense(f: GGUFFile, name: str, dtype):
+    meta = f.tensors[name]
+    x = f.tensor_f32(name)
+    return jnp.asarray(x, dtype=dtype)
+
+
+def _load_matmul(f: GGUFFile, name: str, quantized: bool, dtype):
+    """2-D weight: GGUF [N, K] row-major -> QTensor or dense [K, N]."""
+    meta = f.tensors[name]
+    if quantized and meta.gtype in REPACK_FORMATS and len(meta.shape) == 2:
+        return repack(f.tensor_bytes(name), meta.shape, meta.gtype)
+    x = f.tensor_f32(name)
+    return jnp.asarray(np.ascontiguousarray(x.T), dtype=dtype)
+
+
+def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=jnp.bfloat16):
+    params: dict = {"layers": [dict() for _ in range(cfg.n_layers)]}
+    handled = set()
+
+    for name, meta in f.tensors.items():
+        if name == "token_embd.weight":
+            params["tok_emb"] = _load_dense(f, name, dtype)
+        elif name == "output_norm.weight":
+            params["out_norm"] = _load_dense(f, name, jnp.float32)
+        elif name == "output.weight":
+            params["output"] = _load_matmul(f, name, quantized, dtype)
+        elif name == "rope_freqs.weight":
+            params["rope_freqs"] = _load_dense(f, name, jnp.float32)
+        elif name.startswith("blk."):
+            _, il_s, suffix = name.split(".", 2)
+            il = int(il_s)
+            key = _LAYER_MAP.get(suffix)
+            if key is None:
+                log.warning("unmapped tensor %s", name)
+                continue
+            if key in _MATMUL_KEYS:
+                params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)
+            elif key in _VECTOR_KEYS:
+                params["layers"][il][key] = _load_dense(f, name, jnp.float32)
+            elif key.endswith("_exps"):
+                # experts: GGUF [E, N, K] -> dense [E, K, N]
+                x = f.tensor_f32(name)
+                params["layers"][il][key] = jnp.asarray(np.swapaxes(x, 1, 2), dtype=dtype)
+            else:
+                params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)
+        else:
+            log.warning("unmapped tensor %s", name)
+        handled.add(name)
+
+    if "output" not in params:  # tied embedding (e.g. gemma, tinyllama variants)
+        params["output"] = jnp.asarray(np.asarray(params["tok_emb"], dtype=np.float32).T, dtype=dtype)
+    return params
+
+
+class Model:
+    """Loaded model bundle: config + params + tokenizer (the analogue of
+    llama_model, include/llama.h)."""
+
+    def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer | None, path: str = ""):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.path = path
+
+    @classmethod
+    def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16) -> "Model":
+        f = read_gguf(path)
+        cfg = ModelConfig.from_gguf(f)
+        tok = None
+        if f.kv("tokenizer.ggml.tokens") is not None:
+            try:
+                tok = Tokenizer.from_gguf(f)
+            except NotImplementedError as e:
+                log.warning("tokenizer unavailable: %s", e)
+        params = load_params(f, cfg, quantized=quantized, dtype=dtype)
+        f.close()
+        return cls(cfg, params, tok, path)

@@ -1,0 +1,119 @@
+"""Decode loop: chunked prefill + jitted single-token steps.
+
+The minimal analogue of llama_decode (src/llama-context.cpp:1459) for
+one or more equal-role sequences; the continuous-batching engine builds
+on the same step functions.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import forward
+from .kvcache import KVCache
+
+
+@dataclass
+class GenerateResult:
+    tokens: list[int]
+    text: str = ""
+    n_prefill: int = 0
+    t_prefill: float = 0.0
+    t_decode: float = 0.0
+
+
+class Generator:
+    """Owns jitted prefill/decode step functions for one model."""
+
+    def __init__(self, model, max_len: int = 2048, batch: int = 1, prefill_chunk: int = 256, kv_dtype=jnp.bfloat16):
+        self.model = model
+        self.max_len = max_len
+        self.batch = batch
+        self.prefill_chunk = prefill_chunk
+        cfg = model.cfg
+        self.kv = KVCache.create(cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim, kv_dtype)
+
+        @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(2,))
+        def _step(tokens, positions, kv, logits_for="last"):
+            return forward(model.params, cfg, tokens, positions, kv, logits_for=logits_for)
+
+        self._step = _step
+
+    def reset(self):
+        cfg = self.model.cfg
+        self.kv = KVCache.create(
+            cfg.n_layers, self.batch, self.max_len, cfg.n_kv_heads, cfg.head_dim, self.kv.k.dtype
+        )
+
+    def prefill(self, prompt_tokens: list[int]) -> jax.Array:
+        """Feed the prompt in fixed-size chunks; returns last-token logits."""
+        import time
+
+        toks = np.asarray(prompt_tokens, dtype=np.int32)
+        n = len(toks)
+        logits = None
+        t0 = time.perf_counter()
+        pos = 0
+        while pos < n:
+            chunk = min(self.prefill_chunk, n - pos)
+            # pad to the chunk size to keep a single compiled shape
+            padded = np.zeros((self.batch, self.prefill_chunk), dtype=np.int32)
+            padded[0, :chunk] = toks[pos : pos + chunk]
+            positions = np.full((self.batch, self.prefill_chunk), self.max_len - 1, dtype=np.int32)
+            positions[0] = np.arange(pos, pos + self.prefill_chunk)
+            # overshoot positions clamp to the last valid slot; their writes
+            # land beyond the causal horizon of real queries
+            positions = np.clip(positions, 0, self.max_len - 1)
+            lg, self.kv = self._step(jnp.asarray(padded), jnp.asarray(positions), self.kv, logits_for="all")
+            logits = lg[0, chunk - 1]
+            pos += chunk
+        logits.block_until_ready()
+        self.t_prefill = time.perf_counter() - t0
+        return logits
+
+    def decode_steps(self, first_token: int, n_steps: int, sampler=None) -> list[int]:
+        """Greedy (or sampler-driven) decode; returns generated tokens."""
+        out = [int(first_token)]
+        pos = self._cur_pos
+        for _ in range(n_steps):
+            tok = np.full((self.batch, 1), out[-1], dtype=np.int32)
+            positions = np.full((self.batch, 1), pos, dtype=np.int32)
+            logits, self.kv = self._step(jnp.asarray(tok), jnp.asarray(positions), self.kv, logits_for="last")
+            row = logits[0, -1]
+            if sampler is None:
+                nxt = int(jnp.argmax(row))
+            else:
+                nxt = int(sampler(row))
+            out.append(nxt)
+            pos += 1
+        return out
+
+    def generate(self, prompt_tokens: list[int], max_new: int = 32, sampler=None, eos_id: int = -1) -> GenerateResult:
+        import time
+
+        logits = self.prefill(prompt_tokens)
+        self._cur_pos = len(prompt_tokens)
+        first = int(jnp.argmax(logits)) if sampler is None else int(sampler(logits))
+        t0 = time.perf_counter()
+        toks = [first]
+        pos = self._cur_pos
+        for _ in range(max_new - 1):
+            if toks[-1] == eos_id:
+                break
+            tok = np.full((self.batch, 1), toks[-1], dtype=np.int32)
+            positions = np.full((self.batch, 1), pos, dtype=np.int32)
+            lg, self.kv = self._step(jnp.asarray(tok), jnp.asarray(positions), self.kv, logits_for="last")
+            row = lg[0, -1]
+            toks.append(int(jnp.argmax(row)) if sampler is None else int(sampler(row)))
+            pos += 1
+        t_decode = time.perf_counter() - t0
+        text = self.model.tokenizer.decode(toks) if self.model.tokenizer else ""
+        return GenerateResult(
+            tokens=toks, text=text, n_prefill=len(prompt_tokens),
+            t_prefill=getattr(self, "t_prefill", 0.0), t_decode=t_decode,
+        )
