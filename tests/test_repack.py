@@ -11,6 +11,12 @@ from zllm.quant import repack as rp
 RNG = np.random.default_rng(7)
 
 
+# K-quants fuse the two-level scales into fp16 planes at repack (d*sc and
+# dmin*mn rounded to fp16): up to 2^-11 relative deviation from the exact
+# block decode, far below the quantization noise itself
+FUSED_SCALE = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_XS}
+
+
 @pytest.mark.parametrize("fmt", sorted(rp.REPACK_FORMATS, key=int), ids=lambda t: t.name)
 def test_repack_dequant_matches_block_decode(fmt):
     n, k = 24, 512  # N outputs, K contraction
@@ -21,7 +27,12 @@ def test_repack_dequant_matches_block_decode(fmt):
     qt = rp.repack(raw, (n, k), fmt)
     assert qt.shape == (k, n)
     got = np.asarray(qt.dequant())
-    np.testing.assert_allclose(got, want.T, rtol=0, atol=0)
+    if fmt in FUSED_SCALE:
+        # affine formats (q*a - b) have absolute error ~2^-11 * (15a + b)
+        # near zero-crossings; scales here are O(0.3) for unit-variance data
+        np.testing.assert_allclose(got, want.T, rtol=1e-3, atol=5e-3)
+    else:
+        np.testing.assert_allclose(got, want.T, rtol=0, atol=0)
 
 
 @pytest.mark.parametrize("fmt", [GGMLType.Q4_0, GGMLType.Q4_K], ids=lambda t: t.name)

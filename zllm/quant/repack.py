@@ -56,15 +56,16 @@ class QTensor:
     fmt: GGMLType
     shape: tuple[int, int]  # (K, N)
     planes: dict[str, Any] = field(default_factory=dict)
+    fold: int = 0  # split-half packing chunk (see choose_fold)
 
     def tree_flatten(self):
         keys = tuple(sorted(self.planes))
-        return tuple(self.planes[k] for k in keys), (self.fmt, self.shape, keys)
+        return tuple(self.planes[k] for k in keys), (self.fmt, self.shape, keys, self.fold)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        fmt, shape, keys = aux
-        return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)))
+        fmt, shape, keys, fold = aux
+        return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)), fold=fold)
 
     @property
     def nbytes(self) -> int:
@@ -72,35 +73,54 @@ class QTensor:
 
     # portable dequantization (jnp; XLA fuses into the consumer)
     def dequant(self, dtype=jnp.float32) -> jax.Array:
-        return _DEQUANT[self.fmt](self.planes, self.shape, dtype)
+        return _DEQUANT[self.fmt](self.planes, self.shape, dtype, self.fold)
 
 
 # ---------------------------------------------------------------------------
 # packing helpers (host numpy, load time)
 # ---------------------------------------------------------------------------
 
-def _pack_nibbles_k(q: np.ndarray) -> np.ndarray:
-    """uint8[K, N] 4-bit values -> uint8[K//2, N], adjacent k-pairs per byte
-    (k even -> low nibble)."""
-    return (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
+def choose_fold(k: int) -> int:
+    """K-chunk size for split-half packing.  Within each chunk of `fold`
+    rows, one byte holds rows (r, r + fold/2) [nibbles] or (r, r+fold/4,
+    r+fold/2, r+3fold/4) [crumbs], so the matmul kernel restores natural
+    k-order with cheap concats instead of sublane interleaves.  The Pallas
+    kernels use TK == fold."""
+    for fold in (512, 256, 64, 32):
+        if k % fold == 0:
+            return fold
+    return 0  # not packable; caller keeps dense
 
 
-def _unpack_nibbles_k(p: jax.Array) -> jax.Array:
-    """Inverse of _pack_nibbles_k on device: uint8[K//2, N] -> int32[K, N]."""
-    lo = (p & 0xF).astype(jnp.int32)
-    hi = (p >> 4).astype(jnp.int32)
-    # interleave along axis 0: stack pairs then reshape
-    return jnp.stack([lo, hi], axis=1).reshape(p.shape[0] * 2, p.shape[1])
+def _pack_nibbles_k(q: np.ndarray, fold: int) -> np.ndarray:
+    """uint8[K, N] 4-bit values -> uint8[K//2, N] with split-half fold."""
+    k, n = q.shape
+    g = q.reshape(k // fold, 2, fold // 2, n)
+    return (g[:, 0] | (g[:, 1] << 4)).astype(np.uint8).reshape(k // 2, n)
 
 
-def _pack_crumbs_k(q: np.ndarray) -> np.ndarray:
-    """uint8[K, N] 2-bit values -> uint8[K//4, N]."""
-    return (q[0::4] | (q[1::4] << 2) | (q[2::4] << 4) | (q[3::4] << 6)).astype(np.uint8)
+def _unpack_nibbles_k(p, fold: int, xp=jnp):
+    """Inverse on device: uint8[K//2, N] -> int32[K, N] (natural order)."""
+    kh, n = p.shape
+    g = p.reshape(kh // (fold // 2), fold // 2, n)
+    lo = (g & 0xF).astype(xp.int32)
+    hi = (g >> 4).astype(xp.int32)
+    return xp.concatenate([lo, hi], axis=1).reshape(kh * 2, n)
 
 
-def _unpack_crumbs_k(p: jax.Array) -> jax.Array:
-    parts = [((p >> (2 * i)) & 0x3).astype(jnp.int32) for i in range(4)]
-    return jnp.stack(parts, axis=1).reshape(p.shape[0] * 4, p.shape[1])
+def _pack_crumbs_k(q: np.ndarray, fold: int) -> np.ndarray:
+    """uint8[K, N] 2-bit values -> uint8[K//4, N] with split-quarter fold."""
+    k, n = q.shape
+    g = q.reshape(k // fold, 4, fold // 4, n)
+    out = g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)
+    return out.astype(np.uint8).reshape(k // 4, n)
+
+
+def _unpack_crumbs_k(p, fold: int, xp=jnp):
+    kq, n = p.shape
+    g = p.reshape(kq // (fold // 4), fold // 4, n)
+    parts = [((g >> (2 * i)) & 0x3).astype(xp.int32) for i in range(4)]
+    return xp.concatenate(parts, axis=1).reshape(kq * 4, n)
 
 
 def _group_repeat(s: jax.Array, group: int) -> jax.Array:
@@ -120,9 +140,15 @@ def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTens
     if len(gguf_shape) != 2:
         raise ValueError(f"repack expects 2-D weights, got {gguf_shape}")
     n, k = gguf_shape  # GGUF numpy shape: (N rows, K row-elements)
+    fold = choose_fold(k)
+    if fold == 0:
+        raise ValueError(f"K={k} not foldable for repack")
     raw = raw.reshape(n, -1)
-    planes = _REPACK[fmt](raw, n, k)
-    return QTensor(fmt=fmt, shape=(k, n), planes={key: jnp.asarray(v) for key, v in planes.items()})
+    planes = _REPACK[fmt](raw, n, k, fold)
+    return QTensor(
+        fmt=fmt, shape=(k, n), fold=fold,
+        planes={key: jnp.asarray(v) for key, v in planes.items()},
+    )
 
 
 _REPACK = {}
@@ -146,25 +172,25 @@ def _dequant_fmt(fmt):
 
 
 @_repack_fmt(GGMLType.Q4_0)
-def _rp_q4_0(raw: np.ndarray, n: int, k: int):
+def _rp_q4_0(raw, n, k, fold):
     b = raw.reshape(-1, 18)
     d = b[:, :2].view("<f2").reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 2:], 16).reshape(n, k)  # element-ordered, 0..15
     return {
-        "qs": _pack_nibbles_k(q.T.astype(np.uint8)),
+        "qs": _pack_nibbles_k(q.T.astype(np.uint8), fold),
         "d": np.ascontiguousarray(d.T),  # fp16 [K//32, N]
     }
 
 
 @_dequant_fmt(GGMLType.Q4_0)
-def _dq_q4_0(p, shape, dtype):
-    q = _unpack_nibbles_k(p["qs"]) - 8
+def _dq_q4_0(p, shape, dtype, fold):
+    q = _unpack_nibbles_k(p["qs"], fold) - 8
     d = _group_repeat(p["d"].astype(jnp.float32), 32)
     return (q.astype(jnp.float32) * d).astype(dtype)
 
 
 @_repack_fmt(GGMLType.Q8_0)
-def _rp_q8_0(raw: np.ndarray, n: int, k: int):
+def _rp_q8_0(raw, n, k, fold):
     b = raw.reshape(-1, 34)
     d = b[:, :2].view("<f2").reshape(n, k // 32)
     q = b[:, 2:].view(np.int8).reshape(n, k)
@@ -172,22 +198,22 @@ def _rp_q8_0(raw: np.ndarray, n: int, k: int):
 
 
 @_dequant_fmt(GGMLType.Q8_0)
-def _dq_q8_0(p, shape, dtype):
+def _dq_q8_0(p, shape, dtype, fold):
     d = _group_repeat(p["d"].astype(jnp.float32), 32)
     return (p["qs"].astype(jnp.float32) * d).astype(dtype)
 
 
 @_repack_fmt(GGMLType.MXFP4)
-def _rp_mxfp4(raw: np.ndarray, n: int, k: int):
+def _rp_mxfp4(raw, n, k, fold):
     b = raw.reshape(-1, 17)
     e = b[:, :1].reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 1:], 16).reshape(n, k)
-    return {"qs": _pack_nibbles_k(q.T.astype(np.uint8)), "e": np.ascontiguousarray(e.T)}
+    return {"qs": _pack_nibbles_k(q.T.astype(np.uint8), fold), "e": np.ascontiguousarray(e.T)}
 
 
 @_dequant_fmt(GGMLType.MXFP4)
-def _dq_mxfp4(p, shape, dtype):
-    idx = _unpack_nibbles_k(p["qs"])
+def _dq_mxfp4(p, shape, dtype, fold):
+    idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(qb.MXFP4_VALUES, dtype=jnp.float32)
     q = lut[idx]
     e = p["e"].astype(jnp.uint32)
@@ -197,87 +223,83 @@ def _dq_mxfp4(p, shape, dtype):
 
 
 @_repack_fmt(GGMLType.IQ4_NL)
-def _rp_iq4_nl(raw: np.ndarray, n: int, k: int):
+def _rp_iq4_nl(raw, n, k, fold):
     b = raw.reshape(-1, 18)
     d = b[:, :2].view("<f2").reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 2:], 16).reshape(n, k)
-    return {"qs": _pack_nibbles_k(q.T.astype(np.uint8)), "d": np.ascontiguousarray(d.T)}
+    return {"qs": _pack_nibbles_k(q.T.astype(np.uint8), fold), "d": np.ascontiguousarray(d.T)}
 
 
 @_dequant_fmt(GGMLType.IQ4_NL)
-def _dq_iq4_nl(p, shape, dtype):
-    idx = _unpack_nibbles_k(p["qs"])
+def _dq_iq4_nl(p, shape, dtype, fold):
+    idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(qb.IQ4NL_VALUES, dtype=jnp.float32)
     d = _group_repeat(p["d"].astype(jnp.float32), 32)
     return (lut[idx] * d).astype(dtype)
 
 
 @_repack_fmt(GGMLType.Q4_K)
-def _rp_q4_k(raw: np.ndarray, n: int, k: int):
+def _rp_q4_k(raw, n, k, fold):
+    # two-level scales collapsed to per-32-group fp16 planes: a = d*sc,
+    # b = dmin*mn (f32 product rounded to fp16, <=2^-11 relative error —
+    # negligible vs the 4-bit quant noise; keeps every kernel plane on a
+    # legal (16,128) tile)
     b = raw.reshape(-1, 144)
-    d = b[:, :2].view("<f2").reshape(n, k // QK_K)
-    dmin = b[:, 2:4].view("<f2").reshape(n, k // QK_K)
+    d = b[:, :2].view("<f2").astype(np.float32)
+    dmin = b[:, 2:4].view("<f2").astype(np.float32)
     sc, mn = qb._unpack_kscales(b[:, 4:16])  # [nb, 8] 6-bit
+    a = (d * sc).astype("<f2").reshape(n, k // 32)
+    bb = (dmin * mn).astype("<f2").reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 16:], 32).reshape(n, k)  # element-ordered 0..15
     return {
-        "qs": _pack_nibbles_k(q.T.astype(np.uint8)),
-        "sc": np.ascontiguousarray(sc.reshape(n, k // 32).T),  # uint8 [K//32, N]
-        "mn": np.ascontiguousarray(mn.reshape(n, k // 32).T),
-        "d": np.ascontiguousarray(d.T),  # fp16 [K//256, N]
-        "dmin": np.ascontiguousarray(dmin.T),
+        "qs": _pack_nibbles_k(q.T.astype(np.uint8), fold),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//32, N]
+        "b": np.ascontiguousarray(bb.T),
     }
 
 
 @_dequant_fmt(GGMLType.Q4_K)
-def _dq_q4_k(p, shape, dtype):
-    q = _unpack_nibbles_k(p["qs"]).astype(jnp.float32)
-    scale = _group_repeat(p["d"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["sc"].astype(jnp.float32), 32
-    )
-    mins = _group_repeat(p["dmin"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["mn"].astype(jnp.float32), 32
-    )
-    return (q * scale - mins).astype(dtype)
+def _dq_q4_k(p, shape, dtype, fold):
+    q = _unpack_nibbles_k(p["qs"], fold).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    return (q * a - b).astype(dtype)
 
 
 @_repack_fmt(GGMLType.Q5_K)
-def _rp_q5_k(raw: np.ndarray, n: int, k: int):
+def _rp_q5_k(raw, n, k, fold):
     b = raw.reshape(-1, 176)
-    d = b[:, :2].view("<f2").reshape(n, k // QK_K)
-    dmin = b[:, 2:4].view("<f2").reshape(n, k // QK_K)
+    d = b[:, :2].view("<f2")  # [nb, 1]
+    dmin = b[:, 2:4].view("<f2")
     sc, mn = qb._unpack_kscales(b[:, 4:16])
     lo = qb._nib_lo_hi(b[:, 48:], 32)
     hi = qb._bits_unpack(b[:, 16:48], 1, 32)
     q = (lo | (hi << np.uint8(4))).reshape(n, k)  # 0..31
     qlo = q & 0x0F
     qhi = q >> 4  # one bit
+    a = (d.astype(np.float32) * sc).astype("<f2").reshape(n, k // 32)
+    bb = (dmin.astype(np.float32) * mn).astype("<f2").reshape(n, k // 32)
     return {
-        "qs": _pack_nibbles_k(qlo.T.astype(np.uint8)),
+        "qs": _pack_nibbles_k(qlo.T.astype(np.uint8), fold),
         "qh": np.packbits(qhi.T.astype(np.uint8).reshape(k // 8, 8, n), axis=1, bitorder="little").reshape(k // 8, n),
-        "sc": np.ascontiguousarray(sc.reshape(n, k // 32).T),
-        "mn": np.ascontiguousarray(mn.reshape(n, k // 32).T),
-        "d": np.ascontiguousarray(d.T),
-        "dmin": np.ascontiguousarray(dmin.T),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//32, N] = d*sc
+        "b": np.ascontiguousarray(bb.T),
     }
 
 
 @_dequant_fmt(GGMLType.Q5_K)
-def _dq_q5_k(p, shape, dtype):
-    lo = _unpack_nibbles_k(p["qs"])
+def _dq_q5_k(p, shape, dtype, fold):
+    lo = _unpack_nibbles_k(p["qs"], fold)
     qh = p["qh"].astype(jnp.int32)  # [K//8, N] bit i of byte -> k = 8*row + i
     bits = jnp.stack([(qh >> i) & 1 for i in range(8)], axis=1).reshape(shape[0], shape[1])
     q = (lo | (bits << 4)).astype(jnp.float32)
-    scale = _group_repeat(p["d"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["sc"].astype(jnp.float32), 32
-    )
-    mins = _group_repeat(p["dmin"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["mn"].astype(jnp.float32), 32
-    )
-    return (q * scale - mins).astype(dtype)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    return (q * a - b).astype(dtype)
 
 
 @_repack_fmt(GGMLType.Q6_K)
-def _rp_q6_k(raw: np.ndarray, n: int, k: int):
+def _rp_q6_k(raw, n, k, fold):
     b = raw.reshape(-1, 210)
     d = b[:, 208:210].view("<f2").reshape(n, k // QK_K)
     sc = b[:, 192:208].view(np.int8).reshape(n, k // 16)
@@ -288,27 +310,25 @@ def _rp_q6_k(raw: np.ndarray, n: int, k: int):
         [qb._bits_unpack(b[:, 128 + c * 32 : 128 + (c + 1) * 32], 2, 32) for c in range(2)], axis=1
     )
     q = (lo | (hi << np.uint8(4))).reshape(n, k)  # 0..63 (bias 32)
+    a = (d.astype(np.float32).repeat(16, axis=1) * sc).astype("<f2").reshape(n, k // 16)
     return {
-        "ql": _pack_nibbles_k((q & 0x0F).T.astype(np.uint8)),
-        "qh": _pack_crumbs_k((q >> 4).T.astype(np.uint8)),
-        "sc": np.ascontiguousarray(sc.T),  # int8 [K//16, N]
-        "d": np.ascontiguousarray(d.T),
+        "ql": _pack_nibbles_k((q & 0x0F).T.astype(np.uint8), fold),
+        "qh": _pack_crumbs_k((q >> 4).T.astype(np.uint8), fold),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//16, N] = d*sc
     }
 
 
 @_dequant_fmt(GGMLType.Q6_K)
-def _dq_q6_k(p, shape, dtype):
-    lo = _unpack_nibbles_k(p["ql"])
-    hi = _unpack_crumbs_k(p["qh"])
+def _dq_q6_k(p, shape, dtype, fold):
+    lo = _unpack_nibbles_k(p["ql"], fold)
+    hi = _unpack_crumbs_k(p["qh"], fold)
     q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
-    scale = _group_repeat(p["d"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["sc"].astype(jnp.float32), 16
-    )
-    return (q * scale).astype(dtype)
+    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    return (q * a).astype(dtype)
 
 
 @_repack_fmt(GGMLType.IQ4_XS)
-def _rp_iq4_xs(raw: np.ndarray, n: int, k: int):
+def _rp_iq4_xs(raw, n, k, fold):
     b = raw.reshape(-1, 136)
     d = b[:, :2].view("<f2").reshape(n, k // QK_K)
     sh16 = b[:, 2:4].view("<u2").astype(np.uint32)
@@ -316,24 +336,26 @@ def _rp_iq4_xs(raw: np.ndarray, n: int, k: int):
     hi = np.stack([(sh16[:, 0] >> (2 * g)) & 3 for g in range(8)], axis=1).astype(np.uint8)
     sc = ((sl | (hi << np.uint8(4))).astype(np.int8) - np.int8(32)).reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 8:], 16).reshape(n, k)
+    a = (d.astype(np.float32).repeat(8, axis=1) * sc).astype("<f2").reshape(n, k // 32)
     return {
-        "qs": _pack_nibbles_k(q.T.astype(np.uint8)),
-        "sc": np.ascontiguousarray(sc.T),  # int8 [K//32, N]
-        "d": np.ascontiguousarray(d.T),
+        "qs": _pack_nibbles_k(q.T.astype(np.uint8), fold),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//32, N] = d*sc
     }
 
 
 @_dequant_fmt(GGMLType.IQ4_XS)
-def _dq_iq4_xs(p, shape, dtype):
-    idx = _unpack_nibbles_k(p["qs"])
+def _dq_iq4_xs(p, shape, dtype, fold):
+    idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(qb.IQ4NL_VALUES, dtype=jnp.float32)
-    scale = _group_repeat(p["d"].astype(jnp.float32), QK_K) * _group_repeat(
-        p["sc"].astype(jnp.float32), 32
-    )
-    return (lut[idx] * scale).astype(dtype)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    return (lut[idx] * a).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
 
 def can_repack(fmt: GGMLType, shape: tuple[int, ...]) -> bool:
-    return GGMLType(fmt) in _REPACK and len(shape) == 2
+    return (
+        GGMLType(fmt) in _REPACK
+        and len(shape) == 2
+        and choose_fold(shape[-1]) > 0
+    )
