@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the 8-device CPU mesh: tensor-parallel
+shard_map forward must match the single-device forward (the analogue of
+comparing split-mode outputs against the single-GPU path in the
+reference's multi-device CI)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_q(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    # dims chosen so attention/ffn shard at tp=4 and tp=8:
+    # q_dim = 2048 (8 heads x 256) -> wo K-chunks 8; ffn 2048 -> 8 chunks
+    path = str(tmp_path_factory.mktemp("m") / "tp.gguf")
+    make_llama_gguf(path, n_layers=2, n_embd=2048, n_heads=8, n_kv_heads=8,
+                    n_ff=2048, vocab_size=1024, gtype=GGMLType.Q4_K)
+    return Model.load(path, quantized=True, dtype=jnp.float32)
+
+
+def test_eight_devices():
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+
+
+def test_tp_matches_single(tiny_q):
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.models.llama import forward
+    from zllm.parallel import make_mesh, shard_params, sharded_forward_fn
+
+    m = tiny_q
+    rng = np.random.default_rng(0)
+    b, t = 2, 6
+    tokens = jnp.asarray(rng.integers(0, m.cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+
+    ref_fn = jax.jit(lambda p, tk, q: forward(p, m.cfg, tk, q, None)[0])
+    ref = np.asarray(ref_fn(m.params, tokens, positions))
+
+    mesh = make_mesh(jax.devices(), dp=1, tp=8)
+    params, leaf_specs, plan = shard_params(m.params, mesh, m.cfg)
+    assert plan.attn and plan.ffn and plan.vocab, plan
+    step = sharded_forward_fn(m.cfg, mesh, leaf_specs, plan, with_kv=False)
+    got = np.asarray(step(params, tokens, positions))
+
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_tp_dp_with_kv(tiny_q):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zllm.models.llama import forward
+    from zllm.parallel import kv_spec, make_mesh, shard_params, sharded_forward_fn
+    from zllm.runtime.kvcache import KVCache
+
+    m = tiny_q
+    mesh = make_mesh(jax.devices(), dp=2, tp=4)
+    params, leaf_specs, plan = shard_params(m.params, mesh, m.cfg)
+    step = sharded_forward_fn(m.cfg, mesh, leaf_specs, plan, with_kv=True)
+
+    b, t, s = 4, 3, 16
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, m.cfg.vocab_size, (b, t)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(t, dtype=np.int32), (b, t))
+
+    kv = KVCache.create(m.cfg.n_layers, b, s, m.cfg.n_kv_heads, m.cfg.head_dim, jnp.float32)
+    kv = jax.device_put(kv, NamedSharding(mesh, kv_spec(plan)))
+    dsh = NamedSharding(mesh, P("dp", None))
+    logits, kv = step(params, jax.device_put(jnp.asarray(toks), dsh),
+                      jax.device_put(jnp.asarray(pos), dsh), kv)
+    got = np.asarray(logits)
+
+    # single-device reference with its own KV cache
+    kv1 = KVCache.create(m.cfg.n_layers, b, s, m.cfg.n_kv_heads, m.cfg.head_dim, jnp.float32)
+    ref_fn = jax.jit(lambda p, tk, q, c: forward(p, m.cfg, tk, q, c))
+    ref, _ = ref_fn(m.params, jnp.asarray(toks), jnp.asarray(pos), kv1)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-3, atol=5e-4)

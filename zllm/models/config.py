@@ -51,6 +51,7 @@ class ModelConfig:
     attn_sinks: bool = False
     post_norms: bool = False  # gemma-style post-attn/post-ffn norms
     act: str = "silu"
+    tp_axis: str | None = None  # mesh axis name when running inside shard_map
 
     @property
     def q_dim(self) -> int:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops.layers import apply_rope, attention_ref, geglu, rms_norm, swiglu
 from ..ops.linear import linear
@@ -82,9 +83,10 @@ def forward(
 
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = linear(h, layer["wq"], layer.get("bq")).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = linear(h, layer["wk"], layer.get("bk")).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = linear(h, layer["wv"], layer.get("bv")).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        # head counts are derived from the (possibly tp-sharded) projections
+        q = linear(h, layer["wq"], layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
+        k = linear(h, layer["wk"], layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
+        v = linear(h, layer["wv"], layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
 
         if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
             q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
@@ -111,7 +113,11 @@ def forward(
             logit_softcap=cfg.attn_logit_softcap,
             sinks=layer.get("attn_sinks"),
         )
-        att = linear(att.reshape(b, t, -1), layer["wo"], layer.get("bo"))
+        # under tensor parallelism wo carries a psum flag (zllm.parallel);
+        # bias is added after the reduce
+        att = linear(att.reshape(b, t, -1), layer["wo"])
+        if "bo" in layer:
+            att = att + layer["bo"].astype(att.dtype)
         if "attn_post_norm" in layer:
             att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
         x = x + att

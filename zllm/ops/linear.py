@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..quant.repack import QTensor
 
@@ -28,11 +29,14 @@ def linear(x: jax.Array, w, bias: jax.Array | None = None) -> jax.Array:
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     if isinstance(w, QTensor):
-        assert w.shape[0] == k, f"contraction mismatch {w.shape} vs {k}"
         if _FUSED_MATMUL is not None:
             y2 = _FUSED_MATMUL(x2, w)
         else:
             y2 = x2 @ w.dequant(x.dtype)
+        if w.psum_axis is not None:
+            y2 = lax.psum(y2, w.psum_axis)  # K-sharded: partial sums
+        if w.gather_axis is not None:
+            y2 = lax.all_gather(y2, w.gather_axis, axis=-1, tiled=True)
     else:
         y2 = x2 @ w.astype(x.dtype)
     y = y2.reshape(*lead, -1)

@@ -263,14 +263,21 @@ def _plane_view(qt: QTensor, name: str):
     return p
 
 
+def local_shape(qt: QTensor) -> tuple[int, int]:
+    """(K, N) of the *local* shard, derived from plane shapes (under
+    shard_map qt.shape still holds the global dims)."""
+    names = _PLANE_ORDER.get(qt.fmt)
+    qname = names[0] if names else "qs"
+    p = qt.planes[qname]
+    kdiv = _plane_kdiv(qt.fmt, qname)
+    return p.shape[0] * kdiv, p.shape[1]
+
+
 def supports(qt: QTensor) -> bool:
-    k, n = qt.shape
-    return (
-        qt.fmt in _PLANE_ORDER
-        and qt.fold >= 256
-        and k % qt.fold == 0
-        and n % 128 == 0
-    )
+    if qt.fmt not in _PLANE_ORDER or qt.fold < 256:
+        return False
+    k, n = local_shape(qt)
+    return k % qt.fold == 0 and n % 128 == 0
 
 
 def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
@@ -280,7 +287,7 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     """
     if not supports(qt):
         return (x @ qt.dequant(x.dtype)).astype(jnp.float32)
-    k, n = qt.shape
+    k, n = local_shape(qt)
     tn = 256 if n % 256 == 0 else 128
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret)

@@ -1,0 +1,8 @@
+from .tp import (
+    TpPlan,
+    kv_spec,
+    make_mesh,
+    plan_for,
+    shard_params,
+    sharded_forward_fn,
+)

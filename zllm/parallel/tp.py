@@ -1,0 +1,188 @@
+"""Tensor/data parallelism over a TPU device mesh.
+
+The TPU-native replacement for the reference's multi-device split modes
+(reference: LLAMA_SPLIT_MODE_ROW, ggml-cuda split-buffer row striping at
+ggml/src/ggml-cuda/ggml-cuda.cu:777-867, and the RPC backend ggml-rpc):
+instead of striping rows over sockets with a host coordinator, weights get
+Megatron-style shardings on a `jax.sharding.Mesh` and the forward runs
+inside `shard_map`; the collectives (psum after K-sharded matmuls,
+all_gather of the vocab-sharded head) are attached to the weights
+themselves as QTensor flags and fire inside zllm.ops.linear, so a weight
+that cannot be sharded consistently simply stays replicated and the math
+remains correct.  The fused Pallas dequant kernels run on local shards.
+
+Sharding plan (mesh axes "dp" data / "tp" tensor):
+  wq/wk/wv, ffn_gate/up : output-feature sharded     -> P(None, tp)
+  wo, ffn_down          : contraction sharded + psum -> P(tp, None)
+  output head           : vocab sharded + all_gather -> P(None, tp)
+  embeddings, norms, MoE stacks, odd-sized weights   : replicated
+  KV cache [L, B, S, H, D] : kv-heads over tp (when sharded), batch over dp
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..quant.repack import QTensor
+
+
+def make_mesh(devices=None, dp: int = 1, tp: int | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _k_shardable(w, tp: int) -> bool:
+    """K-sharded weights must split on fold-chunk boundaries so the packed
+    planes stay valid per shard."""
+    if isinstance(w, QTensor):
+        k = w.shape[0]
+        return k % tp == 0 and (k // w.fold) % tp == 0
+    return False  # dense K-shard would need a psum flag it can't carry
+
+
+def _n_shardable(w, tp: int) -> bool:
+    n = w.shape[1]
+    return n % tp == 0
+
+
+@dataclass(frozen=True)
+class TpPlan:
+    """Which sub-blocks shard consistently for a given (model, tp)."""
+
+    attn: bool  # wq/wk/wv N-shard, wo K-shard+psum
+    kv: bool  # KV cache heads sharded (follows attn)
+    ffn: bool  # gate/up N-shard, down K-shard+psum
+    vocab: bool  # output head vocab-shard + gather
+
+
+def plan_for(cfg, params, tp: int) -> TpPlan:
+    layer0 = params["layers"][0] if params["layers"] else {}
+    attn = (
+        cfg.n_heads % tp == 0
+        and cfg.n_kv_heads % tp == 0
+        and all(isinstance(layer0.get(k), QTensor) or hasattr(layer0.get(k), "ndim")
+                for k in ("wq", "wk", "wv", "wo"))
+        and _k_shardable(layer0.get("wo"), tp)
+        and _n_shardable(layer0["wq"], tp)
+        and _n_shardable(layer0["wk"], tp)
+    )
+    ffn = (
+        "ffn_down" in layer0
+        and cfg.n_ff % tp == 0
+        and _k_shardable(layer0["ffn_down"], tp)
+        and _n_shardable(layer0["ffn_gate"], tp)
+    )
+    vocab = isinstance(params["output"], QTensor) and _n_shardable(params["output"], tp)
+    return TpPlan(attn=attn, kv=attn, ffn=ffn, vocab=vocab)
+
+
+def _flag_and_spec(key: str, w, plan: TpPlan):
+    """-> (possibly flag-carrying weight, PartitionSpec)."""
+    if key in ("wq", "wk", "wv") and plan.attn:
+        return w, P(None, "tp")
+    if key in ("bq", "bk", "bv") and plan.attn:
+        return w, P("tp")
+    if key == "wo" and plan.attn:
+        return w.with_collectives(psum_axis="tp"), P("tp", None)
+    if key in ("ffn_gate", "ffn_up") and plan.ffn:
+        return w, P(None, "tp")
+    if key == "ffn_down" and plan.ffn:
+        return w.with_collectives(psum_axis="tp"), P("tp", None)
+    if key == "output" and plan.vocab:
+        return w.with_collectives(gather_axis="tp"), P(None, "tp")
+    return w, P()
+
+
+def shard_params(params, mesh: Mesh, cfg):
+    """Attach collective flags, compute per-leaf shardings, device_put.
+    Returns (sharded_params, leaf_spec_tree, plan)."""
+    tp = mesh.shape["tp"]
+    plan = plan_for(cfg, params, tp)
+
+    flagged = {"layers": []}
+    specs = {"layers": []}
+    for key, val in params.items():
+        if key == "layers":
+            continue
+        w, s = _flag_and_spec(key, val, plan)
+        flagged[key] = w
+        specs[key] = s
+    for layer in params["layers"]:
+        fl, sl = {}, {}
+        for key, val in layer.items():
+            w, s = _flag_and_spec(key, val, plan)
+            fl[key] = w
+            sl[key] = s
+        flagged["layers"].append(fl)
+        specs["layers"].append(sl)
+
+    leaf_specs = _expand_qtensor_specs(flagged, specs)
+    put = jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), flagged, leaf_specs
+    )
+    return put, leaf_specs, plan
+
+
+def _expand_qtensor_specs(params, specs):
+    """Per-tensor specs -> per-leaf specs (all planes of a QTensor share
+    its spec, matching the pytree structure for shard_map in_specs)."""
+
+    def expand(value, spec):
+        if isinstance(value, QTensor):
+            return QTensor(
+                fmt=value.fmt, shape=value.shape, fold=value.fold,
+                psum_axis=value.psum_axis, gather_axis=value.gather_axis,
+                planes={k: spec for k in value.planes},
+            )
+        return spec
+
+    return jax.tree_util.tree_map(
+        expand, params, specs,
+        is_leaf=lambda x: isinstance(x, (QTensor, P)),
+    )
+
+
+def kv_spec(plan: TpPlan) -> P:
+    """KV cache [L, B, S, H, D]."""
+    return P(None, "dp", None, "tp" if plan.kv else None, None)
+
+
+def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True, logits_for="all"):
+    """Jitted shard_map forward: (params, tokens, positions[, kv]) ->
+    (logits, kv) | logits.  Batch shards over dp; activations replicate
+    over tp; weight collectives fire inside linear()."""
+    from ..models.llama import forward
+
+    data_spec = P("dp", None)
+
+    if with_kv:
+        def fn(params, tokens, positions, kv):
+            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
+
+        mapped = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan)),
+            out_specs=(P("dp", None, None), kv_spec(plan)),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(3,))
+
+    def fn2(params, tokens, positions):
+        return forward(params, cfg, tokens, positions, None, logits_for=logits_for)[0]
+
+    mapped = jax.shard_map(
+        fn2, mesh=mesh,
+        in_specs=(leaf_specs, data_spec, data_spec),
+        out_specs=P("dp", None, None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -57,15 +57,26 @@ class QTensor:
     shape: tuple[int, int]  # (K, N)
     planes: dict[str, Any] = field(default_factory=dict)
     fold: int = 0  # split-half packing chunk (see choose_fold)
+    # collective flags set by zllm.parallel.shard_params: inside shard_map,
+    # a K-sharded weight's matmul yields partial sums (psum_axis) and an
+    # N(vocab)-sharded head's logits need reassembly (gather_axis)
+    psum_axis: str | None = None
+    gather_axis: str | None = None
 
     def tree_flatten(self):
         keys = tuple(sorted(self.planes))
-        return tuple(self.planes[k] for k in keys), (self.fmt, self.shape, keys, self.fold)
+        aux = (self.fmt, self.shape, keys, self.fold, self.psum_axis, self.gather_axis)
+        return tuple(self.planes[k] for k in keys), aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        fmt, shape, keys, fold = aux
-        return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)), fold=fold)
+        fmt, shape, keys, fold, psum_axis, gather_axis = aux
+        return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)), fold=fold,
+                   psum_axis=psum_axis, gather_axis=gather_axis)
+
+    def with_collectives(self, psum_axis=None, gather_axis=None) -> "QTensor":
+        return QTensor(fmt=self.fmt, shape=self.shape, planes=self.planes,
+                       fold=self.fold, psum_axis=psum_axis, gather_axis=gather_axis)
 
     @property
     def nbytes(self) -> int:
@@ -86,7 +97,7 @@ def choose_fold(k: int) -> int:
     r+fold/2, r+3fold/4) [crumbs], so the matmul kernel restores natural
     k-order with cheap concats instead of sublane interleaves.  The Pallas
     kernels use TK == fold."""
-    for fold in (512, 256, 64, 32):
+    for fold in (256, 64, 32):
         if k % fold == 0:
             return fold
     return 0  # not packable; caller keeps dense
@@ -291,7 +302,9 @@ def _rp_q5_k(raw, n, k, fold):
 def _dq_q5_k(p, shape, dtype, fold):
     lo = _unpack_nibbles_k(p["qs"], fold)
     qh = p["qh"].astype(jnp.int32)  # [K//8, N] bit i of byte -> k = 8*row + i
-    bits = jnp.stack([(qh >> i) & 1 for i in range(8)], axis=1).reshape(shape[0], shape[1])
+    bits = jnp.stack([(qh >> i) & 1 for i in range(8)], axis=1).reshape(
+        qh.shape[0] * 8, qh.shape[1]
+    )
     q = (lo | (bits << 4)).astype(jnp.float32)
     a = _group_repeat(p["a"].astype(jnp.float32), 32)
     b = _group_repeat(p["b"].astype(jnp.float32), 32)

@@ -1,0 +1,84 @@
+"""Synthetic GGUF model factory for tests, dry runs, and benchmarks.
+
+Builds random llama-family GGUF files with our writer + quantizers so the
+whole stack (reader -> repack -> kernels -> runtime) can be exercised
+without model downloads (this image has zero egress).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gguf.constants import GGMLType
+from .gguf.writer import GGUFWriter
+from .quant import blocks as qb
+
+
+def make_llama_gguf(
+    path: str,
+    *,
+    n_layers: int = 2,
+    n_embd: int = 256,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    n_ff: int = 512,
+    vocab_size: int = 512,
+    gtype: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    rope_base: float = 10000.0,
+    ctx_len: int = 4096,
+) -> str:
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_heads
+    q_dim = n_heads * head_dim
+    kv_dim = n_kv_heads * head_dim
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", "llama")
+    w.add("general.name", "zllm-synthetic")
+    w.add("llama.block_count", n_layers)
+    w.add("llama.context_length", ctx_len)
+    w.add("llama.embedding_length", n_embd)
+    w.add("llama.feed_forward_length", n_ff)
+    w.add("llama.attention.head_count", n_heads)
+    w.add("llama.attention.head_count_kv", n_kv_heads)
+    w.add("llama.attention.key_length", head_dim)
+    w.add("llama.attention.value_length", head_dim)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", rope_base)
+    w.add("llama.rope.dimension_count", head_dim)
+    w.add("llama.vocab_size", vocab_size)
+
+    def emit(name: str, shape, scale=0.02, force_f32=False):
+        x = (rng.standard_normal(shape) * scale).astype(np.float32)
+        t = GGMLType.F32 if force_f32 else gtype
+        blk, _ = qb.GGML_BLOCK_SIZES[t]
+        if x.shape[-1] % blk != 0:
+            t = GGMLType.F32
+        if t == GGMLType.F32:
+            w.add_tensor(name, x)
+        else:
+            w.add_tensor(name, qb.quantize(x, t), logical_shape=x.shape, gtype=t)
+
+    emit("token_embd.weight", (vocab_size, n_embd))
+    for il in range(n_layers):
+        o = f"blk.{il}."
+        emit(o + "attn_norm.weight", (n_embd,), 1.0, force_f32=True)
+        emit(o + "attn_q.weight", (q_dim, n_embd))
+        emit(o + "attn_k.weight", (kv_dim, n_embd))
+        emit(o + "attn_v.weight", (kv_dim, n_embd))
+        emit(o + "attn_output.weight", (n_embd, q_dim))
+        emit(o + "ffn_norm.weight", (n_embd,), 1.0, force_f32=True)
+        emit(o + "ffn_gate.weight", (n_ff, n_embd))
+        emit(o + "ffn_up.weight", (n_ff, n_embd))
+        emit(o + "ffn_down.weight", (n_embd, n_ff))
+    emit("output_norm.weight", (n_embd,), 1.0, force_f32=True)
+    emit("output.weight", (vocab_size, n_embd))
+    w.write()
+    return path
+
+
+# llama-8B-shaped dims for benchmarking (Llama-3-8B geometry)
+LLAMA8B_SHAPE = dict(
+    n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, n_ff=14336, vocab_size=128256
+)
