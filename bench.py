@@ -1,0 +1,135 @@
+"""Headline benchmark: single-chip quantized decode throughput.
+
+Builds (and caches) a TinyLlama-1.1B-shaped Q4_K synthetic model — the
+reference's first north-star config geometry — loads it through the full
+GGUF -> repack -> fused-Pallas pipeline, and measures steady-state decode
+tokens/s and prefill tokens/s with jitted steps.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = measured decode tok/s as a fraction of the single-chip
+HBM-bandwidth roofline (weight bytes per token / ~819 GB/s on v5e) — the
+"speed-of-light" target from BASELINE.md.  >1 is impossible; 1.0 is
+perfect.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec ~819 GB/s)
+
+# TinyLlama-1.1B geometry (22 layers, 2048 emb, 32 heads/4 kv, ff 5632)
+SHAPE = dict(n_layers=22, n_embd=2048, n_heads=32, n_kv_heads=4, n_ff=5632, vocab_size=32000)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+    from zllm.ops import qmatmul
+    from zllm.quant.repack import QTensor
+    from zllm.runtime.kvcache import KVCache
+    from zllm.testing import make_llama_gguf
+
+    qmatmul.install()  # fused Pallas dequant-matmul path
+
+    cache_dir = os.path.join(REPO, ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.environ.get("ZLLM_BENCH_GGUF", os.path.join(cache_dir, "bench_tinyllama_q4k.gguf"))
+    if not os.path.exists(cache):
+        t0 = time.time()
+        make_llama_gguf(cache, gtype=GGMLType.Q4_K, **SHAPE)
+        print(f"built synthetic model in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    m = Model.load(cache, quantized=True, dtype=jnp.bfloat16)
+    cfg = m.cfg
+
+    # total quantized weight bytes read per decode step (the roofline)
+    qbytes = 0
+    for layer in m.params["layers"]:
+        for w in layer.values():
+            if isinstance(w, QTensor):
+                qbytes += w.nbytes
+    if isinstance(m.params["output"], QTensor):
+        qbytes += m.params["output"].nbytes
+    roofline_tok_s = V5E_HBM_GBPS * 1e9 / qbytes
+
+    batch, max_len = 1, 1024
+    kv = KVCache.create(cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim, jnp.bfloat16)
+
+    import functools
+
+    # params must be jit *arguments*: closed-over constants get embedded in
+    # the HLO and shipped to the compile service (HTTP 413 at 600MB)
+    @jax.jit
+    def prefill_step(params, tokens, positions, kv):
+        logits, kv = forward(params, cfg, tokens, positions, kv, logits_for="last")
+        return logits, kv
+
+    rng = np.random.default_rng(0)
+
+    # --- prefill 512 ---
+    pp = 512
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, pp)).astype(np.int32))
+    pos = jnp.asarray(np.broadcast_to(np.arange(pp, dtype=np.int32), (batch, pp)))
+    logits, kv = prefill_step(m.params, toks, pos, kv)
+    logits.block_until_ready()
+    t0 = time.perf_counter()
+    logits, kv = prefill_step(m.params, toks, pos, kv)
+    logits.block_until_ready()
+    t_prefill = time.perf_counter() - t0
+    prefill_tok_s = pp / t_prefill
+
+    # --- decode: on-device generation loop (lax.scan feeding argmax back),
+    # the TPU-native shape of llama.cpp's per-token loop — no host
+    # round-trip per token ---
+    n_steps = 64
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
+    def decode_scan(params, kv, tok, start_pos, n):
+        def body(carry, i):
+            kv, tok = carry
+            positions = (start_pos + i).reshape(batch, 1)
+            logits, kv = forward(params, cfg, tok.reshape(batch, 1), positions, kv, logits_for="last")
+            return (kv, jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)), None
+        (kv, tok), _ = jax.lax.scan(body, (kv, tok), jnp.arange(n, dtype=jnp.int32))
+        return kv, tok
+
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)).astype(np.int32))
+    start = jnp.full((batch,), pp, jnp.int32)
+    kv, tok = decode_scan(m.params, kv, tok, start, n_steps)  # warmup + compile
+    tok.block_until_ready()
+    t0 = time.perf_counter()
+    kv, tok = decode_scan(m.params, kv, tok, start + n_steps, n_steps)
+    tok.block_until_ready()
+    dt = time.perf_counter() - t0
+    decode_tok_s = n_steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "tinyllama1.1b_q4k_decode_tok_s",
+                "value": round(decode_tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(decode_tok_s / roofline_tok_s, 4),
+                "extras": {
+                    "prefill_tok_s": round(prefill_tok_s, 1),
+                    "roofline_tok_s": round(roofline_tok_s, 1),
+                    "weight_bytes": qbytes,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

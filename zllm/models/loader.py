@@ -141,4 +141,12 @@ class Model:
                 log.warning("tokenizer unavailable: %s", e)
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
         f.close()
+
+        # route QTensor matmuls through the fused Pallas kernels on TPU
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from ..ops import qmatmul
+
+            qmatmul.install()
         return cls(cfg, params, tok, path)

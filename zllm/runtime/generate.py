@@ -38,11 +38,15 @@ class Generator:
         cfg = model.cfg
         self.kv = KVCache.create(cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim, kv_dtype)
 
-        @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(2,))
-        def _step(tokens, positions, kv, logits_for="last"):
-            return forward(model.params, cfg, tokens, positions, kv, logits_for=logits_for)
+        # params are jit arguments (not closure constants): constants are
+        # embedded into the HLO and shipped to the compiler per compile
+        @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
+        def _step_fn(params, tokens, positions, kv, logits_for="last"):
+            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
 
-        self._step = _step
+        self._step = lambda tokens, positions, kv, logits_for="last": _step_fn(
+            model.params, tokens, positions, kv, logits_for=logits_for
+        )
 
     def reset(self):
         cfg = self.model.cfg

@@ -50,11 +50,26 @@ def make_llama_gguf(
     w.add("llama.vocab_size", vocab_size)
 
     def emit(name: str, shape, scale=0.02, force_f32=False):
-        x = (rng.standard_normal(shape) * scale).astype(np.float32)
         t = GGMLType.F32 if force_f32 else gtype
         blk, _ = qb.GGML_BLOCK_SIZES[t]
-        if x.shape[-1] % blk != 0:
+        if shape[-1] % blk != 0:
             t = GGMLType.F32
+        # this image's numpy RNG runs at only ~2M elem/s, so big tensors are
+        # synthesized by quantizing one random row-block and tiling the
+        # encoded bytes — valid blocks, near-free, fine for perf/shape work
+        rows = shape[0] if len(shape) == 2 else 1
+        if len(shape) == 2 and rows > 512:
+            base_rows = 256
+            x = (rng.standard_normal((base_rows, shape[1]), dtype=np.float32) * scale)
+            if t == GGMLType.F32:
+                data = np.tile(x, (rows // base_rows + 1, 1))[:rows]
+                w.add_tensor(name, np.ascontiguousarray(data))
+            else:
+                raw = qb.quantize(x, t)
+                data = np.tile(raw, (rows // base_rows + 1, 1))[:rows]
+                w.add_tensor(name, np.ascontiguousarray(data), logical_shape=shape, gtype=t)
+            return
+        x = (rng.standard_normal(shape, dtype=np.float32) * scale)
         if t == GGMLType.F32:
             w.add_tensor(name, x)
         else:
