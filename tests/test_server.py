@@ -1,0 +1,127 @@
+"""Server integration tests (pattern: reference tools/server/tests pytest
+suites — real HTTP against a live server on a tiny model)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.server import ZllmServer
+    from zllm.testing import make_llama_gguf
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    path = str(tmp_path_factory.mktemp("m") / "srv.gguf")
+    make_llama_gguf(path, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.Q8_0)
+    m = Model.load(path, quantized=True, dtype=jnp.float32)
+    # attach a trivial byte-level tokenizer (synthetic model has none)
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(253)]
+    types = [int(TokenType.UNKNOWN), int(TokenType.CONTROL), int(TokenType.CONTROL)] + [
+        int(TokenType.BYTE)
+    ] * 253
+    m.tokenizer = Tokenizer(Vocab(
+        model="llama", pre="default", tokens=tokens, scores=[0.0] * 256,
+        types=types, bos_id=1, eos_id=2, unk_id=0, add_bos=True, add_space_prefix=False,
+    ))
+
+    srv = ZllmServer(m, n_slots=2, max_len=256, port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def _post(srv, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=30) as r:
+        return r.read().decode()
+
+
+def test_health_and_models(served):
+    assert json.loads(_get(served, "/health"))["status"] == "ok"
+    models = json.loads(_get(served, "/v1/models"))
+    assert models["data"][0]["object"] == "model"
+
+
+def test_completion(served):
+    out = _post(served, "/v1/completions", {"prompt": "ab", "max_tokens": 8, "temperature": 0})
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] >= 1
+    assert out["choices"][0]["finish_reason"] in ("length", "stop")
+
+
+def test_chat_completion(served):
+    out = _post(served, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_concurrent_requests_consistent(served):
+    """Two concurrent greedy requests must match two sequential ones
+    (continuous batching must not cross-contaminate slots)."""
+    def run(prompt):
+        return _post(served, "/v1/completions", {"prompt": prompt, "max_tokens": 6, "temperature": 0})
+
+    seq_a = run("abcd")["choices"][0]["text"]
+    seq_b = run("xyz")["choices"][0]["text"]
+
+    results = {}
+    def worker(name, prompt):
+        results[name] = run(prompt)["choices"][0]["text"]
+
+    ts = [threading.Thread(target=worker, args=("a", "abcd")),
+          threading.Thread(target=worker, args=("b", "xyz"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert results["a"] == seq_a
+    assert results["b"] == seq_b
+
+
+def test_streaming(served):
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", served.port, timeout=120)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": "ab", "max_tokens": 4, "temperature": 0, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    body = resp.read().decode()
+    events = [ln for ln in body.splitlines() if ln.startswith("data: ")]
+    assert events[-1] == "data: [DONE]"
+    assert len(events) >= 3
+
+
+def test_tokenize_roundtrip(served):
+    out = _post(served, "/tokenize", {"content": "hi"})
+    assert len(out["tokens"]) >= 2
+    back = _post(served, "/detokenize", {"tokens": out["tokens"]})
+    assert back["content"] == "hi"
+
+
+def test_metrics(served):
+    text = _get(served, "/metrics")
+    assert "zllm_requests_total" in text

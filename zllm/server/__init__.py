@@ -1,0 +1,2 @@
+from .engine import Engine, Request
+from .http import ZllmServer

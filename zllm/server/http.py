@@ -1,0 +1,218 @@
+"""OpenAI-compatible HTTP server over the continuous-batching engine.
+
+The counterpart of tools/server (reference: server-http.cpp + README
+endpoint list): /v1/completions, /v1/chat/completions (+streaming SSE),
+/completion (llama.cpp native), /tokenize, /detokenize, /health, /props,
+/v1/models, /metrics (Prometheus).  Stdlib ThreadingHTTPServer — requests
+block on per-request queues fed by the engine thread.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .chat import apply_chat_template
+from .engine import Engine, Request
+
+
+def _sse(obj) -> bytes:
+    return b"data: " + json.dumps(obj).encode() + b"\n\n"
+
+
+class ZllmServer:
+    def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080):
+        self.model = model
+        self.engine = Engine(model, n_slots=n_slots, max_len=max_len)
+        self.host = host
+        self.port = port
+        self.httpd: ThreadingHTTPServer | None = None
+        self._t0 = time.time()
+
+    # -- request building ---------------------------------------------------
+    def _make_request(self, body: dict, prompt_tokens: list[int]) -> Request:
+        tok = self.model.tokenizer
+        stop_tokens = {tok.eos_id} if tok and tok.eos_id >= 0 else set()
+        return Request(
+            prompt_tokens=prompt_tokens,
+            max_new=int(body.get("max_tokens", body.get("n_predict", 128))),
+            temp=float(body.get("temperature", 0.8)),
+            top_k=int(body.get("top_k", 40)),
+            top_p=float(body.get("top_p", 0.95)),
+            min_p=float(body.get("min_p", 0.05)),
+            repeat_penalty=float(body.get("repeat_penalty", 1.0)),
+            seed=int(body.get("seed", -1)),
+            stop_tokens=frozenset(stop_tokens),
+        )
+
+    def serve_forever(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _json(self, code: int, obj):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _read_body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            # ---- GET ----
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/v1/models":
+                    self._json(200, {
+                        "object": "list",
+                        "data": [{"id": server.model.path or "model", "object": "model",
+                                  "created": int(server._t0), "owned_by": "zllm"}],
+                    })
+                elif self.path == "/props":
+                    cfg = server.model.cfg
+                    self._json(200, {
+                        "model_path": server.model.path,
+                        "n_ctx": server.engine.max_len,
+                        "n_slots": server.engine.n_slots,
+                        "arch": cfg.arch,
+                        "n_params_shape": {"layers": cfg.n_layers, "embd": cfg.n_embd},
+                    })
+                elif self.path == "/metrics":
+                    m = server.engine.metrics
+                    lines = []
+                    for k, v in m.items():
+                        lines.append(f"# TYPE zllm_{k} counter")
+                        lines.append(f"zllm_{k} {v}")
+                    data = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                else:
+                    self._json(404, {"error": "not found"})
+
+            # ---- POST ----
+            def do_POST(self):
+                try:
+                    body = self._read_body()
+                    if self.path in ("/v1/completions", "/completion", "/completions"):
+                        self._completion(body, chat=False)
+                    elif self.path == "/v1/chat/completions":
+                        self._completion(body, chat=True)
+                    elif self.path == "/tokenize":
+                        ids = server.model.tokenizer.encode(
+                            body.get("content", ""), add_special=bool(body.get("add_special", False)),
+                            parse_special=bool(body.get("parse_special", False)),
+                        )
+                        self._json(200, {"tokens": ids})
+                    elif self.path == "/detokenize":
+                        text = server.model.tokenizer.decode(body.get("tokens", []))
+                        self._json(200, {"content": text})
+                    else:
+                        self._json(404, {"error": "not found"})
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    try:
+                        self._json(500, {"error": {"message": str(e), "type": type(e).__name__}})
+                    except Exception:
+                        pass
+
+            def _completion(self, body: dict, chat: bool):
+                tok = server.model.tokenizer
+                if chat:
+                    text = apply_chat_template(server.model, body.get("messages", []))
+                else:
+                    text = body.get("prompt", "")
+                if isinstance(text, list):
+                    text = "".join(text)
+                ids = tok.encode(text, add_special=True, parse_special=True)
+                req = server._make_request(body, ids)
+                stream = bool(body.get("stream", False))
+                server.engine.submit(req)
+
+                created = int(time.time())
+                oid = ("chatcmpl-" if chat else "cmpl-") + req.rid
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def chunked(data: bytes):
+                        self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+                    sent = 0
+                    while True:
+                        t = req.stream_q.get()
+                        if t is None:
+                            break
+                        piece = tok.decode(req.out_tokens)[sent:] if False else tok.decode([t], skip_special=True)
+                        if chat:
+                            delta = {"role": "assistant", "content": piece} if sent == 0 else {"content": piece}
+                            payload = {"id": oid, "object": "chat.completion.chunk", "created": created,
+                                       "model": "zllm", "choices": [{"index": 0, "delta": delta, "finish_reason": None}]}
+                        else:
+                            payload = {"id": oid, "object": "text_completion", "created": created,
+                                       "model": "zllm", "choices": [{"index": 0, "text": piece, "finish_reason": None}]}
+                        chunked(_sse(payload))
+                        sent += 1
+                    fin = {"id": oid, "object": "chat.completion.chunk" if chat else "text_completion",
+                           "created": created, "model": "zllm",
+                           "choices": [{"index": 0, "delta": {} if chat else None, "text": None if chat else "",
+                                        "finish_reason": req.finish_reason}]}
+                    chunked(_sse(fin))
+                    chunked(b"data: [DONE]\n\n")
+                    chunked(b"")
+                    return
+
+                # non-streaming: drain
+                while True:
+                    if req.stream_q.get() is None:
+                        break
+                out_text = tok.decode(req.out_tokens)
+                usage = {"prompt_tokens": len(ids), "completion_tokens": len(req.out_tokens),
+                         "total_tokens": len(ids) + len(req.out_tokens)}
+                if chat:
+                    self._json(200, {
+                        "id": oid, "object": "chat.completion", "created": created, "model": "zllm",
+                        "choices": [{"index": 0, "message": {"role": "assistant", "content": out_text},
+                                     "finish_reason": req.finish_reason}],
+                        "usage": usage,
+                    })
+                else:
+                    self._json(200, {
+                        "id": oid, "object": "text_completion", "created": created, "model": "zllm",
+                        "choices": [{"index": 0, "text": out_text, "finish_reason": req.finish_reason}],
+                        "usage": usage,
+                    })
+
+        self.engine.start()
+        self.httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self.httpd.server_address[1]
+        self.httpd.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self.serve_forever, daemon=True, name="zllm-http")
+        t.start()
+        while self.httpd is None:
+            time.sleep(0.02)
+        return t
+
+    def shutdown(self):
+        if self.httpd:
+            self.httpd.shutdown()
+        self.engine.stop()
