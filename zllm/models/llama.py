@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.layers import apply_rope, attention_ref, geglu, rms_norm, swiglu
+from ..ops.attention import attention
+from ..ops.layers import apply_rope, geglu, rms_norm, swiglu
 from ..ops.linear import linear
-from ..runtime.kvcache import KVCache, causal_mask
+from ..runtime.kvcache import KVCache
 
 
 def embed(params, cfg, tokens: jax.Array) -> jax.Array:
@@ -95,22 +96,16 @@ def forward(
         q = apply_rope(q, positions, cfg.rope)
         k = apply_rope(k, positions, cfg.rope)
 
+        window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
         if kv is not None:
             kv = kv.update(il, k, v, positions)
-            k_all, v_all = kv.layer(il)
-            window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
-            mask = causal_mask(positions, kv.max_len, window)
+            k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
         else:
-            k_all, v_all = k, v
-            window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
-            kv_pos = positions[:, None, :]  # [B,1,S]
-            mask = kv_pos <= positions[:, :, None]
-            if window > 0:
-                mask = mask & (kv_pos > positions[:, :, None] - window)
+            k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
-        att = attention_ref(
-            q, k_all, v_all, mask, scale,
-            logit_softcap=cfg.attn_logit_softcap,
+        att = attention(
+            q, k_all, v_all, positions, scale=scale,
+            softcap=cfg.attn_logit_softcap, window=window,
             sinks=layer.get("attn_sinks"),
         )
         # under tensor parallelism wo carries a psum flag (zllm.parallel);

@@ -113,8 +113,8 @@ def apply_rope(x: jax.Array, positions: jax.Array, p: RopeParams) -> jax.Array:
 
 def attention_ref(
     q: jax.Array,  # [B, T, Hq, D]
-    k: jax.Array,  # [B, S, Hkv, D]
-    v: jax.Array,  # [B, S, Hkv, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,  # [B, Hkv, S, D]
     mask: jax.Array,  # bool [B, T, S] or [B, 1, T, S]; True = attend
     scale: float,
     logit_softcap: float = 0.0,
@@ -124,12 +124,12 @@ def attention_ref(
     zllm/ops/attention.py is the fast path; contract mirrors reference
     build_attn_mha, src/llama-graph.cpp:1467)."""
     b, t, hq, d = q.shape
-    hkv = k.shape[2]
+    hkv = k.shape[1]
     group = hq // hkv
     qf = q.astype(jnp.float32).reshape(b, t, hkv, group, d)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    logits = jnp.einsum("bthgd,bshd->bhgts", qf, kf) * scale
+    logits = jnp.einsum("bthgd,bhsd->bhgts", qf, kf) * scale
     if logit_softcap > 0:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
     if mask.ndim == 4:  # [B, 1, T, S] -> [B, T, S]
@@ -142,7 +142,7 @@ def attention_ref(
         probs = jax.nn.softmax(logits, axis=-1)[..., :-1]
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    out = jnp.einsum("bhgts,bhsd->bthgd", probs, vf)
     return out.reshape(b, t, hq, d).astype(q.dtype)
 
 

@@ -1,13 +1,14 @@
 """KV cache.
 
-Round-1 layout: one contiguous ring of slots per sequence,
-[L, B, S_max, H_kv, D], where slot index == absolute token position
-(the paged layout with per-seq page tables arrives with the batching
-runtime).  Functional updates; callers thread the cache through jitted
+Layout [L, B, H, S, D]: head-major so attention kernels slice per
+(batch, head) without materializing transposes, S contiguous with D on
+lanes.  Slot index == absolute token position (round-1 contiguous ring;
+the paged layout with per-seq page tables arrives with the batching
+runtime v2).  Functional updates; callers thread the cache through jitted
 steps with buffer donation so XLA updates it in place.
 
 Reference counterpart: src/llama-kv-cache.{h,cpp} (find_slot/apply_ubatch);
-here slot bookkeeping is trivial because positions are the slots.
+slot bookkeeping is trivial here because positions are the slots.
 """
 
 from __future__ import annotations
@@ -21,8 +22,8 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
-    k: jax.Array  # [L, B, S, Hkv, D]
-    v: jax.Array  # [L, B, S, Hkv, D]
+    k: jax.Array  # [L, B, H, S, D]
+    v: jax.Array  # [L, B, H, S, D]
 
     def tree_flatten(self):
         return (self.k, self.v), None
@@ -33,21 +34,39 @@ class KVCache:
 
     @classmethod
     def create(cls, n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
-        shape = (n_layers, batch, max_len, n_kv_heads, head_dim)
+        shape = (n_layers, batch, n_kv_heads, max_len, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
 
     def update(self, il: int, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "KVCache":
-        """Write k/v [B, T, H, D] at absolute `positions` [B, T] of layer il."""
-        b_idx = jnp.arange(k_new.shape[0], dtype=jnp.int32)[:, None]
-        k = self.k.at[il, b_idx, positions].set(k_new.astype(self.k.dtype))
-        v = self.v.at[il, b_idx, positions].set(v_new.astype(self.v.dtype))
+        """Write k/v [B, T, H, D] at `positions` [B, T] of layer il.
+
+        Contract: positions are consecutive per row (positions[b, i] ==
+        positions[b, 0] + i) — they index a contiguous run of slots, so the
+        write lowers to one dynamic_update_slice per row instead of a TPU
+        scatter (which measured ~10x slower).  Rows whose start exceeds
+        S - T clamp to the tail (the engine's trash-row convention relies
+        on write-before-attend making those slots safe)."""
+        kt = k_new.transpose(0, 2, 1, 3).astype(self.k.dtype)  # [B, H, T, D]
+        vt = v_new.transpose(0, 2, 1, 3).astype(self.v.dtype)
+        pos0 = positions[:, 0]
+
+        def upd(cache_row, new_row, p):  # [H, S, D], [H, T, D]
+            return jax.lax.dynamic_update_slice(cache_row, new_row, (0, p, 0))
+
+        k = self.k.at[il].set(jax.vmap(upd)(self.k[il], kt, pos0))
+        v = self.v.at[il].set(jax.vmap(upd)(self.v[il], vt, pos0))
         return KVCache(k=k, v=v)
 
     def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
+        """-> k, v as [B, H, S, D]."""
         return self.k[il], self.v[il]
 
 
