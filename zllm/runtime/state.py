@@ -1,0 +1,106 @@
+"""Session / sequence state (de)serialization.
+
+The counterpart of the reference's state I/O (reference:
+src/llama-context.cpp:2342-2692 llama_state_save_file / load_file with
+LLAMA_SESSION_MAGIC, and per-sequence llama_state_seq_get/set_data used
+by the server's /slots save-restore and prompt cache): KV-cache contents
+plus positions/tokens, whole-context or per-sequence, written as a
+self-describing .npz with a JSON header.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+MAGIC = "ZLLMSESS"
+VERSION = 1
+
+
+def _meta(model, extra: dict) -> dict:
+    cfg = model.cfg
+    return {
+        "magic": MAGIC,
+        "version": VERSION,
+        "arch": cfg.arch,
+        "n_layers": cfg.n_layers,
+        "n_kv_heads": cfg.n_kv_heads,
+        "head_dim": cfg.head_dim,
+        **extra,
+    }
+
+
+def save_session(path: str, model, kv, tokens: list[int], n_past: int):
+    """Whole-context session: trimmed KV + token history."""
+    k = np.asarray(kv.k[:, :, :, :n_past])
+    v = np.asarray(kv.v[:, :, :, :n_past])
+    np.savez_compressed(
+        path,
+        meta=json.dumps(_meta(model, {"n_past": n_past, "kv_dtype": str(k.dtype)})),
+        tokens=np.asarray(tokens, dtype=np.int32),
+        k=k,
+        v=v,
+    )
+
+
+def load_session(path: str, model, kv):
+    """Restore into an existing cache (batch row 0). Returns (kv, tokens,
+    n_past)."""
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    if meta.get("magic") != MAGIC:
+        raise ValueError(f"{path}: not a zllm session file")
+    if meta["version"] > VERSION:
+        raise ValueError(f"{path}: session version {meta['version']} > supported {VERSION}")
+    for key in ("arch", "n_layers", "n_kv_heads", "head_dim"):
+        want = getattr(model.cfg, key if key != "arch" else "arch")
+        if meta[key] != want:
+            raise ValueError(f"{path}: session {key}={meta[key]} does not match model {want}")
+    n_past = int(meta["n_past"])
+    if n_past > kv.max_len:
+        raise ValueError(f"session length {n_past} exceeds cache {kv.max_len}")
+    k = jnp.asarray(data["k"])
+    v = jnp.asarray(data["v"])
+    kv = type(kv)(
+        k=kv.k.at[:, :, :, :n_past].set(k.astype(kv.k.dtype)),
+        v=kv.v.at[:, :, :, :n_past].set(v.astype(kv.v.dtype)),
+    )
+    return kv, data["tokens"].tolist(), n_past
+
+
+def seq_get(model, kv, seq: int, n_past: int) -> dict:
+    """Extract one sequence's state (server /slots?action=save analogue)."""
+    return {
+        "meta": _meta(model, {"n_past": n_past}),
+        "k": np.asarray(kv.k[:, seq, :, :n_past]),
+        "v": np.asarray(kv.v[:, seq, :, :n_past]),
+    }
+
+
+def seq_set(model, kv, seq: int, state: dict):
+    """Install a sequence state into slot `seq`; returns (kv, n_past)."""
+    import jax.numpy as jnp
+
+    meta = state["meta"]
+    n_past = int(meta["n_past"])
+    kv = type(kv)(
+        k=kv.k.at[:, seq, :, :n_past].set(jnp.asarray(state["k"]).astype(kv.k.dtype)),
+        v=kv.v.at[:, seq, :, :n_past].set(jnp.asarray(state["v"]).astype(kv.v.dtype)),
+    )
+    return kv, n_past
+
+
+def seq_save_file(path: str, model, kv, seq: int, n_past: int):
+    st = seq_get(model, kv, seq, n_past)
+    np.savez_compressed(path, meta=json.dumps(st["meta"]), k=st["k"], v=st["v"])
+
+
+def seq_load_file(path: str, model, kv, seq: int):
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    if meta.get("magic") != MAGIC:
+        raise ValueError(f"{path}: not a zllm state file")
+    return seq_set(model, kv, seq, {"meta": meta, "k": data["k"], "v": data["v"]})
