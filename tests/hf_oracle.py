@@ -11,7 +11,7 @@ os.environ["USE_TF"] = "0"
 os.environ["USE_FLAX"] = "0"
 
 
-def main(out_path: str, cfg_json: str):
+def main(out_path: str, cfg_json: str, arch: str = "llama"):
     import numpy as np
     import torch
 
@@ -20,9 +20,13 @@ def main(out_path: str, cfg_json: str):
 
     cfg = json.loads(cfg_json)
     torch.manual_seed(0)
-    hf = transformers.LlamaForCausalLM(
-        transformers.LlamaConfig(**cfg, attn_implementation="eager")
-    ).eval()
+    cls = {
+        "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
+        "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
+        "gemma2": (transformers.Gemma2ForCausalLM, transformers.Gemma2Config),
+        "mixtral": (transformers.MixtralForCausalLM, transformers.MixtralConfig),
+    }[arch]
+    hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 
     rng = np.random.default_rng(3)
     toks = rng.integers(0, cfg["vocab_size"], size=(2, 12)).astype(np.int64)
@@ -43,4 +47,4 @@ def main(out_path: str, cfg_json: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "llama")

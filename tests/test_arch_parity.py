@@ -1,0 +1,98 @@
+"""Per-architecture HF logit parity: qwen2 (neox rope + qkv bias) and
+gemma2 (sandwich norms, softcaps, geglu, sliding-window alternation,
+tied embedding, query_pre_attn_scalar)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from zllm.gguf.constants import GGMLType
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARCH_CFGS = {
+    "qwen2": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
+    "gemma2": dict(
+        vocab_size=163,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        query_pre_attn_scalar=16,
+        sliding_window=32,
+    ),
+    "mixtral": dict(
+        vocab_size=131,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        tie_word_embeddings=False,
+    ),
+}
+
+
+def _oracle(arch, tmpdir):
+    from conftest import subprocess_env
+
+    out = os.path.join(tmpdir, f"{arch}.npz")
+    script = os.path.join(REPO, "tests", "hf_oracle.py")
+    r = subprocess.run(
+        [sys.executable, script, out, json.dumps(ARCH_CFGS[arch]), arch],
+        timeout=300, capture_output=True, text=True, env=subprocess_env(),
+    )
+    if r.returncode != 0:
+        pytest.skip(f"HF oracle unavailable for {arch}: {r.stderr[-500:]}")
+    data = np.load(out)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+    return sd, data["toks"], data["logits"], data["greedy"]
+
+
+@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral"])
+def test_arch_logit_parity(arch, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.convert import convert_hf_llama
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+
+    sd, toks, want, _ = _oracle(arch, str(tmp_path))
+    path = str(tmp_path / f"{arch}.gguf")
+    gguf_arch = "llama" if arch == "mixtral" else arch  # mixtral = llama + experts
+    convert_hf_llama(sd, ARCH_CFGS[arch], path, arch=gguf_arch, gtype=GGMLType.F32)
+
+    m = Model.load(path, quantized=False, dtype=jnp.float32)
+    toks = toks.astype(np.int32)
+    positions = np.broadcast_to(np.arange(toks.shape[1], dtype=np.int32), toks.shape)
+    fwd = jax.jit(lambda p, t, q: forward(p, m.cfg, t, q, None)[0])
+    got = np.asarray(fwd(m.params, jnp.asarray(toks), jnp.asarray(positions)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

@@ -40,22 +40,40 @@ def _emit(writer: GGUFWriter, name: str, data: np.ndarray, gtype: GGMLType):
         writer.add_tensor(name, qb.quantize(data, gtype), logical_shape=data.shape, gtype=gtype)
 
 
+def _npy(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+# per-arch conversion quirks (the seed of the reference's ~150 converter
+# classes in convert_hf_to_gguf.py)
+_ARCH_RULES = {
+    # ggml llama uses adjacent-pair rope -> permute Q/K; no biases
+    "llama": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    "mistral": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # ggml qwen2 keeps HF half-split (neox) rope; attn has biases
+    "qwen2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # gemma2: neox rope, sandwich norms stored as (w+1) -> ggml stores w+1
+    "gemma2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=True),
+}
+
+
 def convert_hf_llama(
     state_dict: Mapping[str, Any],
     config: Mapping[str, Any],
     out_path: str,
     *,
+    arch: str = "llama",
     gtype: GGMLType = GGMLType.F32,
     vector_gtype: GGMLType = GGMLType.F32,
     tokenizer_kv: Mapping[str, Any] | None = None,
 ) -> str:
-    """state_dict: HF LlamaForCausalLM tensors (numpy or torch); config:
-    HF config dict (hidden_size, num_attention_heads, ...)."""
+    """state_dict: HF *ForCausalLM tensors (numpy or torch); config: HF
+    config dict (hidden_size, num_attention_heads, ...)."""
 
-    def npy(t):
-        if hasattr(t, "detach"):
-            t = t.detach().cpu().float().numpy()
-        return np.asarray(t, dtype=np.float32)
+    npy = _npy
+    rules = _ARCH_RULES[arch]
 
     n_head = int(config["num_attention_heads"])
     n_kv = int(config.get("num_key_value_heads", n_head))
@@ -64,44 +82,81 @@ def convert_hf_llama(
     head_dim = int(config.get("head_dim", n_embd // n_head))
 
     w = GGUFWriter(out_path)
-    w.add("general.architecture", "llama")
+    w.add("general.architecture", arch)
     w.add("general.name", str(config.get("_name_or_path", "converted")))
-    w.add("llama.block_count", n_layer)
-    w.add("llama.context_length", int(config.get("max_position_embeddings", 4096)))
-    w.add("llama.embedding_length", n_embd)
-    w.add("llama.feed_forward_length", int(config["intermediate_size"]))
-    w.add("llama.attention.head_count", n_head)
-    w.add("llama.attention.head_count_kv", n_kv)
-    w.add("llama.attention.key_length", head_dim)
-    w.add("llama.attention.value_length", head_dim)
-    w.add("llama.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
-    w.add("llama.rope.freq_base", float(config.get("rope_theta", 10000.0)))
-    w.add("llama.rope.dimension_count", head_dim)
-    w.add("llama.vocab_size", int(config["vocab_size"]))
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if "attn_logit_softcapping" in config and config["attn_logit_softcapping"]:
+        w.add(f"{arch}.attn_logit_softcapping", float(config["attn_logit_softcapping"]))
+    if "final_logit_softcapping" in config and config["final_logit_softcapping"]:
+        w.add(f"{arch}.final_logit_softcapping", float(config["final_logit_softcapping"]))
+    if "query_pre_attn_scalar" in config:
+        w.add(f"{arch}.attention.query_pre_attn_scalar", float(config["query_pre_attn_scalar"]))
+    if "sliding_window" in config and config.get("sliding_window"):
+        w.add(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+    if "num_local_experts" in config:  # mixtral-style MoE
+        w.add(f"{arch}.expert_count", int(config["num_local_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
     rs = config.get("rope_scaling") or {}
     if rs.get("rope_type") == "llama3":
-        w.add("llama.rope.scaling.type", "linear")
-        w.add("llama.rope.scaling.factor", float(rs["factor"]))
-        w.add("llama.rope.scaling.low_freq_factor", float(rs["low_freq_factor"]))
-        w.add("llama.rope.scaling.high_freq_factor", float(rs["high_freq_factor"]))
-        w.add("llama.rope.scaling.original_context_length", int(rs["original_max_position_embeddings"]))
+        w.add(f"{arch}.rope.scaling.type", "linear")
+        w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+        w.add(f"{arch}.rope.scaling.low_freq_factor", float(rs["low_freq_factor"]))
+        w.add(f"{arch}.rope.scaling.high_freq_factor", float(rs["high_freq_factor"]))
+        w.add(f"{arch}.rope.scaling.original_context_length", int(rs["original_max_position_embeddings"]))
     for key, val in (tokenizer_kv or {}).items():
         w.add(key, val)
+
+    def norm(t):
+        x = npy(t)
+        return x + 1.0 if rules["norm_plus_one"] else x
+
+    def perm(x, nh):
+        return _permute_qk(x, nh) if rules["permute_qk"] else x
 
     _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
     for il in range(n_layer):
         p = f"model.layers.{il}."
         o = f"blk.{il}."
-        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
-        _emit(w, o + "attn_q.weight", _permute_qk(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
-        _emit(w, o + "attn_k.weight", _permute_qk(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
+        _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_q.weight", perm(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
+        _emit(w, o + "attn_k.weight", perm(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
         _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
         _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
-        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
-        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
-        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
-        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
-    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+        if rules["qkv_bias"]:
+            _emit(w, o + "attn_q.bias", npy(state_dict[p + "self_attn.q_proj.bias"]), GGMLType.F32)
+            _emit(w, o + "attn_k.bias", npy(state_dict[p + "self_attn.k_proj.bias"]), GGMLType.F32)
+            _emit(w, o + "attn_v.bias", npy(state_dict[p + "self_attn.v_proj.bias"]), GGMLType.F32)
+        if p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
+            _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
+        else:
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        if p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
+            n_exp = int(config["num_local_experts"])
+            gate = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w1.weight"]) for e in range(n_exp)])
+            down = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w2.weight"]) for e in range(n_exp)])
+            up = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w3.weight"]) for e in range(n_exp)])
+            _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+            _emit(w, o + "ffn_up_exps.weight", up, gtype)
+            _emit(w, o + "ffn_down_exps.weight", down, gtype)
+        else:
+            _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", norm(state_dict["model.norm.weight"]), GGMLType.F32)
     if "lm_head.weight" in state_dict:
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()

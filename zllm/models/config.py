@@ -51,6 +51,7 @@ class ModelConfig:
     attn_sinks: bool = False
     post_norms: bool = False  # gemma-style post-attn/post-ffn norms
     act: str = "silu"
+    attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim); gemma2 query_pre_attn_scalar
     tp_axis: str | None = None  # mesh axis name when running inside shard_map
 
     @property
@@ -108,9 +109,10 @@ class ModelConfig:
                 n_ff_exp=int(kv("expert_feed_forward_length", kv("feed_forward_length"))),
                 n_shared_experts=int(kv("expert_shared_count", 0)),
                 gate_func={1: "softmax", 2: "sigmoid"}.get(int(kv("expert_gating_func", 1)), "softmax"),
-                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("qwen2moe", "qwen3moe"))),
+                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("llama", "mixtral", "qwen2moe", "qwen3moe"))),
             )
 
+        qpas = kv("attention.query_pre_attn_scalar")
         return cls(
             arch=arch,
             n_layers=int(kv("block_count")),
@@ -130,7 +132,10 @@ class ModelConfig:
             final_logit_softcap=float(kv("final_logit_softcapping", 0.0)),
             logit_scale=float(kv("logit_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
+            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
+            act="gelu" if arch.startswith("gemma") else "silu",
+            attn_scale=(1.0 / float(qpas) ** 0.5) if qpas else 0.0,
         )
 
     def with_(self, **kw) -> "ModelConfig":

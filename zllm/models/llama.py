@@ -79,7 +79,7 @@ def forward(
 ):
     """Returns (logits [B, T or 1, vocab] f32, updated kv)."""
     x = embed(params, cfg, tokens)
-    scale = 1.0 / (cfg.head_dim**0.5)
+    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     b, t = tokens.shape
 
     for il, layer in enumerate(params["layers"]):
