@@ -24,6 +24,17 @@ from ..ops.linear import linear
 from ..runtime.kvcache import KVCache
 
 
+def lora_linear(layer: dict, key: str, x, bias=None):
+    """linear() plus the low-rank adapter delta when `{key}.lora` is present
+    (reference: build_lora_mm, src/llama-graph.h:675 — y += scale*(x@A)@B)."""
+    y = linear(x, layer[key], bias)
+    lora = layer.get(key + ".lora")
+    if lora is not None:
+        a, b, scale = lora
+        y = y + scale * ((x @ a.astype(x.dtype)) @ b.astype(x.dtype))
+    return y
+
+
 def embed(params, cfg, tokens: jax.Array) -> jax.Array:
     x = params["tok_emb"][tokens]
     if cfg.arch.startswith("gemma"):
@@ -85,9 +96,9 @@ def forward(
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         # head counts are derived from the (possibly tp-sharded) projections
-        q = linear(h, layer["wq"], layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
-        k = linear(h, layer["wk"], layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
-        v = linear(h, layer["wv"], layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
+        q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
+        k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
+        v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
 
         if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
             q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
@@ -110,7 +121,7 @@ def forward(
         )
         # under tensor parallelism wo carries a psum flag (zllm.parallel);
         # bias is added after the reduce
-        att = linear(att.reshape(b, t, -1), layer["wo"])
+        att = lora_linear(layer, "wo", att.reshape(b, t, -1))
         if "bo" in layer:
             att = att + layer["bo"].astype(att.dtype)
         if "attn_post_norm" in layer:
@@ -122,7 +133,10 @@ def forward(
             ff = moe_ffn(layer, cfg, h2)
         else:
             act = swiglu if cfg.act == "silu" else geglu
-            ff = linear(act(linear(h2, layer["ffn_gate"]), linear(h2, layer["ffn_up"])), layer["ffn_down"])
+            ff = lora_linear(
+                layer, "ffn_down",
+                act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2)),
+            )
         if "ffn_post_norm" in layer:
             ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
         x = x + ff
