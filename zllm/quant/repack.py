@@ -155,11 +155,26 @@ def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTens
     if fold == 0:
         raise ValueError(f"K={k} not foldable for repack")
     raw = raw.reshape(n, -1)
-    planes = _REPACK[fmt](raw, n, k, fold)
+    planes = None
+    if n * k >= 1 << 20:  # large tensors: multithreaded C++ engine (native/)
+        planes = _native_repack(fmt, raw, n, k, fold)
+    if planes is None:
+        planes = _REPACK[fmt](raw, n, k, fold)
     return QTensor(
         fmt=fmt, shape=(k, n), fold=fold,
         planes={key: jnp.asarray(v) for key, v in planes.items()},
     )
+
+
+def _native_repack(fmt, raw, n, k, fold):
+    """Byte-exact C++ fast path (zllm/native.py); None -> numpy fallback."""
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if fmt == GGMLType.Q4_K:
+        return native.repack_q4k(raw, n, k, fold)
+    return None
 
 
 _REPACK = {}
