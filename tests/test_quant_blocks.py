@@ -112,3 +112,17 @@ def test_q8_k_bsums():
     q = raw[:, 4:260].view(np.int8)
     bsums = raw[:, 260:292].view("<i2").reshape(4, 16)
     np.testing.assert_array_equal(q.reshape(4, 16, 16).sum(axis=-1, dtype=np.int16), bsums)
+
+
+def test_weighted_q4_k_improves_weighted_error():
+    """imatrix-weighted encoding must cut the weighted reconstruction error
+    on the high-importance columns."""
+    rng = np.random.default_rng(123)
+    x = rng.standard_normal((64, 512)).astype(np.float32)
+    w = np.ones(512, np.float32)
+    w[::7] = 100.0  # a few very important columns
+    plain = qb.dequantize(qb.quantize(x, GGMLType.Q4_K), GGMLType.Q4_K)
+    wq = qb.dequantize(qb.quantize(x, GGMLType.Q4_K, weights=w), GGMLType.Q4_K)
+    err_plain = np.mean(w * (x - plain) ** 2)
+    err_w = np.mean(w * (x - wq) ** 2)
+    assert err_w < err_plain * 0.98, (err_plain, err_w)

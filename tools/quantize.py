@@ -70,7 +70,16 @@ def main():
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("ftype", choices=sorted(FTYPES))
+    ap.add_argument("--imatrix", default=None, help="importance matrix GGUF from tools/imatrix.py")
     args = ap.parse_args()
+
+    imatrix = {}
+    if args.imatrix:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from imatrix import read_imatrix
+
+        imatrix = read_imatrix(args.imatrix)
+        print(f"imatrix: {len(imatrix)} tensors", file=sys.stderr)
 
     preset = FTYPES[args.ftype]
     f = read_gguf(args.src)
@@ -96,7 +105,7 @@ def main():
                 w.add_tensor(name, x)
                 total_out += x.nbytes
             else:
-                raw = qb.quantize(x, target)
+                raw = qb.quantize(x, target, weights=imatrix.get(name))
                 w.add_tensor(name, raw, logical_shape=meta.shape, gtype=target)
                 total_out += raw.nbytes
         total_in += meta.nbytes

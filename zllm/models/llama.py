@@ -87,14 +87,22 @@ def forward(
     kv: KVCache | None = None,
     *,
     logits_for: str = "all",  # "all" | "last"
+    taps: dict | None = None,  # out-param: per-linear input activations
 ):
-    """Returns (logits [B, T or 1, vocab] f32, updated kv)."""
+    """Returns (logits [B, T or 1, vocab] f32, updated kv).
+
+    `taps`, when given a dict, receives each matmul's input activation
+    keyed by GGUF tensor name — the analogue of the reference's eval
+    callback (ggml_backend_sched_eval_callback, used by imatrix); the
+    caller must return/consume them inside the same trace."""
     x = embed(params, cfg, tokens)
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     b, t = tokens.shape
 
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        if taps is not None:
+            taps[f"blk.{il}.attn_q.weight"] = h
         # head counts are derived from the (possibly tp-sharded) projections
         q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
         k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
@@ -121,7 +129,10 @@ def forward(
         )
         # under tensor parallelism wo carries a psum flag (zllm.parallel);
         # bias is added after the reduce
-        att = lora_linear(layer, "wo", att.reshape(b, t, -1))
+        att = att.reshape(b, t, -1)
+        if taps is not None:
+            taps[f"blk.{il}.attn_output.weight"] = att
+        att = lora_linear(layer, "wo", att)
         if "bo" in layer:
             att = att + layer["bo"].astype(att.dtype)
         if "attn_post_norm" in layer:
@@ -129,14 +140,16 @@ def forward(
         x = x + att
 
         h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+        if taps is not None:
+            taps[f"blk.{il}.ffn_gate.weight"] = h2
         if cfg.moe is not None and "ffn_gate_inp" in layer:
             ff = moe_ffn(layer, cfg, h2)
         else:
             act = swiglu if cfg.act == "silu" else geglu
-            ff = lora_linear(
-                layer, "ffn_down",
-                act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2)),
-            )
+            gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
+            if taps is not None:
+                taps[f"blk.{il}.ffn_down.weight"] = gu
+            ff = lora_linear(layer, "ffn_down", gu)
         if "ffn_post_norm" in layer:
             ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
         x = x + ff

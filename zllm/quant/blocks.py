@@ -600,8 +600,12 @@ def dequantize(data: np.ndarray, gtype: GGMLType) -> np.ndarray:
     return np.ascontiguousarray(out, dtype=np.float32).reshape(*lead, -1)
 
 
-def quantize(data: np.ndarray, gtype: GGMLType) -> np.ndarray:
-    """f32[..., n] -> uint8[..., row_bytes]."""
+def quantize(data: np.ndarray, gtype: GGMLType, weights: np.ndarray | None = None) -> np.ndarray:
+    """f32[..., n] -> uint8[..., row_bytes].
+
+    `weights` (importance-matrix column weights, one per input column of
+    the row dimension) steers the scale search for formats that support it
+    (reference: quantize_<type> imatrix paths in ggml-quants.c)."""
     gtype = GGMLType(gtype)
     blk, bsz = GGML_BLOCK_SIZES[gtype]
     data = np.ascontiguousarray(data, dtype=np.float32)
@@ -611,5 +615,55 @@ def quantize(data: np.ndarray, gtype: GGMLType) -> np.ndarray:
     blocks = data.reshape(-1, blk)
     if gtype not in _ENCODERS:
         raise NotImplementedError(f"no encoder for {gtype.name}")
-    out = _ENCODERS[gtype](blocks)
+    if weights is not None and gtype in _WEIGHTED_ENCODERS:
+        wcols = np.broadcast_to(
+            np.asarray(weights, np.float32), data.shape
+        ).reshape(-1, blk)
+        out = _WEIGHTED_ENCODERS[gtype](blocks, wcols)
+    else:
+        out = _ENCODERS[gtype](blocks)
     return np.ascontiguousarray(out, dtype=np.uint8).reshape(*lead, -1)
+
+
+# -- importance-weighted encoders -------------------------------------------
+
+def _enc_q4_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Q4_K with weighted alternating least-squares per 32-group: fix the
+    integer codes, refit (scale, min) by weighted LS, re-round, iterate —
+    the same idea as the reference's make_qkx2_quants imatrix search."""
+    n = x.shape[0]
+    g = x.reshape(n, 8, 32)
+    wg = np.maximum(w.reshape(n, 8, 32), 1e-12)
+    m_f = np.maximum(0.0, -g.min(axis=-1))
+    s_f = np.maximum(0.0, g.max(axis=-1) + m_f) / 15.0
+    a = s_f  # scale per group
+    b = m_f  # min magnitude per group (x ~= a*q - b)
+    for _ in range(4):
+        q = _round_away((g + b[:, :, None]) * _safe_inv(a)[:, :, None]).clip(0, 15)
+        # weighted LS for x = a*q - b
+        sw = wg.sum(-1)
+        swq = (wg * q).sum(-1)
+        swq2 = (wg * q * q).sum(-1)
+        swx = (wg * g).sum(-1)
+        swxq = (wg * g * q).sum(-1)
+        det = swq2 * sw - swq * swq
+        new_a = np.where(det > 1e-12, (swxq * sw - swx * swq) / np.where(det > 1e-12, det, 1), a)
+        new_b = np.where(det > 1e-12, -(swx * swq2 - swxq * swq) / np.where(det > 1e-12, det, 1), b)
+        ok = (new_a > 0) & (new_b >= 0)
+        a = np.where(ok, new_a, a)
+        b = np.where(ok, new_b, b)
+    # quantize the two-level scales exactly like the plain encoder
+    d = a.max(axis=-1, keepdims=True) / 63.0
+    dmin = b.max(axis=-1, keepdims=True) / 63.0
+    sc = _round_away(a * _safe_inv(d)).clip(0, 63).astype(np.uint8)
+    mn = _round_away(b * _safe_inv(dmin)).clip(0, 63).astype(np.uint8)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * mn.astype(np.float32)
+    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, 15)
+    q = q.reshape(n, QK_K).astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_kscales(sc, mn), _nib_pack(q, 32)], axis=1
+    )
+
+
+_WEIGHTED_ENCODERS = {GGMLType.Q4_K: _enc_q4_k_weighted}
