@@ -80,20 +80,22 @@ def main():
     pp = 512
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, pp)).astype(np.int32))
     pos = jnp.asarray(np.broadcast_to(np.arange(pp, dtype=np.int32), (batch, pp)))
+    # NB: block_until_ready through this image's TPU tunnel acks enqueue,
+    # not completion — a device->host value fetch is the only honest fence
     logits, kv = prefill_step(m.params, toks, pos, kv)
-    jax.block_until_ready((logits, kv))
+    float(jnp.sum(logits))
     t_prefill = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
         logits, kv = prefill_step(m.params, toks, pos, kv)
-        jax.block_until_ready((logits, kv))
+        float(jnp.sum(logits))
         t_prefill = min(t_prefill, time.perf_counter() - t0)
     prefill_tok_s = pp / t_prefill
 
     # --- decode: jitted single-token step in a host loop (the serving
     # shape; NB a lax.scan generation loop measured 5x slower — XLA copies
     # the KV carry per iteration instead of aliasing it) ---
-    n_steps = 64
+    n_steps = 128
 
     # token and position stay device-resident: a host->device transfer per
     # step costs ~ms through this image's TPU tunnel
@@ -107,11 +109,11 @@ def main():
     pos_d = jnp.full((batch, 1), pp, jnp.int32)
     for _ in range(8):  # warmup
         tok, pos_d, kv = decode_step(m.params, tok, pos_d, kv)
-    tok.block_until_ready()
+    int(tok[0, 0])  # drain
     t0 = time.perf_counter()
     for _ in range(n_steps):
         tok, pos_d, kv = decode_step(m.params, tok, pos_d, kv)
-    tok.block_until_ready()
+    int(tok[0, 0])  # drain inside the timed region
     dt = time.perf_counter() - t0
     decode_tok_s = n_steps / dt
 
