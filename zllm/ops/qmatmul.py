@@ -288,7 +288,13 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     if not supports(qt):
         return (x @ qt.dequant(x.dtype)).astype(jnp.float32)
     k, n = local_shape(qt)
-    tn = 256 if n % 256 == 0 else 128
+    import os
+
+    # TN=512 measured ~17% faster full-model decode than 256 (fewer grid
+    # steps); narrow-dtype (u8/bf16) dequant is blocked on Mosaic's missing
+    # u8 shift legalization
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "512"))
+    tn = next((t for t in (tn_pref, 512, 256, 128) if n % t == 0), 128)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret)
     return y
