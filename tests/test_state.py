@@ -87,9 +87,8 @@ def test_seq_state_slot_migration(model, tmp_path):
     # restore into slot 1 of a fresh cache; continuation must match slot 0's
     kv3 = KVCache.create(cfg.n_layers, 2, 64, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
     kv3, n_past = seq_load_file(path, model, kv3, 1)
-    np.testing.assert_array_equal(
-        np.asarray(kv.k[:, 0, :, :n_past]), np.asarray(kv3.k[:, 1, :, :n_past])
-    )
+    for a, b in zip(kv.k, kv3.k):
+        np.testing.assert_array_equal(np.asarray(a[0, :, :n_past]), np.asarray(b[1, :, :n_past]))
 
 
 def test_session_rejects_mismatched_model(model, tmp_path):

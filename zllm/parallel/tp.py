@@ -16,7 +16,7 @@ Sharding plan (mesh axes "dp" data / "tp" tensor):
   wo, ffn_down          : contraction sharded + psum -> P(tp, None)
   output head           : vocab sharded + all_gather -> P(None, tp)
   embeddings, norms, MoE stacks, odd-sized weights   : replicated
-  KV cache [L, B, H, S, D] : kv-heads over tp (when sharded), batch over dp
+  KV cache (per-layer [B, H, S, D]) : kv-heads over tp, batch over dp
 """
 
 from __future__ import annotations
@@ -152,8 +152,9 @@ def _expand_qtensor_specs(params, specs):
 
 
 def kv_spec(plan: TpPlan) -> P:
-    """KV cache [L, B, H, S, D]: batch over dp, kv-heads over tp."""
-    return P(None, "dp", "tp" if plan.kv else None, None, None)
+    """KV cache leaves (per-layer [B, H, S, D]): batch over dp, kv-heads
+    over tp; one spec serves every leaf of the KVCache pytree."""
+    return P("dp", "tp" if plan.kv else None, None, None)
 
 
 def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True, logits_for="all"):

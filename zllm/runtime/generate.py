@@ -51,7 +51,7 @@ class Generator:
     def reset(self):
         cfg = self.model.cfg
         self.kv = KVCache.create(
-            cfg.n_layers, self.batch, self.max_len, cfg.n_kv_heads, cfg.head_dim, self.kv.k.dtype
+            cfg.n_layers, self.batch, self.max_len, cfg.n_kv_heads, cfg.head_dim, self.kv.k[0].dtype
         )
 
     def prefill(self, prompt_tokens: list[int]) -> jax.Array:

@@ -33,8 +33,8 @@ def _meta(model, extra: dict) -> dict:
 
 def save_session(path: str, model, kv, tokens: list[int], n_past: int):
     """Whole-context session: trimmed KV + token history."""
-    k = np.asarray(kv.k[:, :, :, :n_past])
-    v = np.asarray(kv.v[:, :, :, :n_past])
+    k = np.stack([np.asarray(x[:, :, :n_past]) for x in kv.k])
+    v = np.stack([np.asarray(x[:, :, :n_past]) for x in kv.v])
     np.savez_compressed(
         path,
         meta=json.dumps(_meta(model, {"n_past": n_past, "kv_dtype": str(k.dtype)})),
@@ -65,8 +65,8 @@ def load_session(path: str, model, kv):
     k = jnp.asarray(data["k"])
     v = jnp.asarray(data["v"])
     kv = type(kv)(
-        k=kv.k.at[:, :, :, :n_past].set(k.astype(kv.k.dtype)),
-        v=kv.v.at[:, :, :, :n_past].set(v.astype(kv.v.dtype)),
+        k=tuple(x.at[:, :, :n_past].set(k[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
+        v=tuple(x.at[:, :, :n_past].set(v[i].astype(x.dtype)) for i, x in enumerate(kv.v)),
     )
     return kv, data["tokens"].tolist(), n_past
 
@@ -75,8 +75,8 @@ def seq_get(model, kv, seq: int, n_past: int) -> dict:
     """Extract one sequence's state (server /slots?action=save analogue)."""
     return {
         "meta": _meta(model, {"n_past": n_past}),
-        "k": np.asarray(kv.k[:, seq, :, :n_past]),
-        "v": np.asarray(kv.v[:, seq, :, :n_past]),
+        "k": np.stack([np.asarray(x[seq, :, :n_past]) for x in kv.k]),
+        "v": np.stack([np.asarray(x[seq, :, :n_past]) for x in kv.v]),
     }
 
 
@@ -86,9 +86,11 @@ def seq_set(model, kv, seq: int, state: dict):
 
     meta = state["meta"]
     n_past = int(meta["n_past"])
+    sk = jnp.asarray(state["k"])
+    sv = jnp.asarray(state["v"])
     kv = type(kv)(
-        k=kv.k.at[:, seq, :, :n_past].set(jnp.asarray(state["k"]).astype(kv.k.dtype)),
-        v=kv.v.at[:, seq, :, :n_past].set(jnp.asarray(state["v"]).astype(kv.v.dtype)),
+        k=tuple(x.at[seq, :, :n_past].set(sk[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
+        v=tuple(x.at[seq, :, :n_past].set(sv[i].astype(x.dtype)) for i, x in enumerate(kv.v)),
     )
     return kv, n_past
 
