@@ -558,6 +558,21 @@ def _enc_iq4_xs(x):
 # ternary
 # ---------------------------------------------------------------------------
 
+@_decoder(GGMLType.TQ1_0)
+def _dec_tq1_0(b):
+    n = b.shape[0]
+    qs, qh, d = b[:, :48], b[:, 48:52], b[:, 52:54]
+    dv = _f16(d)
+    m5 = np.array([1, 3, 9, 27, 81], dtype=np.uint8).reshape(1, 1, 5, 1)
+    q0 = (qs[:, :32].reshape(n, 1, 1, 32) * m5).reshape(n, 160)
+    q1 = (qs[:, 32:48].reshape(n, 1, 1, 16) * m5).reshape(n, 80)
+    m4 = np.array([1, 3, 9, 27], dtype=np.uint8).reshape(1, 1, 4, 1)
+    q2 = (qh.reshape(n, 1, 1, 4) * m4).reshape(n, 16)
+    q = np.concatenate([q0, q1, q2], axis=1)
+    q = ((q.astype(np.uint16) * 3) >> 8).astype(np.int8) - np.int8(1)
+    return dv * q.astype(np.float32)
+
+
 @_decoder(GGMLType.TQ2_0)
 def _dec_tq2_0(b):
     n = b.shape[0]
@@ -667,3 +682,139 @@ def _enc_q4_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
 
 
 _WEIGHTED_ENCODERS = {GGMLType.Q4_K: _enc_q4_k_weighted}
+
+
+# ---------------------------------------------------------------------------
+# IQ grid-codebook formats (decode; grids are format constants shipped in
+# iq_grids.npz — see ggml-common.h iq2xxs_grid etc.)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+import os as _os
+
+# 7-bit sign codes: bit i = sign of element i, top bit = parity (format
+# constant ksigns_iq2xs from ggml-common.h)
+_KSIGNS = np.array([i | (128 if bin(i).count("1") % 2 else 0) for i in range(128)], dtype=np.uint8)
+
+
+@_functools.lru_cache(maxsize=1)
+def _iq_grids() -> dict:
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "iq_grids.npz")
+    return dict(np.load(path))
+
+
+def _sign_bits(codes: np.ndarray) -> np.ndarray:
+    """7-bit sign codes [...,] -> +-1 f32 [..., 8]."""
+    bytes_ = _KSIGNS[codes & 0x7F]
+    bits = (bytes_[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 0, np.float32(1), np.float32(-1))
+
+
+def _raw_sign_bits(bytes_: np.ndarray) -> np.ndarray:
+    bits = (bytes_[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits == 0, np.float32(1), np.float32(-1))
+
+
+@_decoder(GGMLType.IQ2_XXS)
+def _dec_iq2_xxs(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    u32 = b[:, 2:].copy().view("<u4").reshape(n, 8, 2)
+    codes = u32[:, :, 0].copy().view(np.uint8).reshape(n, 8, 4)  # grid indices
+    aux = u32[:, :, 1]
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.25  # [n, 8]
+    signs = _sign_bits((aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)).astype(np.uint8))
+    grid = _iq_grids()["iq2_xxs_grid"][codes]  # [n, 32, 4, 8]
+    return (db[:, :, None, None] * grid * signs).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ2_XS)
+def _dec_iq2_xs(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:66].copy().view("<u2").reshape(n, 32)
+    sl = b[:, 66:74]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(n, 16)
+    db = (d * (0.5 + sc.astype(np.float32)) * 0.25).repeat(2, axis=1)  # [n, 32]
+    signs = _sign_bits((qs >> 9).astype(np.uint8))
+    grid = _iq_grids()["iq2_xs_grid"][qs & 511]  # [n, 32, 8]
+    return (db[:, :, None] * grid * signs).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ2_S)
+def _dec_iq2_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:34]
+    sbytes = b[:, 34:66]
+    qh = b[:, 66:74]
+    sl = b[:, 74:82]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(n, 16)
+    db = (d * (0.5 + sc.astype(np.float32)) * 0.25).repeat(2, axis=1)  # [n, 32]
+    hi = ((qh[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3).reshape(n, 32)
+    idx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
+    signs = _raw_sign_bits(sbytes).reshape(n, 32, 8)
+    grid = _iq_grids()["iq2_s_grid"][idx]
+    return (db[:, :, None] * grid * signs).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ3_XXS)
+def _dec_iq3_xxs(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:66]  # 64 grid indices (4 values each)
+    aux = b[:, 66:98].copy().view("<u4").reshape(n, 8)
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.5  # [n, 8]
+    signs = _sign_bits(
+        (aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)).astype(np.uint8)
+    ).reshape(n, 32, 8)
+    grid = _iq_grids()["iq3_xxs_grid"][qs].reshape(n, 32, 8)
+    return (db.repeat(4, axis=1)[:, :, None] * grid * signs).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ3_S)
+def _dec_iq3_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:66]
+    qh = b[:, 66:74]
+    sbytes = b[:, 74:106]
+    sl = b[:, 106:110]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(n, 8)
+    db = (d * (1 + 2 * sc.astype(np.float32))).repeat(8, axis=1)  # [n, 64]
+    hi = ((qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1).reshape(n, 64)
+    idx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
+    signs = _raw_sign_bits(sbytes).reshape(n, 64, 4)
+    grid = _iq_grids()["iq3_s_grid"][idx].reshape(n, 64, 4)
+    return (db[:, :, None] * grid * signs).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ1_S)
+def _dec_iq1_s(b):
+    n = b.shape[0]
+    d = _f16(b[:, :2])
+    qs = b[:, 2:34]  # 32 grid low-bytes
+    qh = b[:, 34:50].copy().view("<u2").reshape(n, 8)  # 8 u16, 4 cells each
+    dl = (d * (2 * ((qh >> 12) & 7) + 1).astype(np.float32)).repeat(4, axis=1)  # [n, 32]
+    delta = np.where((qh & 0x8000) == 0, np.float32(0.125), np.float32(-0.125)).repeat(4, axis=1)
+    hi = ((qh[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7).reshape(n, 32)
+    idx = qs.astype(np.uint16) | (hi << 8)
+    grid = _iq_grids()["iq1_s_grid"][idx].astype(np.float32)  # [n, 32, 8]
+    return (dl[:, :, None] * (grid + delta[:, :, None])).reshape(n, QK_K)
+
+
+@_decoder(GGMLType.IQ1_M)
+def _dec_iq1_m(b):
+    n = b.shape[0]
+    qs = b[:, :32]
+    qh = b[:, 32:48]  # 16 bytes, 2 cells each (nibbles)
+    sraw = b[:, 48:56].copy().view("<u2").reshape(n, 4)
+    d16 = (sraw & np.uint16(0xF000)) >> np.array([12, 8, 4, 0], np.uint16)
+    d = (d16[:, 0] | d16[:, 1] | d16[:, 2] | d16[:, 3]).astype("<u2").view("<f2").astype(np.float32)
+    sc = ((sraw[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7).reshape(n, 16)
+    dl = (d[:, None] * (2 * sc.astype(np.float32) + 1)).repeat(2, axis=1)  # [n, 32]
+    hi = np.stack([qh & 0x0F, qh >> 4], axis=-1).reshape(n, 32)
+    idx = qs.astype(np.uint16) | ((hi.astype(np.uint16) & 7) << 8)
+    delta = np.where((hi & 0x08) == 0, np.float32(0.125), np.float32(-0.125))
+    grid = _iq_grids()["iq1_m_grid"][idx].astype(np.float32)
+    return (dl[:, :, None] * (grid + delta[:, :, None])).reshape(n, QK_K)
