@@ -95,3 +95,125 @@ def causal_mask(positions: jax.Array, kv_len: int, window: int = 0) -> jax.Array
     if window > 0:
         m = m & (s > p - window)
     return m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVCacheQ8:
+    """Q8-quantized KV cache (reference: llama_context_params.type_k/type_v
+    + quantized-KV flash-attention consumers, ggml-cuda/fattn-vec.cuh).
+
+    Per-vector symmetric int8: each [D] key/value vector stores int8 codes
+    and one f32 scale -> ~2x memory capacity vs bf16 at equal context.
+    Round-1 consumers dequantize at attention time (capacity win); the
+    fused-attention in-VMEM dequant lands with the paged cache rework.
+    """
+
+    k: tuple  # L x int8 [B, H, S, D]
+    v: tuple
+    ks: tuple  # L x f32 [B, H, S, 1]
+    vs: tuple
+
+    def tree_flatten(self):
+        return (*self.k, *self.v, *self.ks, *self.vs), len(self.k)
+
+    @classmethod
+    def tree_unflatten(cls, n, leaves):
+        return cls(
+            k=tuple(leaves[:n]), v=tuple(leaves[n : 2 * n]),
+            ks=tuple(leaves[2 * n : 3 * n]), vs=tuple(leaves[3 * n :]),
+        )
+
+    @classmethod
+    def create(cls, n_layers: int, batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype=None):
+        shape = (batch, n_kv_heads, max_len, head_dim)
+        sshape = (batch, n_kv_heads, max_len, 1)
+        z8 = lambda: jnp.zeros(shape, jnp.int8)
+        zs = lambda: jnp.ones(sshape, jnp.float32)
+        return cls(
+            k=tuple(z8() for _ in range(n_layers)), v=tuple(z8() for _ in range(n_layers)),
+            ks=tuple(zs() for _ in range(n_layers)), vs=tuple(zs() for _ in range(n_layers)),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k[0].shape[2]
+
+    @property
+    def batch(self) -> int:
+        return self.k[0].shape[0]
+
+    @staticmethod
+    def _quant(x):  # [B, H, T, D] -> int8 codes + f32 scales
+        xf = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    def update(self, il: int, k_new: jax.Array, v_new: jax.Array, positions: jax.Array) -> "KVCacheQ8":
+        kq, ks = self._quant(k_new.transpose(0, 2, 1, 3))
+        vq, vs = self._quant(v_new.transpose(0, 2, 1, 3))
+        pos0 = positions[:, 0]
+
+        def upd(cache_row, new_row, p):
+            return jax.lax.dynamic_update_slice(cache_row, new_row, (0, p, 0))
+
+        k = list(self.k); v = list(self.v); kss = list(self.ks); vss = list(self.vs)
+        k[il] = jax.vmap(upd)(self.k[il], kq, pos0)
+        v[il] = jax.vmap(upd)(self.v[il], vq, pos0)
+        kss[il] = jax.vmap(upd)(self.ks[il], ks, pos0)
+        vss[il] = jax.vmap(upd)(self.vs[il], vs, pos0)
+        return KVCacheQ8(k=tuple(k), v=tuple(v), ks=tuple(kss), vs=tuple(vss))
+
+    def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
+        """Dequantized [B, H, S, D] bf16 views."""
+        k = self.k[il].astype(jnp.bfloat16) * self.ks[il].astype(jnp.bfloat16)
+        v = self.v[il].astype(jnp.bfloat16) * self.vs[il].astype(jnp.bfloat16)
+        return k, v
+
+    def stacked(self):
+        return jnp.stack([self.layer(i)[0] for i in range(len(self.k))]), jnp.stack(
+            [self.layer(i)[1] for i in range(len(self.k))]
+        )
+
+
+def shift_context(kv: KVCache, rope_params, n_keep: int, n_discard: int) -> KVCache:
+    """Context shift (reference: llama_memory_seq_add + set_input_k_shift
+    K-rotation, src/llama-kv-cache.h:197 / server context-shift at
+    server-context.cpp:1981): drop `n_discard` slots after the first
+    `n_keep`, slide the rest down, and re-rotate the moved K entries by
+    -n_discard positions so their rotary phase matches their new slots.
+
+    Applies to every batch row; caller updates its position bookkeeping
+    (new_pos = old_pos - n_discard)."""
+    from ..ops.layers import apply_rope
+
+    def one_layer(k, v):  # [B, H, S, D]
+        b, h, s, d = k.shape
+        moved_k = k[:, :, n_keep + n_discard :, :]
+        moved_v = v[:, :, n_keep + n_discard :, :]
+        # rotate K by a constant -n_discard: apply_rope wants [B, T, H, D]
+        mk = moved_k.transpose(0, 2, 1, 3)
+        delta = jnp.full((b, mk.shape[1]), -n_discard, jnp.int32)
+        mk = apply_rope(mk, delta, rope_params).transpose(0, 2, 1, 3)
+        k2 = jnp.concatenate([k[:, :, :n_keep, :], mk, jnp.zeros_like(k[:, :, : n_discard, :])], axis=2)
+        v2 = jnp.concatenate([v[:, :, :n_keep, :], moved_v, jnp.zeros_like(v[:, :, : n_discard, :])], axis=2)
+        return k2, v2
+
+    ks, vs = [], []
+    for il in range(len(kv.k)):
+        k2, v2 = one_layer(kv.k[il], kv.v[il])
+        ks.append(k2)
+        vs.append(v2)
+    return KVCache(k=tuple(ks), v=tuple(vs))
+
+
+def seq_cp(kv, dst: int, src: int):
+    """Copy one batch row's cache into another slot (llama_memory_seq_cp)."""
+    return type(kv)(
+        **{
+            name: tuple(x.at[dst].set(x[src]) for x in getattr(kv, name))
+            for name in ("k", "v", *(("ks", "vs") if hasattr(kv, "ks") else ()))
+        }
+    )
