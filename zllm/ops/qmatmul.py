@@ -213,8 +213,13 @@ def _qmm_kernel(fmt, fold, tk, tn, slice_rows, x_ref, *refs):
 
 @functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
 def _qmm_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+    import os as _os
+
     m = x.shape[0]
     tk = fold
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+    if mult > 1 and k % (fold * mult) == 0:
+        tk = fold * mult
     names = _PLANE_ORDER[fmt]
     grid = (n // tn, k // tk)
 
