@@ -125,3 +125,23 @@ def test_tokenize_roundtrip(served):
 def test_metrics(served):
     text = _get(served, "/metrics")
     assert "zllm_requests_total" in text
+
+
+def test_embeddings_and_rerank(served):
+    out = _post(served, "/v1/embeddings", {"input": ["ab", "cd"]})
+    assert len(out["data"]) == 2
+    v = out["data"][0]["embedding"]
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # L2-normalized
+    rr = _post(served, "/rerank", {"query": "ab", "documents": ["ab", "zz"]})
+    assert len(rr["results"]) == 2
+    assert rr["results"][0]["relevance_score"] >= rr["results"][1]["relevance_score"]
+
+
+def test_grammar_constrained_completion(served):
+    # bytes tokenizer: constrain output to "aaa…" via GBNF
+    out = _post(served, "/v1/completions", {
+        "prompt": "x", "max_tokens": 6, "temperature": 0.9, "seed": 7,
+        "grammar": 'root ::= [a]*\n',
+    })
+    text = out["choices"][0]["text"]
+    assert set(text) <= {"a"}, text

@@ -155,6 +155,8 @@ def forward(
         x = x + ff
 
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)
+    if taps is not None:
+        taps["hidden"] = x  # final hidden states (embeddings/pooling)
     if logits_for == "last":
         x = x[:, -1:, :]
     logits = linear(x, params["output"]).astype(jnp.float32)

@@ -35,6 +35,7 @@ class SlotState(Enum):
 class Request:
     prompt_tokens: list[int]
     max_new: int = 128
+    grammar: object = None  # GrammarSampler (constrained decoding)
     temp: float = 0.8
     top_k: int = 40
     top_p: float = 0.95
@@ -213,6 +214,17 @@ class Engine:
     def _sample(self, slot: _Slot, logits: np.ndarray) -> int:
         req = slot.req
         lg = logits.astype(np.float64)
+        if req.grammar is not None:
+            # constrain to grammar-legal tokens: check the likeliest
+            # candidates first, widen to the full vocab only if none pass
+            # (reference: llama_sampler_init_grammar applies to candidates)
+            order = np.argsort(-lg)
+            allowed = req.grammar.allowed(order[:128])
+            if not allowed:
+                allowed = req.grammar.allowed(order[128:])
+            mask = np.full(lg.shape, -np.inf)
+            mask[allowed] = 0.0
+            lg = lg + mask
         if req.repeat_penalty != 1.0 and req.out_tokens:
             recent = np.asarray(req.out_tokens[-64:])
             pos_mask = lg[recent] > 0
@@ -242,6 +254,8 @@ class Engine:
     def _emit_token(self, slot: _Slot, logits_row: np.ndarray):
         req = slot.req
         tok = self._sample(slot, logits_row)
+        if req.grammar is not None:
+            req.grammar.accept_token(tok)
         slot.last_token = tok
         slot.generated += 1
         req.out_tokens.append(tok)

@@ -31,12 +31,29 @@ class ZllmServer:
         self.port = port
         self.httpd: ThreadingHTTPServer | None = None
         self._t0 = time.time()
+        self._embed_fn = None
 
     # -- request building ---------------------------------------------------
     def _make_request(self, body: dict, prompt_tokens: list[int]) -> Request:
         tok = self.model.tokenizer
         stop_tokens = {tok.eos_id} if tok and tok.eos_id >= 0 else set()
+        grammar = None
+        gbnf = body.get("grammar")
+        schema = body.get("json_schema") or (
+            body.get("response_format", {}).get("json_schema", {}).get("schema")
+            if isinstance(body.get("response_format"), dict) else None
+        )
+        if schema is not None and gbnf is None:
+            from ..grammar import json_schema_to_gbnf
+
+            gbnf = json_schema_to_gbnf(schema)
+        if gbnf:
+            from ..grammar import parse_gbnf
+            from ..grammar.gbnf import GrammarSampler
+
+            grammar = GrammarSampler(parse_gbnf(gbnf), tok)
         return Request(
+            grammar=grammar,
             prompt_tokens=prompt_tokens,
             max_new=int(body.get("max_tokens", body.get("n_predict", 128))),
             temp=float(body.get("temperature", 0.8)),
@@ -47,6 +64,33 @@ class ZllmServer:
             seed=int(body.get("seed", -1)),
             stop_tokens=frozenset(stop_tokens),
         )
+
+    def embed(self, text: str):
+        """Mean-pooled L2-normalized final hidden state (reference:
+        /embeddings with --pooling mean)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.llama import forward
+
+        tok = self.model.tokenizer
+        ids = tok.encode(text, add_special=True)[: self.engine.max_len - 1]
+        if self._embed_fn is None:
+            cfg = self.model.cfg
+
+            def fn(params, toks, pos):
+                taps = {}
+                forward(params, cfg, toks, pos, None, taps=taps)
+                return taps["hidden"]
+
+            self._embed_fn = jax.jit(fn)
+        n = len(ids)
+        toks = np.asarray(ids, np.int32)[None]
+        pos = np.arange(n, dtype=np.int32)[None]
+        h = np.asarray(self._embed_fn(self.model.params, toks, pos))[0]
+        v = h.mean(axis=0)
+        return v / (np.linalg.norm(v) + 1e-9)
 
     def serve_forever(self):
         server = self
@@ -111,6 +155,10 @@ class ZllmServer:
                         self._completion(body, chat=False)
                     elif self.path == "/v1/chat/completions":
                         self._completion(body, chat=True)
+                    elif self.path in ("/embeddings", "/v1/embeddings"):
+                        self._embeddings(body)
+                    elif self.path in ("/rerank", "/v1/rerank"):
+                        self._rerank(body)
                     elif self.path == "/tokenize":
                         ids = server.model.tokenizer.encode(
                             body.get("content", ""), add_special=bool(body.get("add_special", False)),
@@ -129,6 +177,30 @@ class ZllmServer:
                         self._json(500, {"error": {"message": str(e), "type": type(e).__name__}})
                     except Exception:
                         pass
+
+            def _embeddings(self, body):
+                inputs = body.get("input", body.get("content", ""))
+                if isinstance(inputs, str):
+                    inputs = [inputs]
+                vecs = [server.embed(t).tolist() for t in inputs]
+                self._json(200, {
+                    "object": "list", "model": "zllm",
+                    "data": [{"object": "embedding", "index": i, "embedding": v}
+                             for i, v in enumerate(vecs)],
+                    "usage": {"prompt_tokens": 0, "total_tokens": 0},
+                })
+
+            def _rerank(self, body):
+                import numpy as _np
+
+                q = server.embed(body["query"])
+                docs = body.get("documents", body.get("texts", []))
+                scores = []
+                for i, doc in enumerate(docs):
+                    d = server.embed(doc)
+                    scores.append({"index": i, "relevance_score": float(_np.dot(q, d))})
+                scores.sort(key=lambda s: -s["relevance_score"])
+                self._json(200, {"model": "zllm", "results": scores})
 
             def _completion(self, body: dict, chat: bool):
                 tok = server.model.tokenizer
