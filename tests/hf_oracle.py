@@ -25,6 +25,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
         "gemma2": (transformers.Gemma2ForCausalLM, transformers.Gemma2Config),
         "mixtral": (transformers.MixtralForCausalLM, transformers.MixtralConfig),
+        "qwen3": (transformers.Qwen3ForCausalLM, transformers.Qwen3Config),
+        "phi3": (transformers.Phi3ForCausalLM, transformers.Phi3Config),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

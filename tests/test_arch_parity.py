@@ -43,6 +43,34 @@ ARCH_CFGS = {
         query_pre_attn_scalar=16,
         sliding_window=32,
     ),
+    "qwen3": dict(
+        vocab_size=157,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
+    "phi3": dict(
+        vocab_size=149,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
     "mixtral": dict(
         vocab_size=131,
         hidden_size=64,
@@ -76,7 +104,7 @@ def _oracle(arch, tmpdir):
     return sd, data["toks"], data["logits"], data["greedy"]
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral"])
+@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral", "qwen3", "phi3"])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
     import jax.numpy as jnp

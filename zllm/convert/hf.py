@@ -56,6 +56,11 @@ _ARCH_RULES = {
     "qwen2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # gemma2: neox rope, sandwich norms stored as (w+1) -> ggml stores w+1
     "gemma2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=True),
+    # qwen3: neox rope, per-head q/k RMSNorm instead of biases
+    "qwen3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # phi3: neox rope; HF ships fused qkv_proj / gate_up_proj, kept fused
+    # like the reference converter (loader splits by block rows)
+    "phi3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False, fused=True),
 }
 
 
@@ -129,6 +134,13 @@ def convert_hf_llama(
         p = f"model.layers.{il}."
         o = f"blk.{il}."
         _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if rules.get("fused"):
+            _emit(w, o + "attn_qkv.weight", npy(state_dict[p + "self_attn.qkv_proj.weight"]), gtype)
+            _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.gate_up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+            continue
         _emit(w, o + "attn_q.weight", perm(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
         _emit(w, o + "attn_k.weight", perm(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
         _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
@@ -137,6 +149,9 @@ def convert_hf_llama(
             _emit(w, o + "attn_q.bias", npy(state_dict[p + "self_attn.q_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_k.bias", npy(state_dict[p + "self_attn.k_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_v.bias", npy(state_dict[p + "self_attn.v_proj.bias"]), GGMLType.F32)
+        if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2 QK-norm
+            _emit(w, o + "attn_q_norm.weight", npy(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_k_norm.weight", npy(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
         if p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
             _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)

@@ -80,6 +80,22 @@ def _load_matmul(f: GGUFFile, name: str, quantized: bool, dtype):
     return jnp.asarray(np.ascontiguousarray(x.T), dtype=dtype)
 
 
+def _load_matmul_rows(f: GGUFFile, name: str, row_ranges, quantized: bool, dtype):
+    """Split a fused tensor by output rows (phi3 attn_qkv / gate_up):
+    quantized rows are independent blocks, so slicing raw rows is exact."""
+    meta = f.tensors[name]
+    raw = f.tensor_bytes(name)
+    out = []
+    for lo, hi in row_ranges:
+        sub = np.ascontiguousarray(raw[lo:hi])
+        if quantized and meta.gtype in REPACK_FORMATS:
+            out.append(repack(sub, (hi - lo, meta.shape[-1]), meta.gtype))
+        else:
+            x = qb.dequantize(sub, meta.gtype).reshape(hi - lo, meta.shape[-1])
+            out.append(jnp.asarray(np.ascontiguousarray(x.T), dtype=dtype))
+    return out
+
+
 def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=jnp.bfloat16):
     params: dict = {"layers": [dict() for _ in range(cfg.n_layers)]}
     handled = set()
@@ -97,6 +113,17 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             _, il_s, suffix = name.split(".", 2)
             il = int(il_s)
             key = _LAYER_MAP.get(suffix)
+            if suffix == "attn_qkv.weight":  # phi3-style fused QKV
+                qd, kvd = cfg.q_dim, cfg.kv_dim
+                wq, wk, wv = _load_matmul_rows(
+                    f, name, [(0, qd), (qd, qd + kvd), (qd + kvd, qd + 2 * kvd)], quantized, dtype
+                )
+                params["layers"][il].update(wq=wq, wk=wk, wv=wv)
+                continue
+            if suffix == "ffn_up.weight" and cfg.arch in ("phi3",):  # fused gate|up
+                g, u = _load_matmul_rows(f, name, [(0, cfg.n_ff), (cfg.n_ff, 2 * cfg.n_ff)], quantized, dtype)
+                params["layers"][il].update(ffn_gate=g, ffn_up=u)
+                continue
             if key is None:
                 log.warning("unmapped tensor %s", name)
                 continue
