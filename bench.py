@@ -31,6 +31,16 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persist compiled executables across runs (first compile of the 22-layer
+    # graphs costs minutes through this image's compile service)
+    try:
+        cache_dir = os.path.join(REPO, ".cache", "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from zllm.gguf.constants import GGMLType
     from zllm.models.llama import forward
     from zllm.models.loader import Model
