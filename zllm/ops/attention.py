@@ -149,13 +149,28 @@ def vmem_ok(t: int, s: int, g: int, d: int, budget: int = 10 * 2**20) -> bool:
     return scores + kv + qo < budget
 
 
-def use_fused(t: int, s: int, g: int, d: int, interpret: bool) -> bool:
+def use_fused(t: int, s: int, g: int, d: int, hq: int, b: int, interpret: bool) -> bool:
+    import os as _os
+
     import jax as _jax
 
+    if _os.environ.get("ZLLM_NO_FLASH", "0") == "1":
+        return False
+    if _os.environ.get("ZLLM_FORCE_FLASH", "0") == "1":
+        return vmem_ok(t, s, g, d)
     on_tpu = _jax.default_backend() != "cpu"
-    # decode-sized T: the jnp path (a handful of fused XLA ops) beats the
-    # per-pallas_call overhead; the kernel pays off for prefill chunks
-    return (on_tpu or interpret) and t >= 8 and vmem_ok(t, s, g, d) and s % 128 == 0
+    # honest A/B at (T=512, S=1024): XLA's own attention is ~9% faster than
+    # this kernel, so the kernel only dispatches where XLA's materialized
+    # score tensor would become the bottleneck (long context / big batch);
+    # decode-sized T always stays on the XLA path (launch overhead)
+    scores_bytes = 4 * b * hq * t * s
+    return (
+        (on_tpu or interpret)
+        and t >= 8
+        and scores_bytes > 256 * 2**20
+        and vmem_ok(t, s, g, d)
+        and s % 128 == 0
+    )
 
 
 def attention(q, k, v, positions, *, scale, softcap=0.0, window=0, sinks=None, interpret=False):
@@ -164,7 +179,7 @@ def attention(q, k, v, positions, *, scale, softcap=0.0, window=0, sinks=None, i
     b, t, hq, d = q.shape
     hkv, s = k.shape[1], k.shape[2]
     g = hq // hkv
-    if use_fused(t, s, g, d, interpret):
+    if use_fused(t, s, g, d, hq, b, interpret):
         return flash_attention(
             q, k, v, positions, scale=scale, softcap=softcap, window=window,
             sinks=sinks, interpret=interpret,
