@@ -62,3 +62,35 @@ def test_spm_roundtrip_and_specials():
     # parse_special picks up control tokens from raw text
     ids2 = tok.encode("<s>hi</s>", parse_special=True)
     assert ids2[0] == tok.bos_id and ids2[-1] == tok.eos_id
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MODELS), reason="reference models not available")
+@pytest.mark.parametrize("stem", ["ggml-vocab-llama-spm", "ggml-vocab-gpt-2"])
+def test_incremental_decoder_matches_full_decode(stem):
+    """Streamed pieces concatenate to the non-streamed decode, including
+    multi-byte UTF-8 split across tokens and SPM space prefixes."""
+    from zllm.tokenizer import IncrementalDecoder
+
+    f = read_gguf(os.path.join(REF_MODELS, stem + ".gguf"))
+    tok = Tokenizer.from_gguf(f)
+    for text in ["Hello world, how are you?", "日本語のテキスト🚀 emoji", "  leading spaces", "a\nb\tc"]:
+        ids = tok.encode(text, add_special=False)
+        inc = IncrementalDecoder(tok)
+        streamed = "".join([inc.push(t) for t in ids]) + inc.flush()
+        assert streamed == tok.decode(ids), (stem, text)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MODELS), reason="reference models not available")
+def test_incremental_decoder_buffers_utf8_tail():
+    """A multi-byte char whose bytes arrive over several byte-level tokens
+    must not stream as U+FFFD replacement chars."""
+    from zllm.tokenizer import IncrementalDecoder
+
+    f = read_gguf(os.path.join(REF_MODELS, "ggml-vocab-gpt-2.gguf"))
+    tok = Tokenizer.from_gguf(f)
+    ids = tok.encode("🚀", add_special=False)
+    assert len(ids) > 1  # the emoji spans several byte-level BPE tokens
+    inc = IncrementalDecoder(tok)
+    pieces = [inc.push(t) for t in ids]
+    assert "�" not in "".join(pieces)
+    assert "".join(pieces) + inc.flush() == "🚀"

@@ -17,6 +17,15 @@ _lib = None
 _tried = False
 
 
+def _src_hash(src: str) -> str:
+    import hashlib
+
+    if not os.path.exists(src):
+        return ""
+    with open(src, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
 def _build() -> bool:
     try:
         subprocess.run(["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120)
@@ -32,11 +41,20 @@ def get_lib():
         return _lib
     _tried = True
     src = os.path.join(_DIR, "repack.cpp")
-    if not os.path.exists(_SO) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO)
-    ):
+    # rebuild whenever the source hash differs from the one the library was
+    # built from (mtimes are arbitrary after checkout; the .so is never
+    # committed, so what runs is always compiled from the reviewed source)
+    stamp = _SO + ".srchash"
+    cur = _src_hash(src)
+    built = None
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            built = fh.read().strip()
+    if not os.path.exists(_SO) or built != cur:
         if not _build():
             return None
+        with open(stamp, "w") as fh:
+            fh.write(cur)
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -75,15 +75,20 @@ def _rope_freqs(p: RopeParams) -> tuple[jax.Array, float]:
     elif p.scaling == "yarn":
         import math
 
-        # YaRN (reference kernel: ggml rope ext with yarn corr dims)
+        # YaRN (reference: ggml rope_yarn + ggml_rope_yarn_corr_dims in
+        # ggml/src/ggml-cpu/ops.cpp): pair indices below `lo` keep the
+        # original frequency (extrapolation — the high-frequency dims),
+        # indices above `hi` are fully interpolated (divided by
+        # scale_factor), with a linear ramp between.  corr_dim returns the
+        # pair index whose wavelength completes n_rot rotations over the
+        # original context.
         def corr_dim(n_rot):
             return p.dim * math.log(p.orig_ctx / (n_rot * 2 * math.pi)) / (2 * math.log(p.base))
 
         lo = max(0.0, math.floor(corr_dim(p.beta_fast)))
         hi = min(p.dim - 1.0, math.ceil(corr_dim(p.beta_slow)))
-        ramp = jnp.clip((jnp.arange(half, dtype=jnp.float32) - lo / 2) / max((hi - lo) / 2, 0.001), 0, 1)
-        ramp_mix = (1 - ramp)  # 1 -> interpolate (divide), 0 -> keep
-        inv_freq = inv_freq * ((1 - ramp_mix) + ramp_mix / p.scale_factor)
+        ramp = jnp.clip((jnp.arange(half, dtype=jnp.float32) - lo) / max(hi - lo, 0.001), 0.0, 1.0)
+        inv_freq = inv_freq * (ramp / p.scale_factor + (1.0 - ramp))
         mscale = p.attn_factor * (1.0 + 0.1 * math.log(p.scale_factor)) if p.scale_factor > 1 else p.attn_factor
     return inv_freq, mscale
 

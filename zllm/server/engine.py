@@ -83,8 +83,16 @@ class Engine:
         self.prefill_chunk = prefill_chunk
         cfg = model.cfg
         kv_dtype = kv_dtype or jnp.bfloat16
-        # +1 trash slot at position == max_len (never attendable)
-        self.kv = KVCache.create(cfg.n_layers, n_slots, max_len + 1, cfg.n_kv_heads, cfg.head_dim, kv_dtype)
+        # trash region [max_len, max_len + prefill_chunk) past the
+        # attendable horizon: inactive rows during a chunked prefill write
+        # their dummy K/V at position max_len, and because the dynamic-
+        # update-slice start clamps to S - T = max_len, a [T]-token trash
+        # write stays entirely inside the region — it can never overwrite a
+        # live slot of a stalled GENERATING row (attendable slots are
+        # strictly < max_len)
+        self.kv = KVCache.create(
+            cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
+        )
 
         @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
         def _step(params, tokens, positions, kv, logits_for="last"):

@@ -211,6 +211,11 @@ class ZllmServer:
                 if isinstance(text, list):
                     text = "".join(text)
                 ids = tok.encode(text, add_special=True, parse_special=True)
+                # chat templates that render their own BOS (llama3's
+                # <|begin_of_text|>) would otherwise double it — the case
+                # the reference explicitly warns about
+                if len(ids) >= 2 and ids[0] == tok.bos_id and ids[1] == tok.bos_id:
+                    ids = ids[1:]
                 req = server._make_request(body, ids)
                 stream = bool(body.get("stream", False))
                 server.engine.submit(req)
@@ -227,12 +232,17 @@ class ZllmServer:
                     def chunked(data: bytes):
                         self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
+                    from ..tokenizer import IncrementalDecoder
+
+                    inc = IncrementalDecoder(tok)
                     sent = 0
-                    while True:
+                    done = False
+                    while not done:
                         t = req.stream_q.get()
-                        if t is None:
-                            break
-                        piece = tok.decode(req.out_tokens)[sent:] if False else tok.decode([t], skip_special=True)
+                        done = t is None
+                        piece = inc.flush() if done else inc.push(t)
+                        if not piece:
+                            continue
                         if chat:
                             delta = {"role": "assistant", "content": piece} if sent == 0 else {"content": piece}
                             payload = {"id": oid, "object": "chat.completion.chunk", "created": created,

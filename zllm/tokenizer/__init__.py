@@ -88,3 +88,59 @@ class Tokenizer:
     @property
     def eos_id(self) -> int:
         return self.vocab.eos_id
+
+
+def _utf8_complete_prefix_len(b: bytes) -> int:
+    """Length of the longest prefix of `b` that ends on a complete UTF-8
+    sequence (the tail of an in-flight multi-byte char is held back)."""
+    n = len(b)
+    i = n
+    while i > 0 and n - i < 4 and (b[i - 1] & 0xC0) == 0x80:
+        i -= 1
+    if i == 0:
+        return n if n >= 4 else 0  # orphan continuations: emit as-is
+    lead = b[i - 1]
+    if lead < 0x80:
+        return n
+    if lead < 0xC0:
+        return n  # invalid lead; emit (decodes to U+FFFD either way)
+    need = 2 if lead < 0xE0 else 3 if lead < 0xF0 else 4
+    return n if n - (i - 1) >= need else i - 1
+
+
+class IncrementalDecoder:
+    """Streaming detokenizer: per-token UTF-8-safe text deltas.
+
+    The reference server accumulates a running string and emits diffs so
+    multi-byte chars split across tokens never stream as U+FFFD
+    (tools/server/server-context.cpp incremental piece emission).  This is
+    the byte-buffer formulation: pieces accumulate in a byte buffer and
+    only the longest complete-UTF-8 prefix is released; the SPM space
+    prefix is stripped once, at the very first piece.
+    """
+
+    def __init__(self, tok: Tokenizer, skip_special: bool = True):
+        self.tok = tok
+        self.skip_special = skip_special
+        self._buf = b""
+        self._first = True
+
+    def push(self, tid: int) -> str:
+        tid = int(tid)
+        if self.skip_special and self.tok.vocab.types[tid] == TokenType.CONTROL:
+            return ""
+        piece = self.tok.inner.decode_piece(tid)
+        if self._first:
+            v = self.tok.vocab
+            if v.model == "llama" and v.add_space_prefix and piece.startswith(b" "):
+                piece = piece[1:]
+            self._first = False
+        self._buf += piece
+        cut = _utf8_complete_prefix_len(self._buf)
+        out, self._buf = self._buf[:cut], self._buf[cut:]
+        return out.decode("utf-8", errors="replace")
+
+    def flush(self) -> str:
+        out = self._buf.decode("utf-8", errors="replace") if self._buf else ""
+        self._buf = b""
+        return out
