@@ -69,3 +69,40 @@ def test_kernel_exact_scales():
     got = np.asarray(qmm.qmatmul(jnp.asarray(x), qt, interpret=True))
     ref = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)))
     assert nmse(got, ref) < 5e-5
+
+
+@pytest.mark.parametrize("fmt", [f for f in FORMATS if f in qmm._INT_FMT], ids=lambda t: t.name)
+def test_w4a8_matches_bf16_path(fmt):
+    """The int8-MXU decode path vs the bf16 dequant path vs f32 reference
+    (reference analogue: mmvq.cu int8 GEMV == dequant matmul)."""
+    import jax.numpy as jnp
+
+    k, n = 512, 256
+    w = RNG.standard_normal((n, k)).astype(np.float32)
+    qt = rp.repack(qb.quantize(w, fmt), (n, k), fmt)
+    x = RNG.standard_normal((1, k)).astype(np.float32)
+    ref = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)))
+    got = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
+    assert got.shape == (1, n)
+    assert nmse(got, ref) < 2e-4, f"{fmt.name}: nmse {nmse(got, ref)}"
+
+
+def test_w4a8_integer_products_exact():
+    """With activations already on the int8 grid and unit scales, the int
+    path must be exact (validates the block-diagonal MXU formulation)."""
+    import jax.numpy as jnp
+
+    k, n = 512, 128
+    # weights whose dequant is integer-valued: Q8_0 with d=1 blocks
+    q = RNG.integers(-100, 100, (n, k)).astype(np.int8)
+    import zllm.quant.blocks as qbl
+    w = q.astype(np.float32)
+    qt = rp.repack(qbl.quantize(w, GGMLType.Q8_0), (n, k), GGMLType.Q8_0)
+    # activations exactly representable on the int8 grid: integer values
+    # with every group-32 max pinned to 127 so dx == 1.0
+    x = RNG.integers(-126, 127, (1, k)).astype(np.float32)
+    x[0, ::32] = 127.0
+    ref = x @ np.asarray(qt.dequant(jnp.float32))
+    got = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
+    # integer partial products are exact; only f32 summation order differs
+    np.testing.assert_allclose(got, ref, rtol=3e-5)

@@ -14,7 +14,10 @@ RNG = np.random.default_rng(7)
 # K-quants fuse the two-level scales into fp16 planes at repack (d*sc and
 # dmin*mn rounded to fp16): up to 2^-11 relative deviation from the exact
 # block decode, far below the quantization noise itself
-FUSED_SCALE = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_XS}
+FUSED_SCALE = {
+    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+    GGMLType.Q6_K, GGMLType.IQ4_XS,
+}
 
 
 @pytest.mark.parametrize("fmt", sorted(rp.REPACK_FORMATS, key=int), ids=lambda t: t.name)

@@ -32,10 +32,15 @@ from ..quant.repack import QTensor
 # plane name order per format (matches QTensor.tree_flatten's sorted keys)
 _PLANE_ORDER = {
     GGMLType.Q4_0: ("qs", "d"),
+    GGMLType.Q4_1: ("qs", "a", "b"),
+    GGMLType.Q5_0: ("qs", "qh", "a"),
+    GGMLType.Q5_1: ("qs", "qh", "a", "b"),
     GGMLType.Q8_0: ("qs", "d"),
     GGMLType.MXFP4: ("qs", "e"),
     GGMLType.IQ4_NL: ("qs", "d"),
     GGMLType.IQ4_XS: ("qs", "a"),
+    GGMLType.Q2_K: ("qs", "a", "b"),
+    GGMLType.Q3_K: ("qs", "qh", "a"),
     GGMLType.Q4_K: ("qs", "a", "b"),
     GGMLType.Q5_K: ("qs", "qh", "a", "b"),
     GGMLType.Q6_K: ("ql", "qh", "a"),
@@ -58,6 +63,10 @@ def _plane_kdiv(fmt: GGMLType, name: str) -> int:
         return 1
     if fmt == GGMLType.Q6_K:
         return {"ql": 2, "qh": 4, "a": 16}[name]
+    if fmt == GGMLType.Q2_K:
+        return {"qs": 4, "a": 16, "b": 16}[name]
+    if fmt == GGMLType.Q3_K:
+        return {"qs": 4, "qh": 8, "a": 16}[name]
     return _PLANE_KDIV[name]
 
 
@@ -172,6 +181,35 @@ def _dequant_tile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
         q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
         a = _gexpand(_load_f16(planes["a"]), 16, tk, tn)
         return q * a
+    if fmt == GGMLType.Q4_1:
+        q = _unpack_nib(planes["qs"], fold).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        b = _gexpand(_load_f16(planes["b"]), 32, tk, tn)
+        return q * a - b
+    if fmt == GGMLType.Q5_0:
+        lo = _unpack_nib(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        q = ((lo | (_q5k_bits(qh, tk, tn) << 4)) - 16).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        return q * a
+    if fmt == GGMLType.Q5_1:
+        lo = _unpack_nib(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        q = (lo | (_q5k_bits(qh, tk, tn) << 4)).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        b = _gexpand(_load_f16(planes["b"]), 32, tk, tn)
+        return q * a - b
+    if fmt == GGMLType.Q2_K:
+        q = _unpack_crumb(planes["qs"], fold).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 16, tk, tn)
+        b = _gexpand(_load_f16(planes["b"]), 16, tk, tn)
+        return q * a - b
+    if fmt == GGMLType.Q3_K:
+        lo = _unpack_crumb(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        q = ((lo | (_q5k_bits(qh, tk, tn) << 2)) - 4).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 16, tk, tn)
+        return q * a
     raise NotImplementedError(fmt.name)
 
 
@@ -180,6 +218,230 @@ def _q5k_bits(qh, tk, tn):
     int32[TK, TN].  Interleaved layout needs a stack+reshape relayout."""
     parts = jnp.stack([((qh >> i) & 1) for i in range(8)], axis=1)  # [TK//8, 8, TN]
     return parts.reshape(tk, tn)
+
+
+# ---------------------------------------------------------------------------
+# int8-MXU W4A8 decode path
+# ---------------------------------------------------------------------------
+# The reference computes decode GEMV as int8 dot products against on-the-
+# fly-quantized activations (block_q8_2, ggml-cpu/repack.h:90-103; CUDA
+# mmvq.cu quantize_row_q8_1).  Same formulation here, mapped to the MXU:
+# with w[k,n] = q[k,n]*a[g,n] - b[g,n] (g = k//GROUP) and x[k] ~ dx[g]*
+# xq[k] (per-group int8), the matvec becomes
+#
+#   y[n] = sum_g dx[g]*a[g,n]*Pi[g,n] - sum_g b[g,n]*e[g]
+#   Pi[g,n] = sum_{k in g} xq[k]*q[k,n]      (int8 x int8 -> int32, MXU)
+#   e[g]   = dx[g] * sum_{k in g} xq[k]
+#
+# Pi for all groups of a k-tile is ONE dense MXU matmul X @ q where
+# X[gt, TK] is the block-diagonal spread of xq (X[g,k] = xq[k] iff
+# k//GROUP == g) — 32x more MXU MACs than the plain matvec but the MXU has
+# orders of magnitude of headroom at M=1; in exchange the per-element VPU
+# work drops from ~7 f32 passes (dequant-to-bf16) to the integer nibble
+# unpack alone, and the scale math runs at [G, N] granularity (32x fewer
+# elements).  This keeps decode at the quantized HBM byte-rate.
+
+# per-format int path config: GROUP size, scale plane, optional min plane
+_INT_FMT = {
+    GGMLType.Q4_0: (32, "d", None),
+    GGMLType.Q4_1: (32, "a", "b"),
+    GGMLType.Q5_0: (32, "a", None),
+    GGMLType.Q5_1: (32, "a", "b"),
+    GGMLType.Q8_0: (32, "d", None),
+    GGMLType.MXFP4: (32, "e", None),
+    GGMLType.IQ4_NL: (32, "d", None),
+    GGMLType.IQ4_XS: (32, "a", None),
+    GGMLType.Q2_K: (16, "a", "b"),
+    GGMLType.Q3_K: (16, "a", None),
+    GGMLType.Q4_K: (32, "a", "b"),
+    GGMLType.Q5_K: (32, "a", "b"),
+    GGMLType.Q6_K: (16, "a", None),
+}
+
+
+def _int_qtile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
+    """[TK, TN] int8 integer codes (offset applied where the format has a
+    constant bias; K-quants with separate mins keep q unsigned)."""
+    if fmt == GGMLType.Q4_0:
+        return (_unpack_nib(planes["qs"], fold) - 8).astype(jnp.int8)
+    if fmt == GGMLType.Q8_0:
+        return planes["qs"][...]
+    if fmt in (GGMLType.Q4_K, GGMLType.Q4_1):
+        return _unpack_nib(planes["qs"], fold).astype(jnp.int8)
+    if fmt == GGMLType.Q5_0:
+        lo = _unpack_nib(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        return ((lo | (_q5k_bits(qh, tk, tn) << 4)) - 16).astype(jnp.int8)
+    if fmt == GGMLType.Q5_1:
+        lo = _unpack_nib(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        return (lo | (_q5k_bits(qh, tk, tn) << 4)).astype(jnp.int8)
+    if fmt == GGMLType.Q2_K:
+        return _unpack_crumb(planes["qs"], fold).astype(jnp.int8)
+    if fmt == GGMLType.Q3_K:
+        lo = _unpack_crumb(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        return ((lo | (_q5k_bits(qh, tk, tn) << 2)) - 4).astype(jnp.int8)
+    if fmt == GGMLType.Q5_K:
+        lo = _unpack_nib(planes["qs"], fold)
+        qh = planes["qh"].astype(jnp.int32)
+        return (lo | (_q5k_bits(qh, tk, tn) << 4)).astype(jnp.int8)
+    if fmt == GGMLType.Q6_K:
+        lo = _unpack_nib(planes["ql"], fold)
+        hi = _unpack_crumb(planes["qh"], fold)
+        return ((lo | (hi << 4)) - 32).astype(jnp.int8)
+    if fmt == GGMLType.MXFP4:
+        idx = _unpack_nib(planes["qs"], fold)
+        t = idx & 0x7
+        m = t & 1
+        e = jnp.maximum((t >> 1) - 1, 0)
+        big = (2 + m) << e  # t>=2: 2,3,4,6,8,12
+        mag = jnp.where(t < 2, t, big)
+        return jnp.where((idx & 0x8) != 0, -mag, mag).astype(jnp.int8)
+    if fmt in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+        idx = _unpack_nib(planes["qs"], fold)
+        vals = qb.IQ4NL_VALUES.astype(np.int32)  # already int8-range ints
+        out = jnp.full(idx.shape, int(vals[0]), jnp.int32)
+        for i in range(1, 16):
+            out = jnp.where(idx == i, int(vals[i]), out)
+        return out.astype(jnp.int8)
+    raise NotImplementedError(fmt.name)
+
+
+def _int_scale_f32(fmt: GGMLType, planes: dict):
+    """The [G_t, TN] f32 per-group scale for the int path."""
+    if fmt == GGMLType.MXFP4:
+        e = planes["e"].astype(jnp.int32).astype(jnp.float32)
+        return jnp.exp2(e - 128.0)
+    name = _INT_FMT[fmt][1]
+    return _load_f16(planes[name])
+
+
+def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, xq_ref, dx_ref, *refs):
+    out_ref = refs[-1]
+    if has_b:
+        e_ref, plane_refs = refs[0], refs[1:-1]
+    else:
+        e_ref, plane_refs = None, refs[:-1]
+    names = _PLANE_ORDER[fmt]
+    j = pl.program_id(1)
+    planes = {}
+    for nm, r, srows in zip(names, plane_refs, slice_rows):
+        planes[nm] = r[:] if srows is None else r[pl.ds(j * srows, srows), :]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    gt = tk // group
+    qi = _int_qtile(fmt, fold, tk, tn, planes)  # int8 [TK, TN]
+    # block-diagonal X in the i32 domain (Mosaic can't relayout an i1 mask
+    # onto int8's (32,128) tiling; an i32 multiply + convert lowers fine)
+    xq32 = xq_ref[:].astype(jnp.int32)  # [1, TK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
+    ind = (rows == gid).astype(jnp.int32)
+    x_bd = (jnp.broadcast_to(xq32, (gt, tk)) * ind).astype(jnp.int8)
+    pi = jax.lax.dot_general(
+        x_bd, qi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [gt, TN]
+    a = _int_scale_f32(fmt, planes)
+    contrib = pi.astype(jnp.float32) * a * dx_ref[:, :1]
+    if has_b:
+        contrib = contrib - _load_f16(planes["b"]) * e_ref[:, :1]
+    out_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
+def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+    import os as _os
+
+    group, _, bname = _INT_FMT[fmt]
+    tk = fold
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+    if mult > 1 and k % (fold * mult) == 0:
+        tk = fold * mult
+    gt = tk // group
+    names = _PLANE_ORDER[fmt]
+    grid = (n // tn, k // tk)
+    has_b = bname is not None
+
+    in_specs = [
+        pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),  # xq
+        pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),  # dx
+    ]
+    args = [xq, dx]
+    if has_b:
+        in_specs.append(pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM))
+        args.append(e)
+    slice_rows = []
+    for nm in names:
+        kdiv = _plane_kdiv(fmt, nm)
+        rows = tk // kdiv
+        if rows % 8 == 0:
+            in_specs.append(
+                pl.BlockSpec((rows, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+            )
+            slice_rows.append(None)
+        else:
+            in_specs.append(
+                pl.BlockSpec((k // kdiv, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            )
+            slice_rows.append(rows)
+    args.extend(planes_tuple)
+
+    kernel = functools.partial(_w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows))
+    qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (tk // group) * k * n, bytes_accessed=qbytes + 4 * n, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _quant_acts(x: jax.Array, group: int):
+    """Per-group symmetric int8 activation quantization (the analogue of
+    the reference's quantize_row_q8_0/q8_2).  x: [1, K] -> (xq int8 [1,K],
+    dx f32 [G,128] lane-replicated, e = dx*sum(xq) f32 [G,128])."""
+    m, k = x.shape
+    g = x.astype(jnp.float32).reshape(m, k // group, group)
+    dx = jnp.max(jnp.abs(g), axis=-1) / 127.0
+    dx = jnp.maximum(dx, 1e-12)
+    xq = jnp.clip(jnp.round(g / dx[..., None]), -127, 127).astype(jnp.int8)
+    sq = jnp.sum(xq.astype(jnp.int32), axis=-1).astype(jnp.float32)
+    e = dx * sq
+    gdim = k // group
+    dxb = jnp.broadcast_to(dx[0][:, None], (gdim, 128))
+    eb = jnp.broadcast_to(e[0][:, None], (gdim, 128))
+    return xq.reshape(m, k), dxb, eb
+
+
+def supports_w4a8(qt: QTensor, m: int) -> bool:
+    return m == 1 and qt.fmt in _INT_FMT and supports(qt)
+
+
+def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
+    """Decode-shaped (M=1) fused quantized matvec on the int8 MXU path."""
+    import os
+
+    k, n = local_shape(qt)
+    group = _INT_FMT[qt.fmt][0]
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "512"))
+    tn = next((t for t in (tn_pref, 512, 256, 128) if n % t == 0), 128)
+    xq, dx, e = _quant_acts(x, group)
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    return _qmm_w4a8_call(
+        xq, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -292,8 +554,11 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     """
     if not supports(qt):
         return (x @ qt.dequant(x.dtype)).astype(jnp.float32)
-    k, n = local_shape(qt)
     import os
+
+    if supports_w4a8(qt, x.shape[0]) and os.environ.get("ZLLM_QMM_W4A8", "1") == "1":
+        return qmatmul_w4a8(x, qt, interpret=interpret)
+    k, n = local_shape(qt)
 
     # TN=512 measured ~17% faster full-model decode than 256 (fewer grid
     # steps); narrow-dtype (u8/bf16) dequant is blocked on Mosaic's missing

@@ -34,7 +34,12 @@ from . import blocks as qb
 # formats the quantized execution path understands natively
 REPACK_FORMATS = {
     GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
     GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
@@ -227,6 +232,143 @@ def _rp_q8_0(raw, n, k, fold):
 def _dq_q8_0(p, shape, dtype, fold):
     d = _group_repeat(p["d"].astype(jnp.float32), 32)
     return (p["qs"].astype(jnp.float32) * d).astype(dtype)
+
+
+def _bitplane_k(bits_nk: np.ndarray, k: int, n: int) -> np.ndarray:
+    """per-element 0/1 bits [N, K] -> packed bit-plane uint8[K//8, N]
+    (bit i of byte r holds k = 8r + i; expanded in-kernel by _q5k_bits)."""
+    return np.packbits(
+        bits_nk.T.astype(np.uint8).reshape(k // 8, 8, n), axis=1, bitorder="little"
+    ).reshape(k // 8, n)
+
+
+def _jnp_bitplane(qh, xp=jnp):
+    """uint8[K//8, N] bit-plane -> int32[K, N]."""
+    parts = xp.stack([((qh.astype(xp.int32) >> i) & 1) for i in range(8)], axis=1)
+    return parts.reshape(qh.shape[0] * 8, qh.shape[1])
+
+
+@_repack_fmt(GGMLType.Q4_1)
+def _rp_q4_1(raw, n, k, fold):
+    b = raw.reshape(-1, 20)
+    d = b[:, :2].view("<f2").astype(np.float32)
+    m = b[:, 2:4].view("<f2").astype(np.float32)
+    q = qb._nib_lo_hi(b[:, 4:], 16).reshape(n, k)
+    # uniform kernel contract w = q*a - b  ->  b = -m
+    a = d.astype("<f2").reshape(n, k // 32)
+    bb = (-m).astype("<f2").reshape(n, k // 32)
+    return {
+        "qs": _pack_nibbles_k(q.T.astype(np.uint8), fold),
+        "a": np.ascontiguousarray(a.T),
+        "b": np.ascontiguousarray(bb.T),
+    }
+
+
+@_dequant_fmt(GGMLType.Q4_1)
+def _dq_q4_1(p, shape, dtype, fold):
+    q = _unpack_nibbles_k(p["qs"], fold).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    return (q * a - b).astype(dtype)
+
+
+@_repack_fmt(GGMLType.Q5_0)
+def _rp_q5_0(raw, n, k, fold):
+    b = raw.reshape(-1, 22)
+    d = b[:, :2].view("<f2")
+    lo = qb._nib_lo_hi(b[:, 6:], 16)
+    hi = qb._qh_bits32(b[:, 2:6])
+    return {
+        "qs": _pack_nibbles_k(lo.reshape(n, k).T.astype(np.uint8), fold),
+        "qh": _bitplane_k(hi.reshape(n, k), k, n),
+        "a": np.ascontiguousarray(d.astype("<f2").reshape(n, k // 32).T),
+    }
+
+
+@_dequant_fmt(GGMLType.Q5_0)
+def _dq_q5_0(p, shape, dtype, fold):
+    lo = _unpack_nibbles_k(p["qs"], fold)
+    q = (lo | (_jnp_bitplane(p["qh"]) << 4)).astype(jnp.float32) - 16.0
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    return (q * a).astype(dtype)
+
+
+@_repack_fmt(GGMLType.Q5_1)
+def _rp_q5_1(raw, n, k, fold):
+    b = raw.reshape(-1, 24)
+    d = b[:, :2].view("<f2").astype(np.float32)
+    m = b[:, 2:4].view("<f2").astype(np.float32)
+    lo = qb._nib_lo_hi(b[:, 8:], 16)
+    hi = qb._qh_bits32(b[:, 4:8])
+    return {
+        "qs": _pack_nibbles_k(lo.reshape(n, k).T.astype(np.uint8), fold),
+        "qh": _bitplane_k(hi.reshape(n, k), k, n),
+        "a": np.ascontiguousarray(d.astype("<f2").reshape(n, k // 32).T),
+        "b": np.ascontiguousarray((-m).astype("<f2").reshape(n, k // 32).T),
+    }
+
+
+@_dequant_fmt(GGMLType.Q5_1)
+def _dq_q5_1(p, shape, dtype, fold):
+    lo = _unpack_nibbles_k(p["qs"], fold)
+    q = (lo | (_jnp_bitplane(p["qh"]) << 4)).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    return (q * a - b).astype(dtype)
+
+
+@_repack_fmt(GGMLType.Q2_K)
+def _rp_q2_k(raw, n, k, fold):
+    b = raw.reshape(-1, 84)
+    scales, qs = b[:, :16], b[:, 16:80]
+    d = b[:, 80:82].view("<f2").astype(np.float32)
+    dmin = b[:, 82:84].view("<f2").astype(np.float32)
+    a = (d * (scales & 0x0F)).astype("<f2").reshape(n, k // 16)
+    bb = (dmin * (scales >> 4)).astype("<f2").reshape(n, k // 16)
+    q = np.concatenate(
+        [qb._bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).reshape(n, k)
+    return {
+        "qs": _pack_crumbs_k(q.T.astype(np.uint8), fold),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//16, N] = d*sc
+        "b": np.ascontiguousarray(bb.T),  # fp16 [K//16, N] = dmin*mn
+    }
+
+
+@_dequant_fmt(GGMLType.Q2_K)
+def _dq_q2_k(p, shape, dtype, fold):
+    q = _unpack_crumbs_k(p["qs"], fold).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    b = _group_repeat(p["b"].astype(jnp.float32), 16)
+    return (q * a - b).astype(dtype)
+
+
+@_repack_fmt(GGMLType.Q3_K)
+def _rp_q3_k(raw, n, k, fold):
+    b = raw.reshape(-1, 110)
+    hmask, qs, sb = b[:, :32], b[:, 32:96], b[:, 96:108]
+    d = b[:, 108:110].view("<f2").astype(np.float32)
+    lo6 = np.concatenate([sb[:, :8] & 0x0F, sb[:, :8] >> 4], axis=1)
+    hi6 = qb._bits_unpack(sb[:, 8:12], 2, 4)
+    scales = ((lo6 | (hi6 << np.uint8(4))).astype(np.int8) - np.int8(32)).astype(np.float32)
+    a = (d * scales).astype("<f2").reshape(n, k // 16)
+    ql = np.concatenate(
+        [qb._bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).reshape(n, k)
+    hb = qb._bits_unpack(hmask, 1, 32).reshape(n, k)  # 1 -> no -4 offset
+    return {
+        "qs": _pack_crumbs_k(ql.T.astype(np.uint8), fold),
+        "qh": _bitplane_k(hb, k, n),
+        "a": np.ascontiguousarray(a.T),  # fp16 [K//16, N] = d*sc (signed)
+    }
+
+
+@_dequant_fmt(GGMLType.Q3_K)
+def _dq_q3_k(p, shape, dtype, fold):
+    lo = _unpack_crumbs_k(p["qs"], fold)
+    q = ((lo | (_jnp_bitplane(p["qh"]) << 2)) - 4).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    return (q * a).astype(dtype)
 
 
 @_repack_fmt(GGMLType.MXFP4)

@@ -68,13 +68,22 @@ class KVCache:
         vt = v_new.transpose(0, 2, 1, 3).astype(self.v[il].dtype)
         pos0 = positions[:, 0]
 
-        def upd(cache_row, new_row, p):  # [H, S, D], [H, T, D]
-            return jax.lax.dynamic_update_slice(cache_row, new_row, (0, p, 0))
-
         k = list(self.k)
         v = list(self.v)
-        k[il] = jax.vmap(upd)(self.k[il], kt, pos0)
-        v[il] = jax.vmap(upd)(self.v[il], vt, pos0)
+        if kt.shape[0] == 1:
+            # single-row fast path: a plain dynamic_update_slice with a
+            # scalar start.  The vmap'd form below lowers to a scatter,
+            # which XLA cannot alias in-place inside a scan/while carry —
+            # it copied the whole cache per decode step (measured 69 MB/
+            # step on TinyLlama); the scalar DUS aliases cleanly.
+            k[il] = jax.lax.dynamic_update_slice(self.k[il], kt, (0, 0, pos0[0], 0))
+            v[il] = jax.lax.dynamic_update_slice(self.v[il], vt, (0, 0, pos0[0], 0))
+        else:
+            def upd(cache_row, new_row, p):  # [H, S, D], [H, T, D]
+                return jax.lax.dynamic_update_slice(cache_row, new_row, (0, p, 0))
+
+            k[il] = jax.vmap(upd)(self.k[il], kt, pos0)
+            v[il] = jax.vmap(upd)(self.v[il], vt, pos0)
         return KVCache(k=tuple(k), v=tuple(v))
 
     def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
@@ -204,6 +213,42 @@ def shift_context(kv: KVCache, rope_params, n_keep: int, n_discard: int) -> KVCa
     ks, vs = [], []
     for il in range(len(kv.k)):
         k2, v2 = one_layer(kv.k[il], kv.v[il])
+        ks.append(k2)
+        vs.append(v2)
+    return KVCache(k=tuple(ks), v=tuple(vs))
+
+
+def shift_context_row(kv: KVCache, rope_params, row: int, n_keep: int, n_discard: int, horizon: int | None = None) -> KVCache:
+    """Per-row context shift for the serving engine (reference: server
+    context-shift, tools/server/server-context.cpp:1981-2010, which calls
+    llama_memory_seq_add on one sequence): within batch row `row`, drop
+    `n_discard` slots after the first `n_keep`, slide [n_keep+n_discard,
+    horizon) down, and re-rotate the moved K by -n_discard positions.
+    `horizon` bounds the live region (slots >= horizon — the engine's
+    trash region — are preserved untouched)."""
+    from ..ops.layers import apply_rope
+
+    s_total = kv.max_len
+    hz = s_total if horizon is None else horizon
+
+    def one(k, v):  # [B, H, S, D] each
+        rk, rv = k[row], v[row]  # [H, S, D]
+        mk = rk[:, n_keep + n_discard : hz, :].transpose(1, 0, 2)[None]  # [1, T, H, D]
+        delta = jnp.full((1, mk.shape[1]), -n_discard, jnp.int32)
+        mk = apply_rope(mk, delta, rope_params)[0].transpose(1, 0, 2)
+        zk = jnp.zeros_like(rk[:, :n_discard, :])
+        parts_k = [rk[:, :n_keep, :], mk, zk]
+        parts_v = [rv[:, :n_keep, :], rv[:, n_keep + n_discard : hz, :], zk]
+        if hz < s_total:
+            parts_k.append(rk[:, hz:, :])
+            parts_v.append(rv[:, hz:, :])
+        return k.at[row].set(jnp.concatenate(parts_k, axis=1)), v.at[row].set(
+            jnp.concatenate(parts_v, axis=1)
+        )
+
+    ks, vs = [], []
+    for il in range(len(kv.k)):
+        k2, v2 = one(kv.k[il], kv.v[il])
         ks.append(k2)
         vs.append(v2)
     return KVCache(k=tuple(ks), v=tuple(vs))

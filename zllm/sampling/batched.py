@@ -1,0 +1,182 @@
+"""Batched on-device sampler chain for the serving engine.
+
+One jitted call samples every slot's next token with per-slot parameters
+(struct-of-arrays), replacing a host-side per-slot numpy loop.  The chain
+order and semantics follow the reference's common/sampling.cpp defaults:
+penalties -> top-k -> typical -> top-p -> min-p -> top-n-sigma -> xtc ->
+temperature -> categorical (temp <= 0 degenerates to greedy, reference
+behavior).  Per-slot RNG keys keep per-request seeds reproducible under
+continuous batching.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@dataclass
+class SlotParams:
+    """Host-side per-slot sampling parameters (numpy struct-of-arrays)."""
+
+    n: int
+    temp: np.ndarray = field(default=None)
+    top_k: np.ndarray = field(default=None)
+    top_p: np.ndarray = field(default=None)
+    min_p: np.ndarray = field(default=None)
+    typical_p: np.ndarray = field(default=None)
+    top_n_sigma: np.ndarray = field(default=None)
+    xtc_probability: np.ndarray = field(default=None)
+    xtc_threshold: np.ndarray = field(default=None)
+    repeat_penalty: np.ndarray = field(default=None)
+    freq_penalty: np.ndarray = field(default=None)
+    presence_penalty: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        n = self.n
+        defaults = dict(
+            temp=0.8, top_k=40, top_p=0.95, min_p=0.05, typical_p=1.0,
+            top_n_sigma=0.0, xtc_probability=0.0, xtc_threshold=0.1,
+            repeat_penalty=1.0, freq_penalty=0.0, presence_penalty=0.0,
+        )
+        for k, v in defaults.items():
+            if getattr(self, k) is None:
+                setattr(self, k, np.full((n,), v, np.float32))
+
+    def set_slot(self, i: int, req) -> None:
+        """Copy one request's sampling params into row i."""
+        self.temp[i] = req.temp
+        self.top_k[i] = req.top_k
+        self.top_p[i] = req.top_p
+        self.min_p[i] = req.min_p
+        self.typical_p[i] = getattr(req, "typical_p", 1.0)
+        self.top_n_sigma[i] = getattr(req, "top_n_sigma", 0.0)
+        self.xtc_probability[i] = getattr(req, "xtc_probability", 0.0)
+        self.xtc_threshold[i] = getattr(req, "xtc_threshold", 0.1)
+        self.repeat_penalty[i] = req.repeat_penalty
+        self.freq_penalty[i] = getattr(req, "freq_penalty", 0.0)
+        self.presence_penalty[i] = getattr(req, "presence_penalty", 0.0)
+
+    def arrays(self) -> tuple:
+        return (
+            self.temp, self.top_k, self.top_p, self.min_p, self.typical_p,
+            self.top_n_sigma, self.xtc_probability, self.xtc_threshold,
+            self.repeat_penalty, self.freq_penalty, self.presence_penalty,
+        )
+
+
+def _penalties_b(lg, recent, repeat, freq, presence):
+    """recent: int32 [B, W], -1 = empty."""
+    b, vocab = lg.shape
+    valid = recent >= 0
+    idx = jnp.where(valid, recent, 0)
+    counts = jnp.zeros((b, vocab), jnp.float32)
+    counts = jax.vmap(lambda c, i, v: c.at[i].add(v))(counts, idx, valid.astype(jnp.float32))
+    present = counts > 0
+    rp = repeat[:, None]
+    pen = jnp.where(lg > 0, lg / rp, lg * rp)
+    out = jnp.where(present & (rp != 1.0), pen, lg)
+    out = out - counts * freq[:, None] - present.astype(jnp.float32) * presence[:, None]
+    return out
+
+
+def _top_k_b(lg, k):
+    vocab = lg.shape[-1]
+    srt = jnp.sort(lg, axis=-1)[:, ::-1]  # desc
+    kidx = jnp.clip(k.astype(jnp.int32) - 1, 0, vocab - 1)
+    kth = jnp.take_along_axis(srt, kidx[:, None], axis=-1)
+    return jnp.where((k[:, None] > 0) & (lg < kth), NEG_INF, lg)
+
+
+def _top_p_b(lg, p):
+    srt = jnp.sort(lg, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(srt, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < p[:, None]
+    n_keep = jnp.maximum(jnp.sum(keep, axis=-1), 1)
+    cutoff = jnp.take_along_axis(srt, (n_keep - 1)[:, None], axis=-1)
+    return jnp.where((p[:, None] < 1.0) & (lg < cutoff), NEG_INF, lg)
+
+
+def _min_p_b(lg, p):
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    thr = mx + jnp.log(jnp.maximum(p[:, None], 1e-10))
+    return jnp.where((p[:, None] > 0) & (lg < thr), NEG_INF, lg)
+
+
+def _typical_b(lg, p):
+    probs = jax.nn.softmax(lg, axis=-1)
+    logp = jnp.log(probs + 1e-30)
+    ent = -jnp.sum(probs * logp, axis=-1, keepdims=True)
+    shifted = jnp.abs(-logp - ent)
+    order = jnp.argsort(shifted, axis=-1)
+    sp = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(sp, axis=-1)
+    keep_sorted = cum - sp < p[:, None]
+    n_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1), 1)
+    rank = jnp.argsort(order, axis=-1)
+    masked = jnp.where(rank < n_keep[:, None], lg, NEG_INF)
+    return jnp.where(p[:, None] < 1.0, masked, lg)
+
+
+def _top_n_sigma_b(lg, n):
+    valid = lg > NEG_INF / 2
+    cnt = jnp.sum(valid, axis=-1, keepdims=True)
+    mean = jnp.sum(jnp.where(valid, lg, 0), axis=-1, keepdims=True) / cnt
+    var = jnp.sum(jnp.where(valid, (lg - mean) ** 2, 0), axis=-1, keepdims=True) / cnt
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    thr = mx - n[:, None] * jnp.sqrt(var)
+    return jnp.where((n[:, None] > 0) & (lg < thr), NEG_INF, lg)
+
+
+def _xtc_b(lg, prob, thr, keys):
+    probs = jax.nn.softmax(lg, axis=-1)
+    above = probs > thr[:, None]
+    n_above = jnp.sum(above, axis=-1, keepdims=True)
+    least = jnp.min(jnp.where(above, probs, jnp.inf), axis=-1, keepdims=True)
+    cut = above & (probs > least)
+    masked = jnp.where(cut, NEG_INF, lg)
+    coin = jax.vmap(lambda k: jax.random.uniform(k))(keys)
+    apply = (coin[:, None] < prob[:, None]) & (n_above >= 2)
+    return jnp.where(apply, masked, lg)
+
+
+def _temperature_b(lg, temp):
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    greedy = jnp.where(lg == mx, lg, NEG_INF)
+    return jnp.where(temp[:, None] <= 0, greedy, lg / jnp.maximum(temp[:, None], 1e-6))
+
+
+@jax.jit
+def sample_batch(
+    logits: jax.Array,  # [B, V] f32
+    keys: jax.Array,  # [B, 2] uint32 per-slot PRNG keys
+    recent: jax.Array,  # [B, W] int32 recent tokens (-1 empty)
+    temp, top_k, top_p, min_p, typical_p, top_n_sigma,
+    xtc_probability, xtc_threshold, repeat_penalty, freq_penalty, presence_penalty,
+):
+    """Returns (tokens [B] int32, probs_logits [B, V] post-chain, new_keys)."""
+    lg = logits.astype(jnp.float32)
+    lg = _penalties_b(lg, recent, repeat_penalty, freq_penalty, presence_penalty)
+    lg = _top_k_b(lg, top_k)
+    lg = _typical_b(lg, typical_p)
+    lg = _top_p_b(lg, top_p)
+    lg = _min_p_b(lg, min_p)
+    lg = _top_n_sigma_b(lg, top_n_sigma)
+    split = jax.vmap(jax.random.split)(keys)  # [B, 2, 2]
+    new_keys, sub = split[:, 0], split[:, 1]
+    xtc_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(sub, 1)
+    lg = _xtc_b(lg, xtc_probability, xtc_threshold, xtc_keys)
+    lg = _temperature_b(lg, temp)
+    toks = jax.vmap(jax.random.categorical)(sub, lg).astype(jnp.int32)
+    return toks, lg, new_keys
+
+
+def make_keys(seeds) -> jax.Array:
+    """[B] int seeds -> [B, 2] uint32 PRNG keys."""
+    return jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])

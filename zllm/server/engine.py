@@ -2,15 +2,30 @@
 
 The TPU-native counterpart of the reference server's slot machinery
 (reference: tools/server/server-context.cpp — server_slot states :34-46,
-update_slots batching loop :1947; tools/server/server-queue.cpp task
-queues): a fixed pool of slots shares one KV cache and one jitted decode
-step with static shapes (no recompiles at runtime); an engine thread
-interleaves chunked prefill with whole-batch decode steps and streams
-tokens back through per-request queues.
+update_slots batching loop :1947-2514; tools/server/server-queue.cpp task
+queues): a fixed pool of slots shares one KV cache and jitted step
+functions with static shapes (no recompiles at runtime).
 
-Static-shape strategy: decode always runs [n_slots, 1]; prefill runs one
-slot's chunk at [n_slots, chunk] where inactive rows write to a trash KV
-slot (position = max_len, one past the attendable horizon).
+Design points mirrored from the reference's update_slots:
+  * prompt chunks and generating slots share ONE batch — a decode token
+    rides along in column 0 of a prefill step, so a long prompt never
+    starves concurrent generations (:2078-2514)
+  * prompt-prefix reuse: a new request admitted to the slot whose cached
+    tokens share the longest common prefix skips prefill of that prefix
+    (prompt cache, server-context.cpp:105-121)
+  * context shift: a generating slot that hits the context limit drops
+    the oldest half of its window (keeping n_keep) and re-rotates K
+    in-place rather than failing the request (:1981-2010)
+  * sampling runs as one jitted on-device chain across all slots with
+    per-slot parameters (src/llama-sampling.cpp chain semantics); grammar
+    masking stays host-side like the reference's CPU sampler
+  * the engine loop survives step errors: in-flight requests get a typed
+    error finish, the loop continues (abort-callback analogue,
+    include/llama.h:357-360)
+
+Static-shape strategy: decode runs [n_slots, 1]; mixed prefill+decode
+runs [n_slots, chunk].  Inactive rows write to a trash KV region past the
+attendable horizon (cache length = max_len + chunk).
 """
 
 from __future__ import annotations
@@ -23,6 +38,8 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 import numpy as np
+
+PENALTY_WINDOW = 64
 
 
 class SlotState(Enum):
@@ -40,8 +57,15 @@ class Request:
     top_k: int = 40
     top_p: float = 0.95
     min_p: float = 0.05
+    typical_p: float = 1.0
+    top_n_sigma: float = 0.0
+    xtc_probability: float = 0.0
+    xtc_threshold: float = 0.1
     repeat_penalty: float = 1.0
+    freq_penalty: float = 0.0
+    presence_penalty: float = 0.0
     seed: int = -1
+    n_keep: int = 0  # tokens preserved by context shift
     stop_tokens: frozenset = frozenset()
     stop_strings: tuple = ()
     stream_q: "queue.Queue" = field(default_factory=queue.Queue)
@@ -50,6 +74,8 @@ class Request:
     done: bool = False
     out_tokens: list[int] = field(default_factory=list)
     finish_reason: str = ""
+    error: str = ""
+    n_prompt_reused: int = 0
     t_submit: float = field(default_factory=time.time)
     t_first_token: float = 0.0
     t_done: float = 0.0
@@ -63,12 +89,22 @@ class _Slot:
     pos: int = 0  # next absolute position
     prompt_left: list[int] = field(default_factory=list)
     last_token: int = 0
-    rng: np.random.Generator | None = None
     generated: int = 0
+    # tokens whose K/V currently live in this slot's cache rows [0, pos)
+    cache_tokens: list[int] = field(default_factory=list)
+
+
+def _common_prefix(a: list[int], b: list[int]) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
 
 
 class Engine:
-    def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128, kv_dtype=None):
+    def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
+                 kv_dtype=None, prefix_reuse: bool = True, context_shift: bool = True):
         import functools
 
         import jax
@@ -76,11 +112,14 @@ class Engine:
 
         from ..models.llama import forward
         from ..runtime.kvcache import KVCache
+        from ..sampling.batched import SlotParams
 
         self.model = model
         self.n_slots = n_slots
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
+        self.prefix_reuse = prefix_reuse
+        self.context_shift = context_shift
         cfg = model.cfg
         kv_dtype = kv_dtype or jnp.bfloat16
         # trash region [max_len, max_len + prefill_chunk) past the
@@ -98,19 +137,35 @@ class Engine:
         def _step(params, tokens, positions, kv, logits_for="last"):
             return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
 
+        # device-side per-row logit pick + batched sampler chain
+        from ..sampling import batched as _batched
+
+        @jax.jit
+        def _pick(logits, cols):
+            return jnp.take_along_axis(logits, cols[:, None, None], axis=1)[:, 0]
+
         self._step = _step
+        self._pick = _pick
+        self._sample_batch = _batched.sample_batch
+        self._params = SlotParams(n_slots)
+        self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_slots)])
+        self._recent = np.full((n_slots, PENALTY_WINDOW), -1, np.int32)
         self._jnp = jnp
         self._jax = jax
 
         self.slots = [_Slot(idx=i) for i in range(n_slots)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._control: "queue.Queue" = queue.Queue()  # callables run on the engine thread
         self._stop = False
         self._wake = threading.Event()
         self.metrics = {
             "requests_total": 0,
             "tokens_generated_total": 0,
             "tokens_prefilled_total": 0,
+            "tokens_prefix_reused_total": 0,
             "decode_steps_total": 0,
+            "context_shifts_total": 0,
+            "engine_errors_total": 0,
         }
         self.thread = threading.Thread(target=self._loop, daemon=True, name="zllm-engine")
 
@@ -131,32 +186,122 @@ class Engine:
         self._wake.set()
         return req
 
-    # -- engine loop --------------------------------------------------------
-    def _free_slot(self) -> _Slot | None:
-        for s in self.slots:
-            if s.state == SlotState.IDLE:
-                return s
-        return None
+    def run_in_loop(self, fn):
+        """Execute fn() on the engine thread between steps; returns result
+        (the mechanism behind /slots save-restore — cache mutations must
+        not race the step)."""
+        if not self.thread.is_alive():
+            return fn()
+        done = threading.Event()
+        box = {}
 
+        def wrapper():
+            try:
+                box["result"] = fn()
+            except Exception as e:  # noqa: BLE001
+                box["error"] = e
+            done.set()
+
+        self._control.put(wrapper)
+        self._wake.set()
+        if not done.wait(timeout=120):
+            raise TimeoutError("engine control task timed out")
+        if "error" in box:
+            raise box["error"]
+        return box.get("result")
+
+    def slot_info(self) -> list[dict]:
+        return [
+            {
+                "id": s.idx,
+                "state": s.state.name.lower(),
+                "n_past": s.pos,
+                "n_cached": len(s.cache_tokens),
+                "request": s.req.rid if s.req else None,
+                "generated": s.generated,
+            }
+            for s in self.slots
+        ]
+
+    def save_slot(self, idx: int, path: str):
+        from ..runtime import state as st
+
+        def do():
+            s = self.slots[idx]
+            st.seq_save_file(path, self.model, self.kv, idx, s.pos)
+            return {"id": idx, "n_past": s.pos, "filename": path}
+
+        return self.run_in_loop(do)
+
+    def restore_slot(self, idx: int, path: str, tokens: list[int] | None = None):
+        from ..runtime import state as st
+
+        def do():
+            s = self.slots[idx]
+            if s.state != SlotState.IDLE:
+                raise ValueError(f"slot {idx} is busy")
+            self.kv, n_past = st.seq_load_file(path, self.model, self.kv, idx)
+            s.pos = n_past
+            s.cache_tokens = list(tokens or [])[:n_past]
+            return {"id": idx, "n_past": n_past}
+
+        return self.run_in_loop(do)
+
+    def erase_slot(self, idx: int):
+        def do():
+            s = self.slots[idx]
+            if s.state != SlotState.IDLE:
+                raise ValueError(f"slot {idx} is busy")
+            s.pos = 0
+            s.cache_tokens = []
+            return {"id": idx}
+
+        return self.run_in_loop(do)
+
+    # -- engine loop --------------------------------------------------------
     def _admit(self):
         while True:
-            slot = self._free_slot()
-            if slot is None:
+            idle = [s for s in self.slots if s.state == SlotState.IDLE]
+            if not idle:
                 return
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            # choose the idle slot with the longest reusable prefix
+            # (reference: slot selection by prompt similarity)
+            best, best_n = idle[0], 0
+            if self.prefix_reuse:
+                for s in idle:
+                    ncp = _common_prefix(s.cache_tokens, req.prompt_tokens)
+                    if ncp > best_n:
+                        best, best_n = s, ncp
+            # keep >= 1 token to prefill so the step yields next-token logits
+            n_reuse = min(best_n, len(req.prompt_tokens) - 1)
+            if n_reuse < 16:  # not worth the bookkeeping below this
+                n_reuse = 0
+            slot = best
             slot.req = req
             slot.state = SlotState.PROMPT
-            slot.pos = 0
-            slot.prompt_left = list(req.prompt_tokens)
+            slot.pos = n_reuse
+            slot.cache_tokens = req.prompt_tokens[:n_reuse]
+            slot.prompt_left = list(req.prompt_tokens[n_reuse:])
             slot.generated = 0
-            slot.rng = np.random.default_rng(req.seed if req.seed >= 0 else None)
+            req.n_prompt_reused = n_reuse
+            self.metrics["tokens_prefix_reused_total"] += n_reuse
+            # per-slot sampling params + RNG key + penalty window
+            self._params.set_slot(slot.idx, req)
+            seed = req.seed if req.seed >= 0 else int(time.time_ns() & 0x7FFFFFFF) + slot.idx
+            self._keys = self._keys.at[slot.idx].set(self._jax.random.PRNGKey(seed))
+            hist = req.prompt_tokens[-PENALTY_WINDOW:]
+            self._recent[slot.idx] = -1
+            if hist:
+                self._recent[slot.idx, -len(hist):] = hist
 
-    def _finish(self, slot: _Slot, reason: str):
+    def _finish(self, slot: _Slot, reason: str, error: str = ""):
         req = slot.req
         req.finish_reason = reason
+        req.error = error
         req.done = True
         req.t_done = time.time()
         req.stream_q.put(None)  # sentinel
@@ -164,42 +309,95 @@ class Engine:
         slot.req = None
 
     def _loop(self):
-        jnp = self._jnp
         while not self._stop:
-            self._admit()
-            prompt_slots = [s for s in self.slots if s.state == SlotState.PROMPT]
-            gen_slots = [s for s in self.slots if s.state == SlotState.GENERATING]
+            try:
+                self._step_once()
+            except Exception as e:  # noqa: BLE001
+                # decode failure must not kill the engine thread: error out
+                # in-flight requests, keep serving (reference rolls back the
+                # failed ubatch and returns a typed error)
+                self.metrics["engine_errors_total"] += 1
+                msg = f"{type(e).__name__}: {e}"
+                for s in self.slots:
+                    if s.req is not None:
+                        s.cache_tokens = []
+                        s.pos = 0
+                        self._finish(s, "error", msg)
 
-            if not prompt_slots and not gen_slots:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
+    def _step_once(self):
+        # control tasks (slot save/restore) run between steps
+        while True:
+            try:
+                self._control.get_nowait()()
+            except queue.Empty:
+                break
+        self._admit()
+        prompt_slots = [s for s in self.slots if s.state == SlotState.PROMPT]
+        gen_slots = [s for s in self.slots if s.state == SlotState.GENERATING]
 
-            if prompt_slots:
-                self._prefill_chunk(prompt_slots[0])
-                continue
+        if not prompt_slots and not gen_slots:
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+            return
 
+        for s in gen_slots:
+            if s.pos + 1 >= self.max_len:
+                self._shift_slot(s)
+
+        if prompt_slots:
+            self._mixed_step(prompt_slots[0], gen_slots)
+        else:
             self._decode_step(gen_slots)
 
-    def _prefill_chunk(self, slot: _Slot):
+    def _shift_slot(self, slot: _Slot):
+        """Discard the oldest half of the slot's window, keep n_keep."""
+        if not self.context_shift:
+            self._finish(slot, "length")
+            return
+        from ..runtime.kvcache import shift_context_row
+
+        n_keep = slot.req.n_keep if slot.req else 0
+        n_discard = max((self.max_len - n_keep) // 2, 1)
+        self.kv = shift_context_row(
+            self.kv, self.model.cfg.rope, slot.idx, n_keep, n_discard, horizon=self.max_len
+        )
+        slot.pos -= n_discard
+        slot.cache_tokens = slot.cache_tokens[:n_keep] + slot.cache_tokens[n_keep + n_discard :]
+        self.metrics["context_shifts_total"] += 1
+
+    def _mixed_step(self, ps: _Slot, gen_slots):
+        """One [n_slots, chunk] step: ps's next prompt chunk + one decode
+        token for every generating slot (column 0)."""
         jnp = self._jnp
-        chunk = min(self.prefill_chunk, len(slot.prompt_left))
+        chunk_real = min(self.prefill_chunk, len(ps.prompt_left))
         toks = np.zeros((self.n_slots, self.prefill_chunk), dtype=np.int32)
         pos = np.full((self.n_slots, self.prefill_chunk), self.max_len, dtype=np.int32)  # trash
-        toks[slot.idx, :chunk] = slot.prompt_left[:chunk]
-        pos[slot.idx, :chunk] = np.arange(slot.pos, slot.pos + chunk)
+        toks[ps.idx, :chunk_real] = ps.prompt_left[:chunk_real]
+        pos[ps.idx, :chunk_real] = np.arange(ps.pos, ps.pos + chunk_real)
+        for s in gen_slots:
+            toks[s.idx, 0] = s.last_token
+            pos[s.idx, 0] = s.pos
 
         logits, self.kv = self._step(
             self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
         )
-        slot.pos += chunk
-        slot.prompt_left = slot.prompt_left[chunk:]
-        self.metrics["tokens_prefilled_total"] += chunk
+        ps.cache_tokens.extend(ps.prompt_left[:chunk_real])
+        ps.pos += chunk_real
+        ps.prompt_left = ps.prompt_left[chunk_real:]
+        self.metrics["tokens_prefilled_total"] += chunk_real
+        for s in gen_slots:
+            s.cache_tokens.append(s.last_token)
+            s.pos += 1
 
-        if not slot.prompt_left:
-            row = np.asarray(logits[slot.idx, chunk - 1])
-            self._emit_token(slot, row)
-            slot.state = SlotState.GENERATING
+        cols = np.zeros((self.n_slots,), np.int32)
+        sample_rows = []
+        if not ps.prompt_left:
+            cols[ps.idx] = chunk_real - 1
+            sample_rows.append(ps)
+            ps.state = SlotState.GENERATING
+        sample_rows.extend(gen_slots)
+        if sample_rows:
+            self._sample_and_emit(logits, cols, sample_rows)
 
     def _decode_step(self, gen_slots):
         jnp = self._jnp
@@ -212,61 +410,57 @@ class Engine:
         logits, self.kv = self._step(
             self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="last"
         )
-        rows = np.asarray(logits[:, -1])
         self.metrics["decode_steps_total"] += 1
-        for s in list(gen_slots):
+        for s in gen_slots:
+            s.cache_tokens.append(s.last_token)
             s.pos += 1
-            self._emit_token(s, rows[s.idx])
+        self._sample_and_emit(logits, np.zeros((self.n_slots,), np.int32), gen_slots)
 
-    # -- sampling & emission (host-side, like the reference's CPU sampler) --
-    def _sample(self, slot: _Slot, logits: np.ndarray) -> int:
+    # -- sampling & emission ------------------------------------------------
+    def _sample_and_emit(self, logits, cols, slots):
+        jnp = self._jnp
+        picked = self._pick(logits, jnp.asarray(cols))  # [n_slots, V] on device
+        toks, chain_logits, self._keys = self._sample_batch(
+            picked, self._keys, jnp.asarray(self._recent), *[jnp.asarray(a) for a in self._params.arrays()]
+        )
+        toks_host = np.asarray(toks)
+        for s in slots:
+            req = s.req
+            if req.grammar is not None:
+                tok = self._sample_grammar(s, np.asarray(picked[s.idx]))
+            else:
+                tok = int(toks_host[s.idx])
+            self._emit_token(s, tok)
+
+    def _sample_grammar(self, slot: _Slot, logits_row: np.ndarray) -> int:
+        """Host-side grammar-constrained sampling (the reference also runs
+        the grammar automaton on the CPU)."""
         req = slot.req
-        lg = logits.astype(np.float64)
-        if req.grammar is not None:
-            # constrain to grammar-legal tokens: check the likeliest
-            # candidates first, widen to the full vocab only if none pass
-            # (reference: llama_sampler_init_grammar applies to candidates)
-            order = np.argsort(-lg)
-            allowed = req.grammar.allowed(order[:128])
-            if not allowed:
-                allowed = req.grammar.allowed(order[128:])
-            mask = np.full(lg.shape, -np.inf)
-            mask[allowed] = 0.0
-            lg = lg + mask
-        if req.repeat_penalty != 1.0 and req.out_tokens:
-            recent = np.asarray(req.out_tokens[-64:])
-            pos_mask = lg[recent] > 0
-            lg[recent[pos_mask]] /= req.repeat_penalty
-            lg[recent[~pos_mask]] *= req.repeat_penalty
+        lg = logits_row.astype(np.float64)
+        order = np.argsort(-lg)
+        allowed = req.grammar.allowed(order[:128])
+        if not allowed:
+            allowed = req.grammar.allowed(order[128:])
+        mask = np.full(lg.shape, -np.inf)
+        mask[list(allowed)] = 0.0
+        lg = lg + mask
         if req.temp <= 0:
             return int(lg.argmax())
-        if req.top_k > 0:
-            kth = np.partition(lg, -req.top_k)[-req.top_k]
-            lg[lg < kth] = -np.inf
         lg = lg / req.temp
         p = np.exp(lg - lg.max())
         p /= p.sum()
-        if req.top_p < 1.0:
-            order = np.argsort(-p)
-            cum = np.cumsum(p[order])
-            cut = np.searchsorted(cum, req.top_p) + 1
-            mask = np.ones_like(p, bool)
-            mask[order[:cut]] = False
-            p[mask] = 0
-            p /= p.sum()
-        if req.min_p > 0:
-            p[p < req.min_p * p.max()] = 0
-            p /= p.sum()
-        return int(slot.rng.choice(len(p), p=p))
+        rng = np.random.default_rng((req.seed if req.seed >= 0 else 0) + slot.generated)
+        return int(rng.choice(len(p), p=p))
 
-    def _emit_token(self, slot: _Slot, logits_row: np.ndarray):
+    def _emit_token(self, slot: _Slot, tok: int):
         req = slot.req
-        tok = self._sample(slot, logits_row)
         if req.grammar is not None:
             req.grammar.accept_token(tok)
         slot.last_token = tok
         slot.generated += 1
         req.out_tokens.append(tok)
+        self._recent[slot.idx] = np.roll(self._recent[slot.idx], -1)
+        self._recent[slot.idx, -1] = tok
         if req.t_first_token == 0.0:
             req.t_first_token = time.time()
         self.metrics["tokens_generated_total"] += 1
@@ -276,5 +470,5 @@ class Engine:
             self._finish(slot, "stop")
         elif slot.generated >= req.max_new:
             self._finish(slot, "length")
-        elif slot.pos + 1 >= self.max_len:
+        elif slot.pos + 1 >= self.max_len and not self.context_shift:
             self._finish(slot, "length")
