@@ -145,3 +145,77 @@ def test_grammar_constrained_completion(served):
     })
     text = out["choices"][0]["text"]
     assert set(text) <= {"a"}, text
+
+
+def test_slots_introspection(served):
+    slots = json.loads(_get(served, "/slots"))
+    assert len(slots) == 2
+    assert {"id", "state", "n_past", "n_cached"} <= set(slots[0])
+
+
+def test_stop_strings(served):
+    # learn the greedy continuation, then stop on a substring of it
+    base = _post(served, "/v1/completions", {"prompt": "qq", "max_tokens": 10, "temperature": 0})
+    text = base["choices"][0]["text"]
+    assert len(text) >= 3
+    stop = text[2:4]
+    out = _post(served, "/v1/completions",
+                {"prompt": "qq", "max_tokens": 10, "temperature": 0, "stop": [stop]})
+    trimmed = out["choices"][0]["text"]
+    assert stop not in trimmed
+    assert text.startswith(trimmed)
+    assert out["choices"][0]["finish_reason"] == "stop"
+    # streaming path must trim identically (holdback buffering)
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", served.port, timeout=120)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": "qq", "max_tokens": 10, "temperature": 0,
+                             "stop": [stop], "stream": True}),
+                 {"Content-Type": "application/json"})
+    body = conn.getresponse().read().decode()
+    streamed = "".join(
+        json.loads(ln[6:])["choices"][0].get("text") or ""
+        for ln in body.splitlines()
+        if ln.startswith("data: ") and ln != "data: [DONE]"
+    )
+    assert streamed == trimmed
+
+
+def test_slot_save_restore_roundtrip(served, tmp_path):
+    served.slot_save_path = str(tmp_path)
+    # cache a deterministic prompt into slot state via a completion
+    _post(served, "/v1/completions", {"prompt": "abcd", "max_tokens": 4, "temperature": 0})
+    info = _post(served, "/slots/0?action=save", {"filename": "s0.bin"})
+    assert info["n_past"] > 0 and (tmp_path / "s0.bin").exists()
+    erased = _post(served, "/slots/0?action=erase", {})
+    assert erased["id"] == 0
+    restored = _post(served, "/slots/0?action=restore", {"filename": "s0.bin"})
+    assert restored["n_past"] == info["n_past"]
+
+
+def test_apply_template_endpoint(served):
+    out = _post(served, "/apply-template",
+                {"messages": [{"role": "user", "content": "hi"}]})
+    assert "hi" in out["prompt"]
+
+
+def test_infill(served):
+    # synthetic vocab has no FIM ids -> graft them onto byte tokens
+    v = served.model.tokenizer.vocab
+    old = (v.fim_pre_id, v.fim_suf_id, v.fim_mid_id)
+    v.fim_pre_id, v.fim_suf_id, v.fim_mid_id = 10, 11, 12
+    try:
+        out = _post(served, "/infill",
+                    {"input_prefix": "ab", "input_suffix": "cd", "max_tokens": 4, "temperature": 0})
+        assert out["tokens_predicted"] >= 1
+    finally:
+        v.fim_pre_id, v.fim_suf_id, v.fim_mid_id = old
+
+
+def test_infill_unsupported_when_no_fim_tokens(served):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(served, "/infill", {"input_prefix": "a", "input_suffix": "b", "max_tokens": 2})
+    assert ei.value.code == 501

@@ -42,37 +42,70 @@ def embed(params, cfg, tokens: jax.Array) -> jax.Array:
     return x
 
 
+def _experts_gather(w, idx: jax.Array, dtype) -> jax.Array:
+    """Selected experts' dense weights: idx [..., ] -> [..., K, N].  For a
+    QTensorE only the gathered quantized planes are read from HBM."""
+    from ..quant.repack import QTensorE
+
+    if isinstance(w, QTensorE):
+        return w.dequant_gather(idx, dtype)
+    return w[idx].astype(dtype)
+
+
+def _experts_dense(w, dtype) -> jax.Array:
+    from ..quant.repack import QTensorE
+
+    if isinstance(w, QTensorE):
+        return w.dequant(dtype)
+    return w.astype(dtype)
+
+
 def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
     """Mixture-of-experts FFN (reference: build_moe_ffn,
-    src/llama-graph.cpp:964-1140).  Dense-dispatch formulation: every
-    expert runs, gated by the (renormalized) top-k router weights — exact
-    for correctness; the sparse dispatch path comes with expert sharding."""
+    src/llama-graph.cpp:964-1140; sparse dispatch via ggml_mul_mat_id
+    :761-774).  Two static dispatch regimes:
+
+    * sparse (decode / small batches, T*k < E): gather only the top-k
+      experts' weights per token — FLOPs and HBM bytes scale with k, not E
+    * dense (prefill, T*k >= E): every expert runs over the whole batch,
+      gated by a scattered [T, E] mask — at large T every expert has
+      tokens anyway and one big MXU einsum beats per-token gathers
+    """
     moe = cfg.moe
-    router = linear(h, layer["ffn_gate_inp"])  # [..., E]
+    lead, kdim = h.shape[:-1], h.shape[-1]
+    hf = h.reshape(-1, kdim)  # [T, K]
+    t = hf.shape[0]
+    router = linear(hf, layer["ffn_gate_inp"])  # [T, E]
     if moe.gate_func == "sigmoid":
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:
         probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, moe.n_experts_used)
+    topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
     if moe.norm_topk_prob:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    # scatter the kept weights back to a dense [..., E] gate
-    dense_gate = jnp.zeros_like(probs)
-    dense_gate = jax.vmap(
-        lambda g, i, v: g.at[i].set(v),
-        in_axes=(0, 0, 0),
-    )(dense_gate.reshape(-1, moe.n_experts), topi.reshape(-1, moe.n_experts_used), topv.reshape(-1, moe.n_experts_used))
-    dense_gate = dense_gate.reshape(probs.shape)
-
-    # experts: [E, K, N] stacked dense weights (quantized experts arrive
-    # with the EP sharding work)
-    gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
     act = swiglu if cfg.act == "silu" else geglu
-    ge = jnp.einsum("...k,ekf->...ef", h, gate_w)
-    ue = jnp.einsum("...k,ekf->...ef", h, up_w)
-    de = jnp.einsum("...ef,efk->...ek", act(ge, ue), down_w)
-    out = jnp.einsum("...ek,...e->...k", de, dense_gate.astype(de.dtype))
+    gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
+    if t * moe.n_experts_used < moe.n_experts:
+        gw = _experts_gather(gate_w, topi, h.dtype)  # [T, k, K, F]
+        uw = _experts_gather(up_w, topi, h.dtype)
+        dw = _experts_gather(down_w, topi, h.dtype)  # [T, k, F, K]
+        ge = jnp.einsum("tk,tekf->tef", hf, gw)
+        ue = jnp.einsum("tk,tekf->tef", hf, uw)
+        de = jnp.einsum("tef,tefk->tek", act(ge, ue), dw)
+        out = jnp.einsum("tek,te->tk", de, topv.astype(de.dtype))
+    else:
+        dense_gate = jnp.zeros_like(probs)  # scatter kept weights to [T, E]
+        dense_gate = jax.vmap(lambda g, i, v: g.at[i].set(v))(dense_gate, topi, topv)
+        gwd = _experts_dense(gate_w, h.dtype)
+        uwd = _experts_dense(up_w, h.dtype)
+        dwd = _experts_dense(down_w, h.dtype)
+        ge = jnp.einsum("tk,ekf->tef", hf, gwd)
+        ue = jnp.einsum("tk,ekf->tef", hf, uwd)
+        de = jnp.einsum("tef,efk->tek", act(ge, ue), dwd)
+        out = jnp.einsum("tek,te->tk", de, dense_gate.astype(de.dtype))
+
+    out = out.reshape(*lead, kdim)
     if "ffn_gate_shexp" in layer:
         sh = act(linear(h, layer["ffn_gate_shexp"]), linear(h, layer["ffn_up_shexp"]))
         out = out + linear(sh, layer["ffn_down_shexp"])

@@ -18,7 +18,7 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFFile, read_gguf
 from ..quant import blocks as qb
-from ..quant.repack import REPACK_FORMATS, repack
+from ..quant.repack import REPACK_FORMATS, repack, repack_experts
 from ..tokenizer import Tokenizer
 from .config import ModelConfig
 
@@ -132,9 +132,17 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             elif key in _VECTOR_KEYS:
                 params["layers"][il][key] = _load_dense(f, name, jnp.float32)
             elif key.endswith("_exps"):
-                # experts: GGUF [E, N, K] -> dense [E, K, N]
-                x = f.tensor_f32(name)
-                params["layers"][il][key] = jnp.asarray(np.swapaxes(x, 1, 2), dtype=dtype)
+                # expert stacks: GGUF [E, N, K] -> QTensorE (kept quantized
+                # in HBM; sparse dispatch gathers per-expert planes) or
+                # dense [E, K, N]
+                meta_t = f.tensors[name]
+                if quantized and meta_t.gtype in REPACK_FORMATS and len(meta_t.shape) == 3:
+                    params["layers"][il][key] = repack_experts(
+                        f.tensor_bytes(name), meta_t.shape, meta_t.gtype
+                    )
+                else:
+                    x = f.tensor_f32(name)
+                    params["layers"][il][key] = jnp.asarray(np.swapaxes(x, 1, 2), dtype=dtype)
             else:
                 params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)
         else:
@@ -155,6 +163,15 @@ class Model:
         self.params = params
         self.tokenizer = tokenizer
         self.path = path
+
+    @property
+    def chat_template(self) -> str:
+        """The GGUF tokenizer.chat_template jinja source (reference:
+        llama_model_chat_template, src/llama-model.cpp) — consumed by
+        zllm.server.chat.detect_format's marker sniffing."""
+        if self.tokenizer is not None:
+            return self.tokenizer.vocab.chat_template
+        return ""
 
     @classmethod
     def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16) -> "Model":

@@ -171,6 +171,68 @@ def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTens
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensorE:
+    """A stacked mixture-of-experts weight [E, K, N] kept quantized in HBM
+    (reference: the 3-D ggml tensors consumed by ggml_mul_mat_id,
+    src/llama-graph.cpp:761-774).  Planes carry a leading expert axis;
+    `gather(idx)` selects experts' planes (XLA lowers to a sliced HBM
+    read), so sparse top-k dispatch only pays bandwidth for the experts it
+    uses."""
+
+    fmt: GGMLType
+    shape: tuple[int, int, int]  # (E, K, N)
+    planes: dict[str, Any] = field(default_factory=dict)
+    fold: int = 0
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.planes))
+        return tuple(self.planes[k] for k in keys), (self.fmt, self.shape, keys, self.fold)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        fmt, shape, keys, fold = aux
+        return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)), fold=fold)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in self.planes.values())
+
+    def dequant(self, dtype=jnp.float32) -> jax.Array:
+        """Full dense [E, K, N] (prefill path: most experts active anyway)."""
+        e, k, n = self.shape
+        fn = _DEQUANT[self.fmt]
+        return jax.vmap(lambda pl: fn(pl, (k, n), dtype, self.fold))(self.planes)
+
+    def dequant_gather(self, idx: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """Dense weights of selected experts: idx [...,] int32 -> [..., K, N].
+        Only the gathered experts' quantized planes are read from HBM."""
+        e, k, n = self.shape
+        sel = {key: p[idx] for key, p in self.planes.items()}
+        fn = _DEQUANT[self.fmt]
+        flat = jax.tree_util.tree_map(lambda p: p.reshape((-1,) + p.shape[idx.ndim:]), sel)
+        out = jax.vmap(lambda pl: fn(pl, (k, n), dtype, self.fold))(flat)
+        return out.reshape(idx.shape + (k, n))
+
+
+def repack_experts(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTensorE:
+    """raw uint8[E, N, row_bytes] (GGUF expert-stacked layout) -> QTensorE
+    with [E, ...] planes, repacking each expert like a 2-D weight."""
+    fmt = GGMLType(fmt)
+    e, n, k = gguf_shape
+    fold = choose_fold(k)
+    if fold == 0:
+        raise ValueError(f"K={k} not foldable for repack")
+    raw = raw.reshape(e, n, -1)
+    per = [_REPACK[fmt](raw[i], n, k, fold) for i in range(e)]
+    planes = {key: np.stack([p[key] for p in per]) for key in per[0]}
+    return QTensorE(
+        fmt=fmt, shape=(e, k, n), fold=fold,
+        planes={key: jnp.asarray(v) for key, v in planes.items()},
+    )
+
+
 def _native_repack(fmt, raw, n, k, fold):
     """Byte-exact C++ fast path (zllm/native.py); None -> numpy fallback."""
     try:

@@ -18,6 +18,23 @@ MAGIC = "ZLLMSESS"
 VERSION = 1
 
 
+def _to_np(a) -> np.ndarray:
+    """Device array -> npz-storable numpy (bfloat16 has no numpy dtype;
+    store its bits as uint16 and record the real dtype in meta)."""
+    a = np.asarray(a)
+    if a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+        return a.view(np.uint16)
+    return a
+
+
+def _from_np(a: np.ndarray, dtype_name: str) -> np.ndarray:
+    if dtype_name == "bfloat16":
+        import ml_dtypes
+
+        return a.view(ml_dtypes.bfloat16)
+    return a
+
+
 def _meta(model, extra: dict) -> dict:
     cfg = model.cfg
     return {
@@ -33,11 +50,12 @@ def _meta(model, extra: dict) -> dict:
 
 def save_session(path: str, model, kv, tokens: list[int], n_past: int):
     """Whole-context session: trimmed KV + token history."""
-    k = np.stack([np.asarray(x[:, :, :n_past]) for x in kv.k])
-    v = np.stack([np.asarray(x[:, :, :n_past]) for x in kv.v])
+    kv_dtype = str(np.asarray(kv.k[0][:1, :1, :1]).dtype)
+    k = np.stack([_to_np(x[:, :, :n_past]) for x in kv.k])
+    v = np.stack([_to_np(x[:, :, :n_past]) for x in kv.v])
     np.savez_compressed(
         path,
-        meta=json.dumps(_meta(model, {"n_past": n_past, "kv_dtype": str(k.dtype)})),
+        meta=json.dumps(_meta(model, {"n_past": n_past, "kv_dtype": kv_dtype})),
         tokens=np.asarray(tokens, dtype=np.int32),
         k=k,
         v=v,
@@ -62,8 +80,8 @@ def load_session(path: str, model, kv):
     n_past = int(meta["n_past"])
     if n_past > kv.max_len:
         raise ValueError(f"session length {n_past} exceeds cache {kv.max_len}")
-    k = jnp.asarray(data["k"])
-    v = jnp.asarray(data["v"])
+    k = jnp.asarray(_from_np(data["k"], meta.get("kv_dtype", "")))
+    v = jnp.asarray(_from_np(data["v"], meta.get("kv_dtype", "")))
     kv = type(kv)(
         k=tuple(x.at[:, :, :n_past].set(k[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
         v=tuple(x.at[:, :, :n_past].set(v[i].astype(x.dtype)) for i, x in enumerate(kv.v)),
@@ -73,10 +91,11 @@ def load_session(path: str, model, kv):
 
 def seq_get(model, kv, seq: int, n_past: int) -> dict:
     """Extract one sequence's state (server /slots?action=save analogue)."""
+    kv_dtype = str(np.asarray(kv.k[0][:1, :1, :1]).dtype)
     return {
-        "meta": _meta(model, {"n_past": n_past}),
-        "k": np.stack([np.asarray(x[seq, :, :n_past]) for x in kv.k]),
-        "v": np.stack([np.asarray(x[seq, :, :n_past]) for x in kv.v]),
+        "meta": _meta(model, {"n_past": n_past, "kv_dtype": kv_dtype}),
+        "k": np.stack([_to_np(x[seq, :, :n_past]) for x in kv.k]),
+        "v": np.stack([_to_np(x[seq, :, :n_past]) for x in kv.v]),
     }
 
 
@@ -86,8 +105,9 @@ def seq_set(model, kv, seq: int, state: dict):
 
     meta = state["meta"]
     n_past = int(meta["n_past"])
-    sk = jnp.asarray(state["k"])
-    sv = jnp.asarray(state["v"])
+    dt = meta.get("kv_dtype", "")
+    sk = jnp.asarray(_from_np(state["k"], dt))
+    sv = jnp.asarray(_from_np(state["v"], dt))
     kv = type(kv)(
         k=tuple(x.at[seq, :, :n_past].set(sk[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
         v=tuple(x.at[seq, :, :n_past].set(sv[i].astype(x.dtype)) for i, x in enumerate(kv.v)),
@@ -97,7 +117,8 @@ def seq_set(model, kv, seq: int, state: dict):
 
 def seq_save_file(path: str, model, kv, seq: int, n_past: int):
     st = seq_get(model, kv, seq, n_past)
-    np.savez_compressed(path, meta=json.dumps(st["meta"]), k=st["k"], v=st["v"])
+    with open(path, "wb") as fh:  # file object: savez must not append .npz
+        np.savez_compressed(fh, meta=json.dumps(st["meta"]), k=st["k"], v=st["v"])
 
 
 def seq_load_file(path: str, model, kv, seq: int):

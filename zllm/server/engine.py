@@ -76,6 +76,9 @@ class Request:
     finish_reason: str = ""
     error: str = ""
     n_prompt_reused: int = 0
+    stop_trim_chars: int = -1  # char offset of the matched stop string in the text
+    _text: str = ""  # decoded-so-far (stop-string scanning only)
+    _stopdec: object = None  # IncrementalDecoder for _text
     t_submit: float = field(default_factory=time.time)
     t_first_token: float = 0.0
     t_done: float = 0.0
@@ -452,6 +455,24 @@ class Engine:
         rng = np.random.default_rng((req.seed if req.seed >= 0 else 0) + slot.generated)
         return int(rng.choice(len(p), p=p))
 
+    def _check_stop_strings(self, req: Request) -> bool:
+        """Scan the decoded text for any stop string (reference: server
+        stop-word matching on the running generated string); records the
+        match offset so the HTTP layer trims the stop text from output."""
+        if self.model.tokenizer is None:
+            return False
+        if req._stopdec is None:
+            from ..tokenizer import IncrementalDecoder
+
+            req._stopdec = IncrementalDecoder(self.model.tokenizer)
+        req._text += req._stopdec.push(req.out_tokens[-1])
+        for ss in req.stop_strings:
+            i = req._text.find(ss)
+            if i >= 0:
+                req.stop_trim_chars = i
+                return True
+        return False
+
     def _emit_token(self, slot: _Slot, tok: int):
         req = slot.req
         if req.grammar is not None:
@@ -467,6 +488,8 @@ class Engine:
         req.stream_q.put(tok)
 
         if tok in req.stop_tokens:
+            self._finish(slot, "stop")
+        elif req.stop_strings and self._check_stop_strings(req):
             self._finish(slot, "stop")
         elif slot.generated >= req.max_new:
             self._finish(slot, "length")

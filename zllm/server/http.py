@@ -24,9 +24,11 @@ def _sse(obj) -> bytes:
 
 
 class ZllmServer:
-    def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080):
+    def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080,
+                 slot_save_path: str = ""):
         self.model = model
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len)
+        self.slot_save_path = slot_save_path
         self.host = host
         self.port = port
         self.httpd: ThreadingHTTPServer | None = None
@@ -52,6 +54,9 @@ class ZllmServer:
             from ..grammar.gbnf import GrammarSampler
 
             grammar = GrammarSampler(parse_gbnf(gbnf), tok)
+        stop = body.get("stop", body.get("stop_strings", []))
+        if isinstance(stop, str):
+            stop = [stop]
         return Request(
             grammar=grammar,
             prompt_tokens=prompt_tokens,
@@ -60,9 +65,17 @@ class ZllmServer:
             top_k=int(body.get("top_k", 40)),
             top_p=float(body.get("top_p", 0.95)),
             min_p=float(body.get("min_p", 0.05)),
+            typical_p=float(body.get("typical_p", body.get("typ_p", 1.0))),
+            top_n_sigma=float(body.get("top_n_sigma", 0.0)),
+            xtc_probability=float(body.get("xtc_probability", 0.0)),
+            xtc_threshold=float(body.get("xtc_threshold", 0.1)),
             repeat_penalty=float(body.get("repeat_penalty", 1.0)),
+            freq_penalty=float(body.get("frequency_penalty", 0.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
             seed=int(body.get("seed", -1)),
+            n_keep=int(body.get("n_keep", 0)),
             stop_tokens=frozenset(stop_tokens),
+            stop_strings=tuple(stop),
         )
 
     def embed(self, text: str):
@@ -132,6 +145,8 @@ class ZllmServer:
                         "arch": cfg.arch,
                         "n_params_shape": {"layers": cfg.n_layers, "embd": cfg.n_embd},
                     })
+                elif self.path == "/slots":
+                    self._json(200, server.engine.slot_info())
                 elif self.path == "/metrics":
                     m = server.engine.metrics
                     lines = []
@@ -168,6 +183,15 @@ class ZllmServer:
                     elif self.path == "/detokenize":
                         text = server.model.tokenizer.decode(body.get("tokens", []))
                         self._json(200, {"content": text})
+                    elif self.path == "/apply-template":
+                        text = apply_chat_template(
+                            server.model, body.get("messages", []), add_assistant=bool(body.get("add_generation_prompt", True))
+                        )
+                        self._json(200, {"prompt": text})
+                    elif self.path == "/infill":
+                        self._infill(body)
+                    elif self.path.startswith("/slots/"):
+                        self._slot_action(body)
                     else:
                         self._json(404, {"error": "not found"})
                 except BrokenPipeError:
@@ -201,6 +225,58 @@ class ZllmServer:
                     scores.append({"index": i, "relevance_score": float(_np.dot(q, d))})
                 scores.sort(key=lambda s: -s["relevance_score"])
                 self._json(200, {"model": "zllm", "results": scores})
+
+            def _infill(self, body: dict):
+                """Fill-in-the-middle completion (reference: tools/server
+                /infill endpoint, README.md:424-470): builds the FIM prompt
+                <fim_pre>prefix<fim_suf>suffix<fim_mid> from the vocab's FIM
+                special ids and decodes from there."""
+                tok = server.model.tokenizer
+                v = tok.vocab
+                if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+                    self._json(501, {"error": "model lacks FIM tokens (infill unsupported)"})
+                    return
+                prefix = body.get("input_prefix", body.get("prompt", ""))
+                suffix = body.get("input_suffix", "")
+                ids = [v.fim_pre_id] + tok.encode(prefix) + [v.fim_suf_id] + tok.encode(suffix) + [v.fim_mid_id]
+                if v.add_bos and v.bos_id >= 0:
+                    ids = [v.bos_id] + ids
+                req = server._make_request(body, ids)
+                if v.eot_id >= 0:
+                    req.stop_tokens = frozenset(set(req.stop_tokens) | {v.eot_id})
+                server.engine.submit(req)
+                while req.stream_q.get() is not None:
+                    pass
+                out_text = tok.decode(req.out_tokens)
+                self._json(200, {
+                    "content": out_text,
+                    "tokens_predicted": len(req.out_tokens),
+                    "stop_type": req.finish_reason,
+                })
+
+            def _slot_action(self, body: dict):
+                """POST /slots/{id}?action=save|restore|erase (reference:
+                tools/server README slots endpoints over state files)."""
+                import urllib.parse as _up
+
+                path, _, query = self.path.partition("?")
+                idx = int(path.rsplit("/", 1)[1])
+                action = _up.parse_qs(query).get("action", [""])[0]
+                if not 0 <= idx < server.engine.n_slots:
+                    self._json(400, {"error": "invalid slot id"})
+                    return
+                import os as _os
+
+                fname = body.get("filename", f"slot{idx}.bin")
+                fpath = _os.path.join(server.slot_save_path or ".", _os.path.basename(fname))
+                if action == "save":
+                    self._json(200, server.engine.save_slot(idx, fpath))
+                elif action == "restore":
+                    self._json(200, server.engine.restore_slot(idx, fpath, body.get("tokens")))
+                elif action == "erase":
+                    self._json(200, server.engine.erase_slot(idx))
+                else:
+                    self._json(400, {"error": f"unknown action {action!r}"})
 
             def _completion(self, body: dict, chat: bool):
                 tok = server.model.tokenizer
@@ -237,10 +313,29 @@ class ZllmServer:
                     inc = IncrementalDecoder(tok)
                     sent = 0
                     done = False
+                    # stop-string holdback: never emit the tail that could
+                    # be a prefix of a stop string (reference: server
+                    # "stopping_word" partial-match buffering)
+                    holdback = max((len(s) for s in req.stop_strings), default=1) - 1
+                    pending = ""
+                    stopped = False
                     while not done:
                         t = req.stream_q.get()
                         done = t is None
-                        piece = inc.flush() if done else inc.push(t)
+                        if stopped:
+                            continue
+                        pending += inc.flush() if done else inc.push(t)
+                        hit = min((i for i in (pending.find(s) for s in req.stop_strings) if i >= 0),
+                                  default=-1)
+                        if hit >= 0:
+                            piece, pending, stopped = pending[:hit], "", True
+                        elif done:
+                            piece, pending = pending, ""
+                        elif len(pending) > holdback:
+                            cut = len(pending) - holdback
+                            piece, pending = pending[:cut], pending[cut:]
+                        else:
+                            piece = ""
                         if not piece:
                             continue
                         if chat:
@@ -266,6 +361,11 @@ class ZllmServer:
                     if req.stream_q.get() is None:
                         break
                 out_text = tok.decode(req.out_tokens)
+                for ss in req.stop_strings:
+                    i = out_text.find(ss)
+                    if i >= 0:
+                        out_text = out_text[:i]
+                        break
                 usage = {"prompt_tokens": len(ids), "completion_tokens": len(req.out_tokens),
                          "total_tokens": len(ids) + len(req.out_tokens)}
                 if chat:

@@ -37,9 +37,19 @@ class Vocab:
     eos_id: int = -1
     unk_id: int = -1
     pad_id: int = -1
+    eot_id: int = -1  # end-of-turn (reference: special_eot_id)
+    # fill-in-the-middle special ids (reference: llama_vocab fim ids,
+    # src/llama-vocab.cpp special_fim_* + llama.h llama_vocab_fim_pre)
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
+    fim_pad_id: int = -1
+    fim_rep_id: int = -1
+    fim_sep_id: int = -1
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
+    chat_template: str = ""
 
     token_to_id: dict[str, int] = field(default_factory=dict)
     byte_tokens: dict[int, int] = field(default_factory=dict)  # byte value -> token id
@@ -80,6 +90,14 @@ class Vocab:
         types = [int(t) for t in types] if types is not None else [int(TokenType.NORMAL)] * n
         model = f.kv("tokenizer.ggml.model") or "llama"
         is_spm = model == "llama"
+
+        def _tid(*keys, default=-1):
+            for key in keys:
+                v = f.kv(f"tokenizer.ggml.{key}")
+                if v is not None:
+                    return int(v)
+            return default
+
         return cls(
             model=model,
             pre=f.kv("tokenizer.ggml.pre") or "default",
@@ -91,7 +109,17 @@ class Vocab:
             eos_id=int(f.kv("tokenizer.ggml.eos_token_id", 2 if is_spm else -1)),
             unk_id=int(f.kv("tokenizer.ggml.unknown_token_id", 0 if is_spm else -1)),
             pad_id=int(f.kv("tokenizer.ggml.padding_token_id", -1)),
+            eot_id=_tid("eot_token_id"),
+            # modern + legacy KV names (reference: llama-vocab.cpp
+            # LLM_KV_TOKENIZER_FIM_*_ID / LLM_KV_TOKENIZER_PREFIX_ID)
+            fim_pre_id=_tid("fim_pre_token_id", "prefix_token_id"),
+            fim_suf_id=_tid("fim_suf_token_id", "suffix_token_id"),
+            fim_mid_id=_tid("fim_mid_token_id", "middle_token_id"),
+            fim_pad_id=_tid("fim_pad_token_id"),
+            fim_rep_id=_tid("fim_rep_token_id"),
+            fim_sep_id=_tid("fim_sep_token_id"),
             add_bos=bool(f.kv("tokenizer.ggml.add_bos_token", is_spm)),
             add_eos=bool(f.kv("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(f.kv("tokenizer.ggml.add_space_prefix", is_spm)),
+            chat_template=str(f.kv("tokenizer.chat_template") or ""),
         )
