@@ -94,7 +94,8 @@ def test_quantized_matches_dense_dequant(hf_ref, tmp_path):
     md = Model.load(path, quantized=False, dtype=jnp.float32)
     from zllm.quant.repack import QTensor
 
-    assert isinstance(mq.params["layers"][0]["wq"], QTensor)
+    l0 = mq.params["layers"][0]
+    assert isinstance(l0.get("wqkv", l0.get("wq")), QTensor)
 
     rng = np.random.default_rng(5)
     toks = rng.integers(0, TINY_CFG["vocab_size"], size=(1, 8)).astype(np.int32)

@@ -38,10 +38,12 @@ def test_quantized_leaves_frozen(tmp_path):
     make_llama_gguf(path, n_layers=1, n_embd=64, n_heads=4, n_kv_heads=2,
                     n_ff=128, vocab_size=64, gtype=GGMLType.Q8_0)
     m = Model.load(path, quantized=True, dtype=jnp.float32)
-    before = np.asarray(m.params["layers"][0]["ffn_gate"].planes["qs"]).copy()
+    l0 = m.params["layers"][0]
+    gate_key = "ffn_gateup" if "ffn_gateup" in l0 else "ffn_gate"
+    before = np.asarray(l0[gate_key].planes["qs"]).copy()
 
     tr = Trainer(m, lr=1e-2)
     toks = np.random.default_rng(0).integers(0, 64, (2, 16)).astype(np.int32)
     tr.train_step(toks, toks)
-    after = np.asarray(m.params["layers"][0]["ffn_gate"].planes["qs"])
+    after = np.asarray(m.params["layers"][0][gate_key].planes["qs"])
     np.testing.assert_array_equal(before, after)  # quantized weights frozen

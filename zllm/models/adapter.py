@@ -97,6 +97,17 @@ def load_lora(model, path: str, scale: float = 1.0):
             continue
         pairs.setdefault((int(il_s), key), {})[ab] = jnp.asarray(f.tensor_f32(name))
 
+    # hot-loaded adapters may target projections that were fused at load
+    # time (wqkv / ffn_gateup) — undo the fusion so the per-projection
+    # delta applies cleanly
+    fused_targets = {k for (_, k) in pairs} & {"wq", "wk", "wv", "ffn_gate", "ffn_up"}
+    if fused_targets and any(
+        "wqkv" in l or "ffn_gateup" in l for l in model.params["layers"]
+    ):
+        from .loader import unfuse_projections
+
+        model.params = unfuse_projections(model.params, model.cfg)
+
     n = 0
     for (il, key), ab in pairs.items():
         if "lora_a" in ab and "lora_b" in ab:

@@ -136,10 +136,18 @@ def forward(
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         if taps is not None:
             taps[f"blk.{il}.attn_q.weight"] = h
-        # head counts are derived from the (possibly tp-sharded) projections
-        q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
-        k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
-        v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
+        if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
+            qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
+            qd, kvd = cfg.q_dim, cfg.kv_dim
+            q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
+            q = q.reshape(b, t, -1, cfg.head_dim)
+            k = k.reshape(b, t, -1, cfg.head_dim)
+            v = v.reshape(b, t, -1, cfg.head_dim)
+        else:
+            # head counts are derived from the (possibly tp-sharded) projections
+            q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
+            k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
+            v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
 
         if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
             q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
@@ -179,7 +187,12 @@ def forward(
             ff = moe_ffn(layer, cfg, h2)
         else:
             act = swiglu if cfg.act == "silu" else geglu
-            gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
+            if "ffn_gateup" in layer:  # load-time fused gate|up
+                gup = lora_linear(layer, "ffn_gateup", h2)
+                half = gup.shape[-1] // 2
+                gu = act(gup[..., :half], gup[..., half:])
+            else:
+                gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
             if taps is not None:
                 taps[f"blk.{il}.ffn_down.weight"] = gu
             ff = lora_linear(layer, "ffn_down", gu)

@@ -18,7 +18,7 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFFile, read_gguf
 from ..quant import blocks as qb
-from ..quant.repack import REPACK_FORMATS, repack, repack_experts
+from ..quant.repack import REPACK_FORMATS, QTensor, QTensorE, concat_n, repack, repack_experts
 from ..tokenizer import Tokenizer
 from .config import ModelConfig
 
@@ -154,6 +154,85 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
     return params
 
 
+def _fusable(ws) -> bool:
+    if any(w is None for w in ws):
+        return False
+    if all(isinstance(w, QTensor) for w in ws):
+        return (
+            len({w.fmt for w in ws}) == 1
+            and len({w.shape[0] for w in ws}) == 1
+            and len({w.fold for w in ws}) == 1
+        )
+    if all(not isinstance(w, (QTensor, QTensorE)) for w in ws):
+        return len({w.shape[0] for w in ws}) == 1 and len({w.dtype for w in ws}) == 1
+    return False
+
+
+def _cat(ws):
+    if isinstance(ws[0], QTensor):
+        return concat_n(list(ws))
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_projections(params: dict, cfg: ModelConfig) -> dict:
+    """Load-time fusion of per-layer projections: wq|wk|wv -> wqkv and
+    ffn_gate|ffn_up -> ffn_gateup (one kernel launch instead of three/two;
+    decode is launch-overhead-bound at M=1).  The forward splits outputs
+    at static offsets.  Reference analogue: fused attn_qkv tensors that
+    some GGUFs already ship (phi3) — here every model gets the fusion.
+    Skipped for layers carrying LoRA on the affected keys (adapter applies
+    per projection)."""
+    for layer in params["layers"]:
+        if all(k in layer for k in ("wq", "wk", "wv")) and not any(
+            k + ".lora" in layer for k in ("wq", "wk", "wv")
+        ):
+            ws = [layer["wq"], layer["wk"], layer["wv"]]
+            if _fusable(ws):
+                layer["wqkv"] = _cat(ws)
+                for k in ("wq", "wk", "wv"):
+                    del layer[k]
+                if all(b in layer for b in ("bq", "bk", "bv")):
+                    layer["bqkv"] = jnp.concatenate([layer["bq"], layer["bk"], layer["bv"]])
+                    for b in ("bq", "bk", "bv"):
+                        del layer[b]
+        if all(k in layer for k in ("ffn_gate", "ffn_up")) and not any(
+            k + ".lora" in layer for k in ("ffn_gate", "ffn_up")
+        ):
+            ws = [layer["ffn_gate"], layer["ffn_up"]]
+            if _fusable(ws):
+                layer["ffn_gateup"] = _cat(ws)
+                del layer["ffn_gate"], layer["ffn_up"]
+    return params
+
+
+def unfuse_projections(params: dict, cfg: ModelConfig) -> dict:
+    """Inverse of fuse_projections (tensor-parallel sharding needs the
+    separate projections; see zllm.parallel.tp.shard_params)."""
+    from ..quant.repack import split_n
+
+    def _split(w, sizes):
+        if isinstance(w, QTensor):
+            return split_n(w, sizes)
+        off, outs = 0, []
+        for n in sizes:
+            outs.append(w[..., off : off + n])
+            off += n
+        return outs
+
+    for layer in params["layers"]:
+        if "wqkv" in layer:
+            qd, kvd = cfg.q_dim, cfg.kv_dim
+            layer["wq"], layer["wk"], layer["wv"] = _split(layer.pop("wqkv"), [qd, kvd, kvd])
+            if "bqkv" in layer:
+                b = layer.pop("bqkv")
+                layer["bq"], layer["bk"], layer["bv"] = b[:qd], b[qd : qd + kvd], b[qd + kvd :]
+        if "ffn_gateup" in layer:
+            gu = layer.pop("ffn_gateup")
+            half = gu.shape[1] // 2
+            layer["ffn_gate"], layer["ffn_up"] = _split(gu, [half, half])
+    return params
+
+
 class Model:
     """Loaded model bundle: config + params + tokenizer (the analogue of
     llama_model, include/llama.h)."""
@@ -174,7 +253,7 @@ class Model:
         return ""
 
     @classmethod
-    def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16) -> "Model":
+    def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16, fuse: bool = True) -> "Model":
         f = read_gguf(path)
         cfg = ModelConfig.from_gguf(f)
         tok = None
@@ -184,6 +263,8 @@ class Model:
             except NotImplementedError as e:
                 log.warning("tokenizer unavailable: %s", e)
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
+        if fuse:
+            params = fuse_projections(params, cfg)
         f.close()
 
         # route QTensor matmuls through the fused Pallas kernels on TPU

@@ -105,6 +105,12 @@ def _flag_and_spec(key: str, w, plan: TpPlan):
 def shard_params(params, mesh: Mesh, cfg):
     """Attach collective flags, compute per-leaf shardings, device_put.
     Returns (sharded_params, leaf_spec_tree, plan)."""
+    # undo the load-time projection fusion: wq/wk/wv (and gate/up) shard on
+    # different head boundaries, so TP operates on the separate weights
+    if any("wqkv" in layer or "ffn_gateup" in layer for layer in params["layers"]):
+        from ..models.loader import unfuse_projections
+
+        params = unfuse_projections(params, cfg)
     tp = mesh.shape["tp"]
     plan = plan_for(cfg, params, tp)
 

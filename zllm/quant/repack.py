@@ -171,6 +171,31 @@ def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTens
     )
 
 
+def concat_n(qts: list[QTensor]) -> QTensor:
+    """Concatenate QTensors along the output-feature (N) axis — the
+    load-time projection fusion (wq|wk|wv -> wqkv, gate|up -> gateup) that
+    turns several small kernel launches into one.  Valid because every
+    plane of every format is laid out [rows, N]: column blocks of the
+    fused weight are exactly the original tensors."""
+    fmt, k, fold = qts[0].fmt, qts[0].shape[0], qts[0].fold
+    assert all(q.fmt == fmt and q.shape[0] == k and q.fold == fold for q in qts)
+    planes = {
+        key: jnp.concatenate([q.planes[key] for q in qts], axis=-1) for key in qts[0].planes
+    }
+    return QTensor(fmt=fmt, shape=(k, sum(q.shape[1] for q in qts)), planes=planes, fold=fold)
+
+
+def split_n(qt: QTensor, sizes: list[int]) -> list[QTensor]:
+    """Inverse of concat_n: slice planes at N boundaries."""
+    outs, off = [], 0
+    for n in sizes:
+        planes = {key: p[..., off : off + n] for key, p in qt.planes.items()}
+        outs.append(QTensor(fmt=qt.fmt, shape=(qt.shape[0], n), planes=planes, fold=qt.fold))
+        off += n
+    assert off == qt.shape[1]
+    return outs
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class QTensorE:
