@@ -30,9 +30,10 @@ def nmse(a, b):
 def test_kernel_matches_reference(fmt, m):
     import jax.numpy as jnp
 
+    from zllm.testing import make_quantized_raw
+
     k, n = 512, 256
-    w = RNG.standard_normal((n, k)).astype(np.float32)
-    qt = rp.repack(qb.quantize(w, fmt), (n, k), fmt)
+    qt = rp.repack(make_quantized_raw(fmt, n, k, RNG), (n, k), fmt)
     assert qmm.supports(qt), f"{fmt.name} k={k} should be supported"
 
     x = RNG.standard_normal((m, k)).astype(np.float32)
@@ -77,9 +78,10 @@ def test_w4a8_matches_bf16_path(fmt):
     (reference analogue: mmvq.cu int8 GEMV == dequant matmul)."""
     import jax.numpy as jnp
 
+    from zllm.testing import make_quantized_raw
+
     k, n = 512, 256
-    w = RNG.standard_normal((n, k)).astype(np.float32)
-    qt = rp.repack(qb.quantize(w, fmt), (n, k), fmt)
+    qt = rp.repack(make_quantized_raw(fmt, n, k, RNG), (n, k), fmt)
     x = RNG.standard_normal((1, k)).astype(np.float32)
     ref = np.asarray(x @ np.asarray(qt.dequant(jnp.float32)))
     got = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))

@@ -17,14 +17,17 @@ RNG = np.random.default_rng(7)
 FUSED_SCALE = {
     GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
     GGMLType.Q6_K, GGMLType.IQ4_XS,
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
 }
 
 
 @pytest.mark.parametrize("fmt", sorted(rp.REPACK_FORMATS, key=int), ids=lambda t: t.name)
 def test_repack_dequant_matches_block_decode(fmt):
+    from zllm.testing import make_quantized_raw
+
     n, k = 24, 512  # N outputs, K contraction
-    x = RNG.standard_normal((n, k)).astype(np.float32)
-    raw = qb.quantize(x, fmt)  # [n, row_bytes] GGUF layout
+    raw = make_quantized_raw(fmt, n, k, RNG)  # [n, row_bytes] GGUF layout
     want = qb.dequantize(raw, fmt)  # [n, k]
 
     qt = rp.repack(raw, (n, k), fmt)

@@ -44,6 +44,15 @@ _PLANE_ORDER = {
     GGMLType.Q4_K: ("qs", "a", "b"),
     GGMLType.Q5_K: ("qs", "qh", "a", "b"),
     GGMLType.Q6_K: ("ql", "qh", "a"),
+    GGMLType.IQ2_XXS: ("qs", "a"),
+    GGMLType.IQ2_XS: ("qs", "a"),
+    GGMLType.IQ2_S: ("qs", "a"),
+    GGMLType.IQ3_XXS: ("qs", "a"),
+    GGMLType.IQ3_S: ("qs", "a"),
+    GGMLType.IQ1_S: ("qs", "a", "b"),
+    GGMLType.IQ1_M: ("qs", "a", "b"),
+    GGMLType.TQ1_0: ("qs", "a"),
+    GGMLType.TQ2_0: ("qs", "a"),
 }
 
 # rows-per-k of each plane: plane rows per k-tile = TK // kdiv
@@ -67,6 +76,14 @@ def _plane_kdiv(fmt: GGMLType, name: str) -> int:
         return {"qs": 4, "a": 16, "b": 16}[name]
     if fmt == GGMLType.Q3_K:
         return {"qs": 4, "qh": 8, "a": 16}[name]
+    if fmt in (GGMLType.IQ2_XS, GGMLType.IQ2_S):
+        return {"qs": 2, "a": 16}[name]
+    if fmt == GGMLType.IQ1_S:
+        return {"qs": 4, "a": 32, "b": 32}[name]
+    if fmt == GGMLType.IQ1_M:
+        return {"qs": 4, "a": 16, "b": 8}[name]
+    if fmt in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        return {"qs": 4, "a": 32}[name]
     return _PLANE_KDIV[name]
 
 
@@ -210,7 +227,51 @@ def _dequant_tile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
         q = ((lo | (_q5k_bits(qh, tk, tn) << 2)) - 4).astype(jnp.float32)
         a = _gexpand(_load_f16(planes["a"]), 16, tk, tn)
         return q * a
+    if fmt in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S):
+        q = _iq2_val(_unpack_nib(planes["qs"], fold)).astype(jnp.float32)
+        group = 32 if fmt == GGMLType.IQ2_XXS else 16
+        a = _gexpand(_load_f16(planes["a"]), group, tk, tn)
+        return q * a
+    if fmt == GGMLType.IQ3_XXS:
+        q = _iq3xxs_val(_unpack_nib(planes["qs"], fold)).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        return q * a
+    if fmt == GGMLType.IQ3_S:
+        idx = _unpack_nib(planes["qs"], fold)
+        q = ((2 * (idx & 7) + 1) * (1 - 2 * (idx >> 3))).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        return q * a
+    if fmt == GGMLType.IQ1_S:
+        q = (_unpack_crumb(planes["qs"], fold) - 1).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        b = _gexpand(_load_f16(planes["b"]), 32, tk, tn)
+        return q * a - b
+    if fmt == GGMLType.IQ1_M:
+        q = (_unpack_crumb(planes["qs"], fold) - 1).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 16, tk, tn)
+        b = _gexpand(_load_f16(planes["b"]), 8, tk, tn)
+        return q * a - b
+    if fmt in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        q = (_unpack_crumb(planes["qs"], fold) - 1).astype(jnp.float32)
+        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+        return q * a
     raise NotImplementedError(fmt.name)
+
+
+def _iq2_val(idx):
+    """IQ2 value-index -> signed int: mag {8,25,43} via select chain,
+    sign from bit 2."""
+    t = idx & 3
+    mag = jnp.where(t == 0, 8, jnp.where(t == 1, 25, 43))
+    return mag * (1 - 2 * ((idx >> 2) & 1))
+
+
+def _iq3xxs_val(idx):
+    """IQ3_XXS value-index -> signed int: mag {4,12,...,52,62} = 4+8t
+    (t<7) else 62, sign from bit 3."""
+    t = idx & 7
+    mag = jnp.where(t == 7, 62, 4 + 8 * t)
+    return mag * (1 - 2 * ((idx >> 3) & 1))
 
 
 def _q5k_bits(qh, tk, tn):
@@ -256,6 +317,16 @@ _INT_FMT = {
     GGMLType.Q4_K: (32, "a", "b"),
     GGMLType.Q5_K: (32, "a", "b"),
     GGMLType.Q6_K: (16, "a", None),
+    GGMLType.IQ2_XXS: (32, "a", None),
+    GGMLType.IQ2_XS: (16, "a", None),
+    GGMLType.IQ2_S: (16, "a", None),
+    GGMLType.IQ3_XXS: (32, "a", None),
+    GGMLType.IQ3_S: (32, "a", None),
+    GGMLType.IQ1_S: (32, "a", "b"),
+    # IQ1_M excluded: its a (per-16) and b (per-8) planes have mixed
+    # granularity; it runs on the dequant-tile kernel path instead
+    GGMLType.TQ1_0: (32, "a", None),
+    GGMLType.TQ2_0: (32, "a", None),
 }
 
 
@@ -305,6 +376,15 @@ def _int_qtile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
         for i in range(1, 16):
             out = jnp.where(idx == i, int(vals[i]), out)
         return out.astype(jnp.int8)
+    if fmt in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S):
+        return _iq2_val(_unpack_nib(planes["qs"], fold)).astype(jnp.int8)
+    if fmt == GGMLType.IQ3_XXS:
+        return _iq3xxs_val(_unpack_nib(planes["qs"], fold)).astype(jnp.int8)
+    if fmt == GGMLType.IQ3_S:
+        idx = _unpack_nib(planes["qs"], fold)
+        return ((2 * (idx & 7) + 1) * (1 - 2 * (idx >> 3))).astype(jnp.int8)
+    if fmt in (GGMLType.IQ1_S, GGMLType.TQ1_0, GGMLType.TQ2_0):
+        return (_unpack_crumb(planes["qs"], fold) - 1).astype(jnp.int8)
     raise NotImplementedError(fmt.name)
 
 

@@ -46,6 +46,15 @@ REPACK_FORMATS = {
     GGMLType.MXFP4,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 }
 
 
@@ -606,6 +615,268 @@ def _dq_iq4_xs(p, shape, dtype, fold):
     lut = jnp.asarray(qb.IQ4NL_VALUES, dtype=jnp.float32)
     a = _group_repeat(p["a"].astype(jnp.float32), 32)
     return (lut[idx] * a).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# IQ grid-codebook + ternary formats (reference: ggml/src/ggml-cuda/
+# convert.cu per-format device dequant; grids ggml-common.h iq*_grid).
+#
+# TPU relayout: the grid*sign product of every element lands in a tiny
+# value set (IQ2: +-{8,25,43}; IQ3_XXS: +-{4,12,...,52,62}; IQ3_S: odd
+# +-1..15; IQ1/TQ: {-1,0,1}), so at load we fold codebook lookup + sign
+# into a per-element *value index* packed as nibbles (IQ2/IQ3) or crumbs
+# (IQ1/TQ), with the per-group effective scale materialized as an fp16
+# "a" plane (and "b" for IQ1's +-delta offset).  In-kernel decode is then
+# a short select chain / pure arithmetic — no gathers, MXU-friendly —
+# while HBM stays at 3-6 bits/weight (vs 16 for the bf16 inflation the
+# loader used to do).
+# ---------------------------------------------------------------------------
+
+# IQ2 nibble LUT: idx = mag_idx | (sign << 2) -> value
+IQ2_VALUES = np.array([8, 25, 43, 0, -8, -25, -43, 0], dtype=np.float32)
+# IQ3_XXS nibble LUT: idx = mag_idx | (sign << 3) -> value
+IQ3XXS_MAGS = np.array([4, 12, 20, 28, 36, 44, 52, 62], dtype=np.float32)
+IQ3XXS_VALUES = np.concatenate([IQ3XXS_MAGS, -IQ3XXS_MAGS]).astype(np.float32)
+
+
+def _signed_codes(vals: np.ndarray, mags: np.ndarray, sign_shift: int) -> np.ndarray:
+    """Element values from a signed magnitude set -> small index:
+    mag_idx | (neg << sign_shift)."""
+    mag_idx = np.searchsorted(mags, np.abs(vals)).astype(np.uint8)
+    return np.where(vals < 0, mag_idx | (1 << sign_shift), mag_idx).astype(np.uint8)
+
+
+def _iq2_planes(vals, db, group, n, k, fold):
+    """Common IQ2-family plane build: vals [nb, 256] signed element values,
+    db [nb, 256//group] per-group scales."""
+    idx = _signed_codes(vals, np.array([8, 25, 43], np.float32), 2).reshape(n, k)
+    return {
+        "qs": _pack_nibbles_k(idx.T, fold),
+        "a": np.ascontiguousarray(db.astype("<f2").reshape(n, k // group).T),
+    }
+
+
+@_repack_fmt(GGMLType.IQ2_XXS)
+def _rp_iq2_xxs(raw, n, k, fold):
+    b = raw.reshape(-1, 66)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    u32 = b[:, 2:].copy().view("<u4").reshape(nb, 8, 2)
+    codes = u32[:, :, 0].copy().view(np.uint8).reshape(nb, 8, 4)
+    aux = u32[:, :, 1]
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.25  # [nb, 8] per-32
+    signs = qb._sign_bits((aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)).astype(np.uint8))
+    grid = qb._iq_grids()["iq2_xxs_grid"][codes]  # [nb, 8, 4, 8]
+    vals = (grid * signs).reshape(nb, 256)
+    return _iq2_planes(vals, db, 32, n, k, fold)
+
+
+@_repack_fmt(GGMLType.IQ2_XS)
+def _rp_iq2_xs(raw, n, k, fold):
+    b = raw.reshape(-1, 74)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    qs = b[:, 2:66].copy().view("<u2").reshape(nb, 32)
+    sl = b[:, 66:74]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(nb, 16)
+    db = d * (0.5 + sc.astype(np.float32)) * 0.25  # [nb, 16] per-16
+    signs = qb._sign_bits((qs >> 9).astype(np.uint8))  # [nb, 32, 8]
+    grid = qb._iq_grids()["iq2_xs_grid"][qs & 511]
+    vals = (grid * signs).reshape(nb, 256)
+    return _iq2_planes(vals, db, 16, n, k, fold)
+
+
+@_repack_fmt(GGMLType.IQ2_S)
+def _rp_iq2_s(raw, n, k, fold):
+    b = raw.reshape(-1, 82)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    qs, sbytes, qh, sl = b[:, 2:34], b[:, 34:66], b[:, 66:74], b[:, 74:82]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(nb, 16)
+    db = d * (0.5 + sc.astype(np.float32)) * 0.25  # [nb, 16] per-16
+    hi = ((qh[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3).reshape(nb, 32)
+    idx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
+    signs = qb._raw_sign_bits(sbytes).reshape(nb, 32, 8)
+    grid = qb._iq_grids()["iq2_s_grid"][idx]
+    vals = (grid * signs).reshape(nb, 256)
+    return _iq2_planes(vals, db, 16, n, k, fold)
+
+
+def _dq_iq2(p, shape, dtype, fold, group):
+    idx = _unpack_nibbles_k(p["qs"], fold)
+    lut = jnp.asarray(IQ2_VALUES)
+    a = _group_repeat(p["a"].astype(jnp.float32), group)
+    return (lut[idx] * a).astype(dtype)
+
+
+_DEQUANT[GGMLType.IQ2_XXS] = partial(_dq_iq2, group=32)
+_DEQUANT[GGMLType.IQ2_XS] = partial(_dq_iq2, group=16)
+_DEQUANT[GGMLType.IQ2_S] = partial(_dq_iq2, group=16)
+
+
+@_repack_fmt(GGMLType.IQ3_XXS)
+def _rp_iq3_xxs(raw, n, k, fold):
+    b = raw.reshape(-1, 98)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    qs = b[:, 2:66]
+    aux = b[:, 66:98].copy().view("<u4").reshape(nb, 8)
+    db = d * (0.5 + (aux >> 28).astype(np.float32)) * 0.5  # [nb, 8] per-32
+    signs = qb._sign_bits(
+        (aux[:, :, None] >> np.array([0, 7, 14, 21], np.uint32)).astype(np.uint8)
+    ).reshape(nb, 32, 8)
+    grid = qb._iq_grids()["iq3_xxs_grid"][qs].reshape(nb, 32, 8)
+    vals = (grid * signs).reshape(nb, 256)
+    idx = _signed_codes(vals, IQ3XXS_MAGS, 3).reshape(n, k)
+    return {
+        "qs": _pack_nibbles_k(idx.T, fold),
+        "a": np.ascontiguousarray(db.astype("<f2").reshape(n, k // 32).T),
+    }
+
+
+@_dequant_fmt(GGMLType.IQ3_XXS)
+def _dq_iq3_xxs(p, shape, dtype, fold):
+    idx = _unpack_nibbles_k(p["qs"], fold)
+    lut = jnp.asarray(IQ3XXS_VALUES)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    return (lut[idx] * a).astype(dtype)
+
+
+@_repack_fmt(GGMLType.IQ3_S)
+def _rp_iq3_s(raw, n, k, fold):
+    b = raw.reshape(-1, 110)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    qs, qh, sbytes, sl = b[:, 2:66], b[:, 66:74], b[:, 74:106], b[:, 106:110]
+    sc = np.stack([sl & 0x0F, sl >> 4], axis=-1).reshape(nb, 8)
+    db = d * (1 + 2 * sc.astype(np.float32))  # [nb, 8] per-32
+    hi = ((qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1).reshape(nb, 64)
+    idx = qs.astype(np.uint16) | (hi.astype(np.uint16) << 8)
+    signs = qb._raw_sign_bits(sbytes).reshape(nb, 64, 4)
+    grid = qb._iq_grids()["iq3_s_grid"][idx].reshape(nb, 64, 4)
+    vals = (grid * signs).reshape(nb, 256)
+    # odd magnitudes 1..15: idx = (|v|-1)/2 | neg<<3 (pure arithmetic decode)
+    code = (((np.abs(vals) - 1) / 2).astype(np.uint8)
+            | np.where(vals < 0, np.uint8(8), np.uint8(0))).reshape(n, k)
+    return {
+        "qs": _pack_nibbles_k(code.T, fold),
+        "a": np.ascontiguousarray(db.astype("<f2").reshape(n, k // 32).T),
+    }
+
+
+@_dequant_fmt(GGMLType.IQ3_S)
+def _dq_iq3_s(p, shape, dtype, fold):
+    idx = _unpack_nibbles_k(p["qs"], fold)
+    q = (2 * (idx & 7) + 1) * (1 - 2 * (idx >> 3))
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    return (q.astype(jnp.float32) * a).astype(dtype)
+
+
+@_repack_fmt(GGMLType.IQ1_S)
+def _rp_iq1_s(raw, n, k, fold):
+    b = raw.reshape(-1, 50)
+    nb = b.shape[0]
+    d = qb._f16(b[:, :2])
+    qs = b[:, 2:34]
+    qh = b[:, 34:50].copy().view("<u2").reshape(nb, 8)
+    dl = d * (2 * ((qh >> 12) & 7) + 1).astype(np.float32)  # [nb, 8] per-32
+    delta = np.where((qh & 0x8000) == 0, np.float32(0.125), np.float32(-0.125))
+    hi = ((qh[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7).reshape(nb, 32)
+    idx = qs.astype(np.uint16) | (hi << 8)
+    grid = qb._iq_grids()["iq1_s_grid"][idx]  # [nb, 32, 8] in {-1,0,1}
+    code = (grid.reshape(nb, 256).astype(np.int8) + 1).astype(np.uint8).reshape(n, k)
+    return {
+        "qs": _pack_crumbs_k(code.T, fold),
+        "a": np.ascontiguousarray(dl.astype("<f2").reshape(n, k // 32).T),
+        "b": np.ascontiguousarray((-dl * delta).astype("<f2").reshape(n, k // 32).T),
+    }
+
+
+@_dequant_fmt(GGMLType.IQ1_S)
+def _dq_iq1_s(p, shape, dtype, fold):
+    q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    return (q * a - b).astype(dtype)
+
+
+@_repack_fmt(GGMLType.IQ1_M)
+def _rp_iq1_m(raw, n, k, fold):
+    b = raw.reshape(-1, 56)
+    nb = b.shape[0]
+    qs, qh = b[:, :32], b[:, 32:48]
+    sraw = b[:, 48:56].copy().view("<u2").reshape(nb, 4)
+    d16 = (sraw & np.uint16(0xF000)) >> np.array([12, 8, 4, 0], np.uint16)
+    d = (d16[:, 0] | d16[:, 1] | d16[:, 2] | d16[:, 3]).astype("<u2").view("<f2").astype(np.float32)
+    sc = ((sraw[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7).reshape(nb, 16)
+    dl = d[:, None] * (2 * sc.astype(np.float32) + 1)  # [nb, 16] per-16
+    hi = np.stack([qh & 0x0F, qh >> 4], axis=-1).reshape(nb, 32)
+    idx = qs.astype(np.uint16) | ((hi.astype(np.uint16) & 7) << 8)
+    delta = np.where((hi & 0x08) == 0, np.float32(0.125), np.float32(-0.125))  # [nb, 32] per-8
+    grid = qb._iq_grids()["iq1_m_grid"][idx]  # [nb, 32, 8]
+    code = (grid.reshape(nb, 256).astype(np.int8) + 1).astype(np.uint8).reshape(n, k)
+    dl8 = dl.repeat(2, axis=1)  # delta varies per-8; b at per-8 granularity
+    return {
+        "qs": _pack_crumbs_k(code.T, fold),
+        "a": np.ascontiguousarray(dl.astype("<f2").reshape(n, k // 16).T),
+        "b": np.ascontiguousarray((-dl8 * delta).astype("<f2").reshape(n, k // 8).T),
+    }
+
+
+@_dequant_fmt(GGMLType.IQ1_M)
+def _dq_iq1_m(p, shape, dtype, fold):
+    q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    b = _group_repeat(p["b"].astype(jnp.float32), 8)
+    return (q * a - b).astype(dtype)
+
+
+def _rp_ternary(code_nk, d, n, k, fold):
+    """code [n, k] in {0,1,2}; d [nb] per-256 scale replicated to per-32
+    (keeps the 'a' plane on the uniform kdiv=32 tile used by the kernels)."""
+    a = np.repeat(d.reshape(n, k // 256), 8, axis=1)
+    return {
+        "qs": _pack_crumbs_k(code_nk.T, fold),
+        "a": np.ascontiguousarray(a.astype("<f2").T),
+    }
+
+
+@_repack_fmt(GGMLType.TQ1_0)
+def _rp_tq1_0(raw, n, k, fold):
+    b = raw.reshape(-1, 54)
+    nb = b.shape[0]
+    qs, qh, dby = b[:, :48], b[:, 48:52], b[:, 52:54]
+    d = qb._f16(dby).reshape(nb)
+    m5 = np.array([1, 3, 9, 27, 81], dtype=np.uint8).reshape(1, 1, 5, 1)
+    q0 = (qs[:, :32].reshape(nb, 1, 1, 32) * m5).reshape(nb, 160)
+    q1 = (qs[:, 32:48].reshape(nb, 1, 1, 16) * m5).reshape(nb, 80)
+    m4 = np.array([1, 3, 9, 27], dtype=np.uint8).reshape(1, 1, 4, 1)
+    q2 = (qh.reshape(nb, 1, 1, 4) * m4).reshape(nb, 16)
+    q = np.concatenate([q0, q1, q2], axis=1)
+    code = ((q.astype(np.uint16) * 3) >> 8).astype(np.uint8).reshape(n, k)  # 0..2
+    return _rp_ternary(code, d, n, k, fold)
+
+
+@_repack_fmt(GGMLType.TQ2_0)
+def _rp_tq2_0(raw, n, k, fold):
+    b = raw.reshape(-1, 66)
+    nb = b.shape[0]
+    qs, dby = b[:, :64], b[:, 64:66]
+    d = qb._f16(dby).reshape(nb)
+    code = np.concatenate(
+        [qb._bits_unpack(qs[:, c * 32 : (c + 1) * 32], 2, 32) for c in range(2)], axis=1
+    ).reshape(n, k)
+    return _rp_ternary(code, d, n, k, fold)
+
+
+def _dq_ternary(p, shape, dtype, fold):
+    q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
+    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    return (q * a).astype(dtype)
+
+
+_DEQUANT[GGMLType.TQ1_0] = _dq_ternary
+_DEQUANT[GGMLType.TQ2_0] = _dq_ternary
 
 
 # ---------------------------------------------------------------------------

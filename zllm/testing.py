@@ -93,6 +93,36 @@ def make_llama_gguf(
     return path
 
 
+def make_quantized_raw(fmt: GGMLType, n: int, k: int, rng) -> np.ndarray:
+    """Valid random GGUF block bytes shaped [n, row_bytes]: uses the
+    encoder when one exists, otherwise random block bytes with fp16 scale
+    fields pinned finite (the IQ grid formats ship no encoder — same
+    approach as the reference's test-backend-ops random init)."""
+    fmt = GGMLType(fmt)
+    if fmt in qb.supported_encode():
+        x = rng.standard_normal((n, k)).astype(np.float32)
+        return qb.quantize(x, fmt)
+    blk, bsz = qb.GGML_BLOCK_SIZES[fmt]
+    nb = n * k // blk
+    raw = rng.integers(0, 256, (nb, bsz), dtype=np.uint8)
+    pin = {
+        GGMLType.IQ2_XXS: [(0, 2)], GGMLType.IQ2_XS: [(0, 2)],
+        GGMLType.IQ2_S: [(0, 2)], GGMLType.IQ3_XXS: [(0, 2)],
+        GGMLType.IQ3_S: [(0, 2)], GGMLType.IQ1_S: [(0, 2)],
+        GGMLType.TQ1_0: [(52, 54)],
+    }.get(fmt, [])
+    for lo, hi in pin:
+        half = (rng.integers(0, 1 << 10, nb, dtype=np.uint16) | (14 << 10)).astype("<u2")
+        raw[:, lo:hi] = half.copy().view(np.uint8).reshape(nb, 2)
+    if fmt == GGMLType.IQ1_M:
+        # the block scale f16 is assembled from the top nibbles of 4 u16s;
+        # pin the exponent-carrying nibble (sraw[3] top) to keep it finite
+        sraw = raw[:, 48:56].copy().view("<u2")
+        sraw[:, 3] = (sraw[:, 3] & 0x0FFF) | 0x3000
+        raw[:, 48:56] = sraw.copy().view(np.uint8)
+    return raw.reshape(n, -1)
+
+
 # llama-8B-shaped dims for benchmarking (Llama-3-8B geometry)
 LLAMA8B_SHAPE = dict(
     n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, n_ff=14336, vocab_size=128256
