@@ -85,3 +85,55 @@ def test_tp_dp_with_kv(tiny_q):
     ref_fn = jax.jit(lambda p, tk, q, c: forward(p, m.cfg, tk, q, c))
     ref, _ = ref_fn(m.params, jnp.asarray(toks), jnp.asarray(pos), kv1)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=5e-3, atol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny_moe(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    path = str(tmp_path_factory.mktemp("m") / "moe.gguf")
+    make_llama_gguf(path, n_layers=2, n_embd=256, n_heads=4, n_kv_heads=4,
+                    n_ff=512, vocab_size=512, gtype=GGMLType.Q4_K,
+                    n_experts=16, n_experts_used=2)
+    return Model.load(path, quantized=True, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("t", [6, 1], ids=["dense-regime", "sparse-regime"])
+def test_expert_parallel_matches_single(tiny_moe, t):
+    """EP-sharded MoE forward == unsharded forward (the reference computes
+    identical results for any expert placement; build_moe_ffn
+    src/llama-graph.cpp:964-1140).  t=6 exercises the dense masked-einsum
+    regime, t=1 the sparse gather regime (T*k < E_local)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.models.llama import forward
+    from zllm.parallel import make_mesh, shard_params, sharded_forward_fn
+    from zllm.quant.repack import QTensorE
+
+    m = tiny_moe
+    assert isinstance(m.params["layers"][0]["ffn_gate_exps"], QTensorE)
+    rng = np.random.default_rng(1)
+    b = 2
+    tokens = jnp.asarray(rng.integers(0, m.cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+
+    ref_fn = jax.jit(lambda p, tk, q: forward(p, m.cfg, tk, q, None)[0])
+    ref = np.asarray(ref_fn(m.params, tokens, positions))
+
+    mesh = make_mesh(jax.devices(), dp=2, tp=4)
+    params, leaf_specs, plan = shard_params(m.params, mesh, m.cfg)
+    assert plan.moe, plan
+    # expert stacks actually sharded: local plane E extent is E/tp
+    gexps = params["layers"][0]["ffn_gate_exps"]
+    for p in gexps.planes.values():
+        for shard in p.addressable_shards:
+            assert shard.data.shape[0] == 4  # 16 experts / tp=4
+    step = sharded_forward_fn(m.cfg, mesh, leaf_specs, plan, with_kv=False)
+    got = np.asarray(step(params, tokens, positions))
+
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-4)

@@ -60,7 +60,17 @@ def _experts_dense(w, dtype) -> jax.Array:
     return w.astype(dtype)
 
 
-def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
+def _local_expert_count(w) -> int:
+    """Leading expert-axis extent of the *local shard* (under shard_map a
+    QTensorE's .shape still holds global dims; planes are local)."""
+    from ..quant.repack import QTensorE
+
+    if isinstance(w, QTensorE):
+        return next(iter(w.planes.values())).shape[0]
+    return w.shape[0]
+
+
+def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     """Mixture-of-experts FFN (reference: build_moe_ffn,
     src/llama-graph.cpp:964-1140; sparse dispatch via ggml_mul_mat_id
     :761-774).  Two static dispatch regimes:
@@ -70,6 +80,13 @@ def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
     * dense (prefill, T*k >= E): every expert runs over the whole batch,
       gated by a scattered [T, E] mask — at large T every expert has
       tokens anyway and one big MXU einsum beats per-token gathers
+
+    Expert parallelism (`ep_axis` set, inside shard_map): the expert stacks
+    are sharded over the mesh axis on their leading E dim (the TPU-native
+    counterpart of the reference's per-device expert split).  The router
+    runs replicated; each device computes only the selected experts that
+    live in its shard (others masked to zero) and a psum combines — each
+    device's HBM traffic covers E/ep experts.
     """
     moe = cfg.moe
     lead, kdim = h.shape[:-1], h.shape[-1]
@@ -86,7 +103,17 @@ def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
     act = swiglu if cfg.act == "silu" else geglu
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
-    if t * moe.n_experts_used < moe.n_experts:
+    e_local = _local_expert_count(gate_w)
+    if ep_axis is not None:
+        # map global expert ids onto this shard; foreign experts clamp to
+        # slot 0 with zero routing weight (their product drops out of psum)
+        lo = lax.axis_index(ep_axis) * e_local
+        li = topi - lo
+        inb = (li >= 0) & (li < e_local)
+        topi = jnp.where(inb, li, 0)
+        topv = jnp.where(inb, topv, 0.0)
+
+    if t * moe.n_experts_used < e_local:
         gw = _experts_gather(gate_w, topi, h.dtype)  # [T, k, K, F]
         uw = _experts_gather(up_w, topi, h.dtype)
         dw = _experts_gather(down_w, topi, h.dtype)  # [T, k, F, K]
@@ -95,8 +122,12 @@ def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
         de = jnp.einsum("tef,tefk->tek", act(ge, ue), dw)
         out = jnp.einsum("tek,te->tk", de, topv.astype(de.dtype))
     else:
-        dense_gate = jnp.zeros_like(probs)  # scatter kept weights to [T, E]
-        dense_gate = jax.vmap(lambda g, i, v: g.at[i].set(v))(dense_gate, topi, topv)
+        # scatter kept weights to a [T, E_local] mask
+        dense_gate = jnp.zeros((t, e_local), probs.dtype)
+        dense_gate = jax.vmap(lambda g, i, v: g.at[i].add(v))(dense_gate, topi, topv)
+        if ep_axis is not None:
+            # clamped foreign ids land on slot 0 with v=0: add is a no-op
+            pass
         gwd = _experts_dense(gate_w, h.dtype)
         uwd = _experts_dense(up_w, h.dtype)
         dwd = _experts_dense(down_w, h.dtype)
@@ -105,6 +136,8 @@ def moe_ffn(layer, cfg, h: jax.Array) -> jax.Array:
         de = jnp.einsum("tef,efk->tek", act(ge, ue), dwd)
         out = jnp.einsum("tek,te->tk", de, dense_gate.astype(de.dtype))
 
+    if ep_axis is not None:
+        out = lax.psum(out, ep_axis)
     out = out.reshape(*lead, kdim)
     if "ffn_gate_shexp" in layer:
         sh = act(linear(h, layer["ffn_gate_shexp"]), linear(h, layer["ffn_up_shexp"]))
@@ -121,6 +154,7 @@ def forward(
     *,
     logits_for: str = "all",  # "all" | "last"
     taps: dict | None = None,  # out-param: per-linear input activations
+    ep_axis: str | None = None,  # mesh axis sharding MoE expert stacks
 ):
     """Returns (logits [B, T or 1, vocab] f32, updated kv).
 
@@ -184,7 +218,7 @@ def forward(
         if taps is not None:
             taps[f"blk.{il}.ffn_gate.weight"] = h2
         if cfg.moe is not None and "ffn_gate_inp" in layer:
-            ff = moe_ffn(layer, cfg, h2)
+            ff = moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
         else:
             act = swiglu if cfg.act == "silu" else geglu
             if "ffn_gateup" in layer:  # load-time fused gate|up
@@ -206,6 +240,8 @@ def forward(
     if logits_for == "last":
         x = x[:, -1:, :]
     logits = linear(x, params["output"]).astype(jnp.float32)
+    if logits.shape[-1] != cfg.vocab_size:  # vocab head padded for tiling
+        logits = logits[..., : cfg.vocab_size]
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:

@@ -265,6 +265,12 @@ class Model:
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
         if fuse:
             params = fuse_projections(params, cfg)
+        if isinstance(params.get("output"), QTensor):
+            from ..quant.repack import pad_n
+
+            # widest kernel N-tile for the vocab head (forward slices the
+            # logits back to cfg.vocab_size)
+            params["output"] = pad_n(params["output"], 512)
         f.close()
 
         # route QTensor matmuls through the fused Pallas kernels on TPU

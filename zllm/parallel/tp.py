@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..quant.repack import QTensor
+from ..quant.repack import QTensor, QTensorE
 
 
 def make_mesh(devices=None, dp: int = 1, tp: int | None = None) -> Mesh:
@@ -62,6 +62,7 @@ class TpPlan:
     kv: bool  # KV cache heads sharded (follows attn)
     ffn: bool  # gate/up N-shard, down K-shard+psum
     vocab: bool  # output head vocab-shard + gather
+    moe: bool = False  # expert stacks E-sharded over tp + psum combine (EP)
 
 
 def plan_for(cfg, params, tp: int) -> TpPlan:
@@ -82,7 +83,12 @@ def plan_for(cfg, params, tp: int) -> TpPlan:
         and _n_shardable(layer0["ffn_gate"], tp)
     )
     vocab = isinstance(params["output"], QTensor) and _n_shardable(params["output"], tp)
-    return TpPlan(attn=attn, kv=attn, ffn=ffn, vocab=vocab)
+    moe = (
+        "ffn_gate_exps" in layer0
+        and cfg.moe is not None
+        and cfg.moe.n_experts % tp == 0
+    )
+    return TpPlan(attn=attn, kv=attn, ffn=ffn, vocab=vocab, moe=moe)
 
 
 def _flag_and_spec(key: str, w, plan: TpPlan):
@@ -99,6 +105,9 @@ def _flag_and_spec(key: str, w, plan: TpPlan):
         return w.with_collectives(psum_axis="tp"), P("tp", None)
     if key == "output" and plan.vocab:
         return w.with_collectives(gather_axis="tp"), P(None, "tp")
+    if key.endswith("_exps") and plan.moe:
+        # expert parallelism: E axis (leading, on every plane) over tp
+        return w, P("tp")
     return w, P()
 
 
@@ -149,11 +158,16 @@ def _expand_qtensor_specs(params, specs):
                 psum_axis=value.psum_axis, gather_axis=value.gather_axis,
                 planes={k: spec for k in value.planes},
             )
+        if isinstance(value, QTensorE):
+            return QTensorE(
+                fmt=value.fmt, shape=value.shape, fold=value.fold,
+                planes={k: spec for k in value.planes},
+            )
         return spec
 
     return jax.tree_util.tree_map(
         expand, params, specs,
-        is_leaf=lambda x: isinstance(x, (QTensor, P)),
+        is_leaf=lambda x: isinstance(x, (QTensor, QTensorE, P)),
     )
 
 
@@ -170,10 +184,11 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
     from ..models.llama import forward
 
     data_spec = P("dp", None)
+    ep = "tp" if plan.moe else None
 
     if with_kv:
         def fn(params, tokens, positions, kv):
-            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
+            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for, ep_axis=ep)
 
         mapped = jax.shard_map(
             fn, mesh=mesh,
@@ -184,7 +199,7 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
         return jax.jit(mapped, donate_argnums=(3,))
 
     def fn2(params, tokens, positions):
-        return forward(params, cfg, tokens, positions, None, logits_for=logits_for)[0]
+        return forward(params, cfg, tokens, positions, None, logits_for=logits_for, ep_axis=ep)[0]
 
     mapped = jax.shard_map(
         fn2, mesh=mesh,

@@ -194,6 +194,26 @@ def concat_n(qts: list[QTensor]) -> QTensor:
     return QTensor(fmt=fmt, shape=(k, sum(q.shape[1] for q in qts)), planes=planes, fold=fold)
 
 
+def pad_n(qt: QTensor, mult: int) -> QTensor:
+    """Zero-pad the output-feature axis to a multiple of `mult` so the
+    matmul kernels can use their widest N tile (the vocab head's 32000
+    otherwise forces a narrow tile).  Padded columns dequantize to zero
+    (all planes zero -> q*a - b with a=b=0); callers slice logits back to
+    the true vocab."""
+    k, n = qt.shape
+    pad = (-n) % mult
+    if pad == 0:
+        return qt
+    planes = {
+        key: jnp.concatenate(
+            [p, jnp.zeros(p.shape[:-1] + (pad,), p.dtype)], axis=-1
+        )
+        for key, p in qt.planes.items()
+    }
+    return QTensor(fmt=qt.fmt, shape=(k, n + pad), planes=planes, fold=qt.fold,
+                   psum_axis=qt.psum_axis, gather_axis=qt.gather_axis)
+
+
 def split_n(qt: QTensor, sizes: list[int]) -> list[QTensor]:
     """Inverse of concat_n: slice planes at N boundaries."""
     outs, off = [], 0

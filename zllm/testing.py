@@ -27,6 +27,8 @@ def make_llama_gguf(
     seed: int = 0,
     rope_base: float = 10000.0,
     ctx_len: int = 4096,
+    n_experts: int = 0,
+    n_experts_used: int = 2,
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_heads
@@ -48,6 +50,10 @@ def make_llama_gguf(
     w.add("llama.rope.freq_base", rope_base)
     w.add("llama.rope.dimension_count", head_dim)
     w.add("llama.vocab_size", vocab_size)
+    if n_experts:
+        w.add("llama.expert_count", n_experts)
+        w.add("llama.expert_used_count", n_experts_used)
+        w.add("llama.expert_feed_forward_length", n_ff)
 
     def emit(name: str, shape, scale=0.02, force_f32=False):
         t = GGMLType.F32 if force_f32 else gtype
@@ -84,9 +90,28 @@ def make_llama_gguf(
         emit(o + "attn_v.weight", (kv_dim, n_embd))
         emit(o + "attn_output.weight", (n_embd, q_dim))
         emit(o + "ffn_norm.weight", (n_embd,), 1.0, force_f32=True)
-        emit(o + "ffn_gate.weight", (n_ff, n_embd))
-        emit(o + "ffn_up.weight", (n_ff, n_embd))
-        emit(o + "ffn_down.weight", (n_embd, n_ff))
+        if n_experts:
+            emit(o + "ffn_gate_inp.weight", (n_experts, n_embd), force_f32=True)
+            for stack, shp in (
+                ("ffn_gate_exps", (n_ff, n_embd)),
+                ("ffn_up_exps", (n_ff, n_embd)),
+                ("ffn_down_exps", (n_embd, n_ff)),
+            ):
+                x = rng.standard_normal((n_experts,) + shp).astype(np.float32) * 0.02
+                t = gtype
+                if shp[-1] % qb.GGML_BLOCK_SIZES[t][0] != 0:
+                    t = GGMLType.F32
+                if t == GGMLType.F32:
+                    w.add_tensor(o + stack + ".weight", x)
+                else:
+                    w.add_tensor(
+                        o + stack + ".weight", qb.quantize(x, t),
+                        logical_shape=x.shape, gtype=t,
+                    )
+        else:
+            emit(o + "ffn_gate.weight", (n_ff, n_embd))
+            emit(o + "ffn_up.weight", (n_ff, n_embd))
+            emit(o + "ffn_down.weight", (n_embd, n_ff))
     emit("output_norm.weight", (n_embd,), 1.0, force_f32=True)
     emit("output.weight", (vocab_size, n_embd))
     w.write()
