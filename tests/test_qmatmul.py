@@ -108,3 +108,21 @@ def test_w4a8_integer_products_exact():
     got = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
     # integer partial products are exact; only f32 summation order differs
     np.testing.assert_allclose(got, ref, rtol=3e-5)
+
+
+@pytest.mark.parametrize("fmt", sorted(qmm._DUALDOT_FMTS, key=int), ids=lambda t: t.name)
+def test_dualdot_matches_plain_w4a8(fmt, monkeypatch):
+    """The packed-byte dual-dot kernel must agree with the unpacking int8
+    path to summation-order tolerance (both pipelines are integer-exact
+    before the f32 epilogue)."""
+    import jax.numpy as jnp
+
+    k, n = 512, 256
+    w = RNG.standard_normal((n, k)).astype(np.float32)
+    qt = rp.repack(qb.quantize(w, fmt), (n, k), fmt)
+    x = RNG.standard_normal((1, k)).astype(np.float32)
+    monkeypatch.setenv("ZLLM_QMM_DUALDOT", "1")
+    y_dd = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
+    monkeypatch.setenv("ZLLM_QMM_DUALDOT", "0")
+    y_std = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
+    np.testing.assert_allclose(y_dd, y_std, rtol=1e-5, atol=1e-4)

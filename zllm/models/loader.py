@@ -270,7 +270,7 @@ class Model:
 
             # widest kernel N-tile for the vocab head (forward slices the
             # logits back to cfg.vocab_size)
-            params["output"] = pad_n(params["output"], 512)
+            params["output"] = pad_n(params["output"], 1024)
         f.close()
 
         # route QTensor matmuls through the fused Pallas kernels on TPU

@@ -488,6 +488,160 @@ def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, interpret=Fa
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# dual-dot packed-byte W4A8 (nibble formats)
+# ---------------------------------------------------------------------------
+# The nibble unpack (u8 -> i32 widen, mask, shift, concat) is the VPU cost
+# that holds the plain W4A8 kernel at ~60% of HBM bandwidth.  This variant
+# never unpacks: the MXU consumes the *packed* bytes directly, twice.
+# With byte[r] = lo[r] + 16*hi[r] (split-half fold packing):
+#
+#   B1 = byte - 128            (s8 via xor 0x80 + bitcast)
+#   B2 = lo - 128              (s8 via (byte & 0x0F) ^ 0x80 + bitcast)
+#
+# and a coefficient matrix C [2*GB, KH] holding, for byte-group j
+# (32 byte rows), the activation codes at the lo positions (row 2j) and hi
+# positions (row 2j+1), zeros elsewhere:
+#
+#   P1 = C @ B1 = C.lo + 16*C.hi - 128*S     (S = row sums of C)
+#   P2 = C @ B2 = C.lo         - 128*S
+#   => Plo = P2 + 128*S ;  Phi = (P1 - P2)/16
+#
+# Row 2j's wanted group-sum is Plo, row 2j+1's is Phi (the other half of
+# each equation is a cross-term that drops out).  All values stay < 2^24,
+# so the f32 epilogue is exact (P1-P2 = 16*C.hi is exactly divisible).
+# Per-byte VPU work: one u8 mask + two xors — pure bitwise, the only u8
+# vector ops this Mosaic legalizes (add/mul/shift on i8 are rejected:
+# "Only vector<i16> and vector<i32> are supported") — ~6x less than the
+# unpack path; MXU MACs unchanged (two dots at half the contraction
+# length).
+#
+# Measured (TinyLlama Q4_K decode, real TPU): 452 tok/s vs 558 for the
+# unpack path at the same TN=1024 tiling — the per-step C-matrix build +
+# epilogue permutes outweigh the unpack saving, so this stays opt-in
+# (ZLLM_QMM_DUALDOT=1) as a documented experiment.
+_DUALDOT_FMTS = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
+
+
+def _rowperm_fold(t, nc: int):
+    """[G, W] per-k-group rows -> byte-row-group order (chunk-major,
+    lo/hi interleaved): row c*(G/nc) + 2j + parity <- k-group row
+    c*(G/nc) + parity*(G/(2nc)) + j."""
+    g, w = t.shape
+    tr = t.reshape(nc, 2, g // (2 * nc), w)
+    return jnp.stack([tr[:, 0], tr[:, 1]], axis=2).reshape(g, w)
+
+
+def _w4a8dd_kernel(fmt, fold, tk, tn, has_b, slice_rows, xq2_ref, dx_ref, *refs):
+    out_ref = refs[-1]
+    if has_b:
+        e_ref, plane_refs = refs[0], refs[1:-1]
+    else:
+        e_ref, plane_refs = None, refs[:-1]
+    names = _PLANE_ORDER[fmt]
+    j = pl.program_id(1)
+    planes = {}
+    for nm, r, srows in zip(names, plane_refs, slice_rows):
+        planes[nm] = r[:] if srows is None else r[pl.ds(j * srows, srows), :]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    kh = tk // 2  # packed byte rows in this k-step
+    g = tk // 32  # scale groups (also C rows: 2 per byte-group of 32 rows)
+    nc = tk // fold  # fold chunks
+    qs = planes["qs"]  # u8 [KH, TN]
+    b1 = jax.lax.bitcast_convert_type(qs ^ 0x80, jnp.int8)
+    b2 = jax.lax.bitcast_convert_type((qs & 0x0F) ^ 0x80, jnp.int8)
+
+    # coefficient matrix C [G, KH]: row 2j+p holds xq2[p] on byte-group j
+    xq2 = xq2_ref[:].astype(jnp.int32)  # [2, KH] lo/hi-ordered act codes
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, kh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, kh), 1)
+    ind = ((rows >> 1) == (cols // 32)).astype(jnp.int32)
+    xsel = jnp.where((rows & 1) == 0, xq2[0:1, :], xq2[1:2, :])
+    c32 = xsel * ind
+    cmat = c32.astype(jnp.int8)
+    s = jnp.sum(c32, axis=1, keepdims=True).astype(jnp.float32)  # [G, 1]
+
+    p1 = jax.lax.dot_general(
+        cmat, b1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    p2 = jax.lax.dot_general(
+        cmat, b2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    plo = p2 + 128.0 * s
+    phi = (p1 - p2) * 0.0625
+    parity = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0) & 1
+    pi = jnp.where(parity == 0, plo, phi)  # [G, TN] in byte-row-group order
+    if fmt == GGMLType.Q4_0:
+        pi = pi - 8.0 * s  # constant -8 offset of the format
+
+    a = _rowperm_fold(_int_scale_f32(fmt, planes), nc)  # scales, same order
+    dxp = _rowperm_fold(dx_ref[:], nc)
+    contrib = pi * a * dxp[:, :1]
+    if has_b:
+        contrib = contrib - _load_f16(planes["b"]) * e_ref[:, :1]  # k-order; sum-invariant
+    out_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
+def _qmm_w4a8dd_call(xq2, dx, e, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+    import os as _os
+
+    _, _, bname = _INT_FMT[fmt]
+    tk = fold
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+    if mult > 1 and k % (fold * mult) == 0:
+        tk = fold * mult
+    g = tk // 32
+    names = _PLANE_ORDER[fmt]
+    grid = (n // tn, k // tk)
+    has_b = bname is not None
+
+    in_specs = [
+        pl.BlockSpec((2, tk // 2), lambda i, j: (0, j), memory_space=pltpu.VMEM),  # xq2
+        pl.BlockSpec((g, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),  # dx
+    ]
+    args = [xq2, dx]
+    if has_b:
+        in_specs.append(pl.BlockSpec((g, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM))
+        args.append(e)
+    slice_rows = []
+    for nm in names:
+        kdiv = _plane_kdiv(fmt, nm)
+        rows = tk // kdiv
+        if rows % 8 == 0:
+            in_specs.append(
+                pl.BlockSpec((rows, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+            )
+            slice_rows.append(None)
+        else:
+            in_specs.append(
+                pl.BlockSpec((k // kdiv, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            )
+            slice_rows.append(rows)
+    args.extend(planes_tuple)
+
+    kernel = functools.partial(_w4a8dd_kernel, fmt, fold, tk, tn, has_b, tuple(slice_rows))
+    qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * k * n // 2, bytes_accessed=qbytes + 4 * n, transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _quant_acts(x: jax.Array, group: int):
     """Per-group symmetric int8 activation quantization (the analogue of
     the reference's quantize_row_q8_0/q8_2).  x: [1, K] -> (xq int8 [1,K],
@@ -515,10 +669,17 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
 
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "512"))
-    tn = next((t for t in (tn_pref, 512, 256, 128) if n % t == 0), 128)
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
+    tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
     xq, dx, e = _quant_acts(x, group)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if qt.fmt in _DUALDOT_FMTS and os.environ.get("ZLLM_QMM_DUALDOT", "0") == "1":
+        # lo/hi-ordered activation codes (one row per nibble position)
+        xq2 = xq.reshape(k // qt.fold, 2, qt.fold // 2).transpose(1, 0, 2).reshape(2, k // 2)
+        return _qmm_w4a8dd_call(
+            xq2, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn,
+            interpret=interpret,
+        )
     return _qmm_w4a8_call(
         xq, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret
     )
@@ -643,8 +804,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     # TN=512 measured ~17% faster full-model decode than 256 (fewer grid
     # steps); narrow-dtype (u8/bf16) dequant is blocked on Mosaic's missing
     # u8 shift legalization
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "512"))
-    tn = next((t for t in (tn_pref, 512, 256, 128) if n % t == 0), 128)
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
+    tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret)
     return y
