@@ -1,0 +1,88 @@
+"""Pipeline parallelism: GPipe microbatch rotation over a "pp" mesh axis
+must reproduce the single-device forward bit-for-tolerance (reference
+capability: layer-split mode + microbatch overlap, ggml-backend.cpp:712).
+Runs on the 8-virtual-CPU-device mesh from conftest."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zllm.gguf.constants import GGMLType
+from zllm.models.llama import forward
+from zllm.models.loader import Model
+from zllm.parallel.pp import (
+    make_pp_mesh, pp_forward_fn, pp_kv_create, pp_put, stage_params,
+)
+from zllm.runtime.kvcache import KVCache
+from zllm.testing import make_llama_gguf
+
+
+@pytest.fixture(scope="module")
+def model():
+    path = os.path.join(tempfile.gettempdir(), "zllm_pp_test.gguf")
+    if not os.path.exists(path):
+        make_llama_gguf(
+            path, n_layers=4, n_embd=128, n_heads=4, n_kv_heads=2,
+            n_ff=256, vocab_size=512, gtype=GGMLType.Q8_0,
+        )
+    return Model.load(path, quantized=True, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("pp,n_micro", [(2, 2), (4, 2), (2, 4)])
+def test_pp_prefill_parity(model, pp, n_micro):
+    cfg = model.cfg
+    mesh = make_pp_mesh(jax.devices()[:pp], pp=pp)
+    shared, stages = stage_params(model.params, pp)
+    shared, stages = pp_put(shared, stages, mesh)
+
+    b, t = n_micro * 2, 8
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+
+    step = pp_forward_fn(cfg, mesh, n_micro)
+    got = np.asarray(step(shared, stages, tokens, positions))
+    want, _ = forward(model.params, cfg, tokens, positions, None)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pp_kv_decode_parity(model):
+    """Prefill through the pipeline cache, then a T=1 decode step — both
+    must match the plain KVCache path."""
+    cfg = model.cfg
+    pp, n_micro = 2, 2
+    mesh = make_pp_mesh(jax.devices()[:pp], pp=pp)
+    shared, stages = stage_params(model.params, pp)
+    shared, stages = pp_put(shared, stages, mesh)
+
+    b, t, s_max = n_micro * 2, 8, 32
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+
+    step = pp_forward_fn(cfg, mesh, n_micro, with_kv=True, logits_for="last")
+    kvk, kvv = pp_kv_create(cfg, mesh, n_micro, b, s_max, jnp.float32)
+    got, kvk, kvv = step(shared, stages, tokens, positions, kvk, kvv)
+
+    kv = KVCache.create(cfg.n_layers, b, s_max, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    want, kv = forward(model.params, cfg, tokens, positions, kv, logits_for="last")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    # cache contents must agree (stages hold [pp, Lp, B+mb, H, S, D])
+    mb = b // n_micro
+    kk = np.asarray(kvk).reshape(cfg.n_layers, b + mb, cfg.n_kv_heads, s_max, cfg.head_dim)
+    for il in range(cfg.n_layers):
+        np.testing.assert_allclose(
+            kk[il, :b, :, :t, :], np.asarray(kv.k[il])[:, :, :t, :], rtol=2e-3, atol=2e-3
+        )
+
+    # decode one token from the cache
+    tok1 = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 1)).astype(np.int32))
+    pos1 = jnp.full((b, 1), t, jnp.int32)
+    got1, kvk, kvv = step(shared, stages, tok1, pos1, kvk, kvv)
+    want1, kv = forward(model.params, cfg, tok1, pos1, kv, logits_for="last")
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=2e-4, atol=2e-4)

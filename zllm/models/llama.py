@@ -145,6 +145,96 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     return out.astype(h.dtype)
 
 
+def layer_forward(
+    layer: dict,
+    cfg,
+    x: jax.Array,  # [B, T, K]
+    positions: jax.Array,  # [B, T]
+    kv,  # duck-typed cache (update/layer) or None
+    il,  # layer index into kv; int, or traced (pipeline stage scan)
+    *,
+    window: int = 0,
+    taps: dict | None = None,
+    ep_axis: str | None = None,
+):
+    """One transformer block (the loop body of src/models/llama.cpp:29-147):
+    pre-norm attention with RoPE'd GQA + KV-cache insert, then SwiGLU/MoE
+    FFN, both residual.  Returns (x, kv).  `kv` is anything exposing
+    .update(il, k, v, positions) -> cache and .layer(il) -> (K, V)
+    [B, Hkv, S, D] — KVCache/KVCacheQ8 (int il) or a pipeline StageKV
+    (traced il)."""
+    b, t = x.shape[:2]
+    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
+    tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
+
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    if taps is not None:
+        taps[f"{tapname}.attn_q.weight"] = h
+    if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
+        qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
+        q = q.reshape(b, t, -1, cfg.head_dim)
+        k = k.reshape(b, t, -1, cfg.head_dim)
+        v = v.reshape(b, t, -1, cfg.head_dim)
+    else:
+        # head counts are derived from the (possibly tp-sharded) projections
+        q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
+        k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
+        v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
+
+    if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
+        q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
+
+    q = apply_rope(q, positions, cfg.rope)
+    k = apply_rope(k, positions, cfg.rope)
+
+    if kv is not None:
+        kv = kv.update(il, k, v, positions)
+        k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
+    else:
+        k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+    att = attention(
+        q, k_all, v_all, positions, scale=scale,
+        softcap=cfg.attn_logit_softcap, window=window,
+        sinks=layer.get("attn_sinks"),
+    )
+    # under tensor parallelism wo carries a psum flag (zllm.parallel);
+    # bias is added after the reduce
+    att = att.reshape(b, t, -1)
+    if taps is not None:
+        taps[f"{tapname}.attn_output.weight"] = att
+    att = lora_linear(layer, "wo", att)
+    if "bo" in layer:
+        att = att + layer["bo"].astype(att.dtype)
+    if "attn_post_norm" in layer:
+        att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
+    x = x + att
+
+    h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+    if taps is not None:
+        taps[f"{tapname}.ffn_gate.weight"] = h2
+    if cfg.moe is not None and "ffn_gate_inp" in layer:
+        ff = moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
+    else:
+        act = swiglu if cfg.act == "silu" else geglu
+        if "ffn_gateup" in layer:  # load-time fused gate|up
+            gup = lora_linear(layer, "ffn_gateup", h2)
+            half = gup.shape[-1] // 2
+            gu = act(gup[..., :half], gup[..., half:])
+        else:
+            gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
+        if taps is not None:
+            taps[f"{tapname}.ffn_down.weight"] = gu
+        ff = lora_linear(layer, "ffn_down", gu)
+    if "ffn_post_norm" in layer:
+        ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
+    x = x + ff
+    return x, kv
+
+
 def forward(
     params,
     cfg,
@@ -163,76 +253,13 @@ def forward(
     callback (ggml_backend_sched_eval_callback, used by imatrix); the
     caller must return/consume them inside the same trace."""
     x = embed(params, cfg, tokens)
-    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
-    b, t = tokens.shape
 
     for il, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        if taps is not None:
-            taps[f"blk.{il}.attn_q.weight"] = h
-        if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
-            qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
-            qd, kvd = cfg.q_dim, cfg.kv_dim
-            q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
-            q = q.reshape(b, t, -1, cfg.head_dim)
-            k = k.reshape(b, t, -1, cfg.head_dim)
-            v = v.reshape(b, t, -1, cfg.head_dim)
-        else:
-            # head counts are derived from the (possibly tp-sharded) projections
-            q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
-            k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
-            v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
-
-        if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
-            q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
-            k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
-
-        q = apply_rope(q, positions, cfg.rope)
-        k = apply_rope(k, positions, cfg.rope)
-
         window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
-        if kv is not None:
-            kv = kv.update(il, k, v, positions)
-            k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
-        else:
-            k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-
-        att = attention(
-            q, k_all, v_all, positions, scale=scale,
-            softcap=cfg.attn_logit_softcap, window=window,
-            sinks=layer.get("attn_sinks"),
+        x, kv = layer_forward(
+            layer, cfg, x, positions, kv, il,
+            window=window, taps=taps, ep_axis=ep_axis,
         )
-        # under tensor parallelism wo carries a psum flag (zllm.parallel);
-        # bias is added after the reduce
-        att = att.reshape(b, t, -1)
-        if taps is not None:
-            taps[f"blk.{il}.attn_output.weight"] = att
-        att = lora_linear(layer, "wo", att)
-        if "bo" in layer:
-            att = att + layer["bo"].astype(att.dtype)
-        if "attn_post_norm" in layer:
-            att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
-        x = x + att
-
-        h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
-        if taps is not None:
-            taps[f"blk.{il}.ffn_gate.weight"] = h2
-        if cfg.moe is not None and "ffn_gate_inp" in layer:
-            ff = moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
-        else:
-            act = swiglu if cfg.act == "silu" else geglu
-            if "ffn_gateup" in layer:  # load-time fused gate|up
-                gup = lora_linear(layer, "ffn_gateup", h2)
-                half = gup.shape[-1] // 2
-                gu = act(gup[..., :half], gup[..., half:])
-            else:
-                gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
-            if taps is not None:
-                taps[f"blk.{il}.ffn_down.weight"] = gu
-            ff = lora_linear(layer, "ffn_down", gu)
-        if "ffn_post_norm" in layer:
-            ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
-        x = x + ff
 
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)
     if taps is not None:

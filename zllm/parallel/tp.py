@@ -171,10 +171,21 @@ def _expand_qtensor_specs(params, specs):
     )
 
 
-def kv_spec(plan: TpPlan) -> P:
-    """KV cache leaves (per-layer [B, H, S, D]): batch over dp, kv-heads
-    over tp; one spec serves every leaf of the KVCache pytree."""
-    return P("dp", "tp" if plan.kv else None, None, None)
+def kv_spec(plan: TpPlan, mesh: Mesh | None = None) -> P:
+    """KV cache leaves (per-layer [B, H, S, D]): batch over the data axes
+    (("dcn","dp") on hybrid multi-host meshes), kv-heads over tp; one spec
+    serves every leaf of the KVCache pytree."""
+    baxes = _batch_axes(mesh)
+    return P(baxes, "tp" if plan.kv else None, None, None)
+
+
+def _batch_axes(mesh: Mesh | None):
+    if mesh is None:
+        return "dp"
+    from .dist import batch_axes
+
+    axes = batch_axes(mesh)
+    return axes if len(axes) > 1 else (axes[0] if axes else None)
 
 
 def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True, logits_for="all"):
@@ -183,7 +194,7 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
     over tp; weight collectives fire inside linear()."""
     from ..models.llama import forward
 
-    data_spec = P("dp", None)
+    data_spec = P(_batch_axes(mesh), None)
     ep = "tp" if plan.moe else None
 
     if with_kv:
@@ -192,8 +203,8 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
 
         mapped = jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan)),
-            out_specs=(P("dp", None, None), kv_spec(plan)),
+            in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan, mesh)),
+            out_specs=(P(_batch_axes(mesh), None, None), kv_spec(plan, mesh)),
             check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=(3,))
@@ -204,7 +215,7 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
     mapped = jax.shard_map(
         fn2, mesh=mesh,
         in_specs=(leaf_specs, data_spec, data_spec),
-        out_specs=P("dp", None, None),
+        out_specs=P(_batch_axes(mesh), None, None),
         check_vma=False,
     )
     return jax.jit(mapped)
