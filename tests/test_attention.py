@@ -72,3 +72,136 @@ def test_flash_sinks():
     ref = attention_ref(q, k, v, causal_mask(positions, s), 0.125, sinks=sinks)
     got = flash_attention(q, k, v, positions, scale=0.125, sinks=sinks, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# blockwise online-softmax kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("t,cfg", [
+    (1, dict(b=2, s=512, hq=8, hkv=2, d=64, bs=128)),    # decode, 4 blocks
+    (16, dict(b=1, s=1024, hq=4, hkv=4, d=64, bs=256)),  # prefill, MHA
+    (8, dict(b=1, s=256, hq=8, hkv=1, d=128, bs=128)),   # MQA
+])
+def test_blockwise_matches_ref(t, cfg):
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import flash_attention_blockwise
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import causal_mask
+
+    b, s, hq, hkv, d, bs = cfg["b"], cfg["s"], cfg["hq"], cfg["hkv"], cfg["d"], cfg["bs"]
+    q, k, v = _mk(b, t, s, hq, hkv, d)
+    base = 200
+    positions = jnp.asarray(
+        np.stack([np.arange(base + i, base + i + t) for i in range(b)]).astype(np.int32)
+    )
+    scale = 1.0 / d**0.5
+
+    ref = attention_ref(q, k, v, causal_mask(positions, s), scale)
+    got = flash_attention_blockwise(
+        q, k, v, positions, scale=scale, block_s=bs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_blockwise_window_softcap_sinks():
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import flash_attention_blockwise
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import causal_mask
+
+    b, t, s, hq, hkv, d = 1, 8, 512, 4, 2, 64
+    q, k, v = _mk(b, t, s, hq, hkv, d)
+    positions = jnp.asarray(np.arange(300, 300 + t, dtype=np.int32)[None])
+    scale = 0.125
+    sinks = jnp.asarray(RNG.standard_normal(hq).astype(np.float32))
+
+    for window, cap, sk in ((64, 0.0, None), (0, 30.0, None), (0, 0.0, sinks), (128, 25.0, sinks)):
+        ref = attention_ref(q, k, v, causal_mask(positions, s, window), scale,
+                            logit_softcap=cap, sinks=sk)
+        got = flash_attention_blockwise(
+            q, k, v, positions, scale=scale, window=window, softcap=cap,
+            sinks=sk, block_s=128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5,
+                                   err_msg=f"window={window} cap={cap} sinks={sk is not None}")
+
+
+def test_blockwise_quantized_kv():
+    """In-kernel Q8 dequant must match dequantize-then-reference."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import QuantKV, flash_attention_blockwise
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import KVCacheQ8, causal_mask
+
+    b, t, s, hq, hkv, d = 2, 4, 512, 8, 2, 64
+    q, k, v = _mk(b, t, s, hq, hkv, d)
+    kq, ksc = KVCacheQ8._quant(k.transpose(0, 2, 1, 3))
+    vq, vsc = KVCacheQ8._quant(v.transpose(0, 2, 1, 3))
+    kq = kq.transpose(0, 2, 1, 3); ksc = ksc.transpose(0, 2, 1, 3)
+    vq = vq.transpose(0, 2, 1, 3); vsc = vsc.transpose(0, 2, 1, 3)
+    kd = kq.astype(jnp.float32) * ksc
+    vd = vq.astype(jnp.float32) * vsc
+
+    positions = jnp.asarray(
+        np.stack([np.arange(400 + i, 400 + i + t) for i in range(b)]).astype(np.int32)
+    )
+    scale = 1.0 / d**0.5
+    ref = attention_ref(q, kd, vd, causal_mask(positions, s), scale)
+    got = flash_attention_blockwise(
+        q, kq, vq, positions, scale=scale, ks=ksc, vs=vsc, block_s=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_attention_dispatch_quantkv():
+    """attention() consumes QuantKV on any backend (CPU falls back to
+    dequant + reference)."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import QuantKV, attention
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import KVCacheQ8, causal_mask
+
+    b, t, s, hq, hkv, d = 1, 2, 128, 4, 2, 64
+    q, k, v = _mk(b, t, s, hq, hkv, d)
+    kq, ksc = KVCacheQ8._quant(k.transpose(0, 2, 1, 3))
+    vq, vsc = KVCacheQ8._quant(v.transpose(0, 2, 1, 3))
+    qkv_k = QuantKV(kq.transpose(0, 2, 1, 3), ksc.transpose(0, 2, 1, 3))
+    qkv_v = QuantKV(vq.transpose(0, 2, 1, 3), vsc.transpose(0, 2, 1, 3))
+    positions = jnp.asarray(np.arange(50, 50 + t, dtype=np.int32)[None])
+    scale = 1.0 / d**0.5
+
+    ref = attention_ref(q, qkv_k.dequant(jnp.float32), qkv_v.dequant(jnp.float32),
+                        causal_mask(positions, s), scale)
+    got = attention(q, qkv_k, qkv_v, positions, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_blockwise_32k_needle():
+    """32k-context retrieval: a query keyed to position 777 must pull that
+    slot's value through 64 streamed blocks (the passkey mechanic at the
+    attention level — SURVEY long-context plan)."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import flash_attention_blockwise
+
+    s, d, needle = 32768, 128, 777
+    kn = np.zeros((1, 1, s, d), np.float32)
+    kn[0, 0, :, 0] = -1.0
+    kn[0, 0, needle, 0] = 1.0  # only the needle matches the query
+    vn = np.zeros((1, 1, s, d), np.float32)
+    vn[0, 0, :, 1] = np.arange(s)  # value encodes its position
+    q = np.zeros((1, 1, 1, d), np.float32)
+    q[..., 0] = 50.0  # sharp softmax at the needle
+    positions = jnp.asarray([[s - 1]], dtype=jnp.int32)
+
+    out = flash_attention_blockwise(
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), positions,
+        scale=1.0, block_s=512, interpret=True,
+    )
+    got = float(np.asarray(out)[0, 0, 0, 1])
+    assert abs(got - needle) < 1.0, f"retrieved position {got}, wanted {needle}"

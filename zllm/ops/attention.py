@@ -19,6 +19,7 @@ variant for 32k+ contexts is future work.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +142,198 @@ def flash_attention(
     return out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)
 
 
+# ---------------------------------------------------------------------------
+# blockwise online-softmax attention (long context; quantized-KV consumer)
+# ---------------------------------------------------------------------------
+# Streams the KV context through VMEM in `bs`-column blocks with running
+# (max, denom, acc) state — the TPU form of the reference's tiled fattn
+# (ggml-cuda/fattn-tile.cu online softmax) — so 32k+ contexts never
+# materialize [T, S] scores in HBM and VMEM use is O(bs*d), not O(s*d).
+# Consumes Q8-quantized KV directly (reference: ggml-cuda/fattn-vec.cuh
+# quantized-KV loads): int8 codes stream from HBM at half the bf16 bytes;
+# per-vector scales fold into the score row (K) and probability row (V)
+# instead of rescaling the tensors, so dequant adds no [bs, d]-sized
+# multiplies.
+#
+# Fully-masked blocks contribute p=exp(0)=1 junk rows, but the running
+# rescale alpha=exp(m_prev - m_new) zeroes them the moment a valid block
+# arrives; causally every row has a valid block (its own position), so the
+# finalize step always divides by a sound denominator.
+
+
+def _attnb_kernel(scale, softcap, window, g, t, bs, d, hkv, nsb, use_sinks, quant, *refs):
+    idx = 1
+    pos_ref = refs[0]
+    sink_ref = None
+    if use_sinks:
+        sink_ref = refs[1]
+        idx = 2
+    q_ref, k_ref, v_ref = refs[idx : idx + 3]
+    idx += 3
+    if quant:
+        ks_ref, vs_ref = refs[idx : idx + 2]
+        idx += 2
+    out_ref = refs[idx]
+    m_ref, l_ref, acc_ref = refs[idx + 1 : idx + 4]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tg = t * g
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos0 = pos_ref[i]
+    col0 = j * bs
+    run = col0 <= pos0 + (t - 1)  # block starts beyond every row's position
+    if window > 0:
+        # earliest column any row's window reaches is pos0 - window + 1
+        run &= (col0 + bs) > (pos0 - window + 1)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # [TG, D]
+        k = k_ref[0].astype(jnp.float32)  # [BS, D]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [TG, BS]
+        if quant:
+            scores = scores * ks_ref[0][None, :]  # per-key scales on the row
+        if softcap > 0:
+            scores = jnp.tanh(scores / softcap) * softcap
+
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tg, bs), 0) // g
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tg, bs), 1)
+        qp = pos0 + t_idx
+        mask = cols <= qp
+        if window > 0:
+            mask &= cols > qp - window
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)  # [TG, BS]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            p = p * vs_ref[0][None, :]  # per-value scales on the prob row
+        vf = v_ref[0].astype(jnp.float32)  # [BS, D]
+        pv = jax.lax.dot_general(
+            p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nsb - 1)
+    def _():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        acc = acc_ref[:]
+        if use_sinks:
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (tg, 1), 0) % g
+            kv_head = i % hkv
+            sink = jnp.zeros((tg, 1), jnp.float32)
+            for gi in range(g):
+                sink = jnp.where(gidx == gi, sink_ref[kv_head * g + gi], sink)
+            m_fin = jnp.maximum(m, sink)
+            r = jnp.exp(m - m_fin)
+            acc = acc * r
+            l = l * r + jnp.exp(sink - m_fin)
+        out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "window", "block_s", "interpret"),
+)
+def flash_attention_blockwise(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, Hkv, S, D] (bf16, or int8 with ks/vs)
+    v: jax.Array,
+    positions: jax.Array,  # [B, T]; consecutive per row
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    sinks: jax.Array | None = None,  # [Hq]
+    ks: jax.Array | None = None,  # [B, Hkv, S, 1] f32 per-key scales
+    vs: jax.Array | None = None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, t, hq, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    g = hq // hkv
+    bs = min(block_s, s)
+    assert s % bs == 0, (s, bs)
+    nsb = s // bs
+    quant = ks is not None
+
+    qg = q.reshape(b, t, hkv, g, d).transpose(0, 2, 1, 3, 4).reshape(b * hkv, t * g, d)
+    kh = k.reshape(b * hkv, s, d)
+    vh = v.reshape(b * hkv, s, d)
+    pos0 = jnp.repeat(positions[:, 0], hkv, axis=0).astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((1, t * g, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bs, d), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bs, d), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qg, kh, vh]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, bs), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM),
+        ]
+        args += [ks.reshape(b * hkv, s), vs.reshape(b * hkv, s)]
+
+    use_sinks = sinks is not None
+    scalar_args = [pos0]
+    n_prefetch = 1
+    if use_sinks:
+        scalar_args.append(sinks.astype(jnp.float32))
+        n_prefetch = 2
+
+    tg = t * g
+    kernel = functools.partial(
+        _attnb_kernel, scale, softcap, window, g, t, bs, d, hkv, nsb, use_sinks, quant
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(b * hkv, nsb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tg, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tg, 128), jnp.float32),
+            pltpu.VMEM((tg, 128), jnp.float32),
+            pltpu.VMEM((tg, d), jnp.float32),
+        ],
+    )
+    kv_bytes = kh.size * kh.dtype.itemsize + vh.size * vh.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * hkv, tg, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * s * d,
+            bytes_accessed=qg.size * 2 + kv_bytes,
+            transcendentals=b * hq * t * s,
+        ),
+        interpret=interpret,
+    )(*scalar_args, *args)
+    return out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)
+
+
 def vmem_ok(t: int, s: int, g: int, d: int, budget: int = 10 * 2**20) -> bool:
     """Does one (batch, kv-head) step fit in VMEM?"""
     scores = t * g * s * 4 * 2  # scores + probs f32
@@ -173,12 +366,64 @@ def use_fused(t: int, s: int, g: int, d: int, hq: int, b: int, interpret: bool) 
     )
 
 
+class QuantKV(NamedTuple):
+    """Q8 KV halves as the attention input: int8 codes + per-vector f32
+    scales (reference: quantized type_k/type_v caches consumed by
+    fattn-vec).  Produced by KVCacheQ8.layer()."""
+
+    q: jax.Array  # int8 [B, Hkv, S, D]
+    s: jax.Array  # f32 [B, Hkv, S, 1]
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequant(self, dtype=jnp.bfloat16):
+        return self.q.astype(dtype) * self.s.astype(dtype)
+
+
+def use_blockwise(t: int, s: int, g: int, d: int, interpret: bool) -> bool:
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("ZLLM_NO_FLASH", "0") == "1":
+        return False
+    on_tpu = _jax.default_backend() != "cpu"
+    if not (on_tpu or interpret) or s % 128 != 0:
+        return False
+    if _os.environ.get("ZLLM_FORCE_BLOCKWISE", "0") == "1":
+        return True
+    # long contexts: XLA's materialized [T, S] scores become the
+    # bottleneck (or exceed memory); stream KV blockwise instead
+    return s >= 4096 and not vmem_ok(t, s, g, d)
+
+
 def attention(q, k, v, positions, *, scale, softcap=0.0, window=0, sinks=None, interpret=False):
     """Dispatch: fused kernel when it fits (TPU), else the jnp reference.
-    k/v: [B, Hkv, S, D]."""
+    k/v: [B, Hkv, S, D] arrays, or QuantKV (Q8 cache) consumed in-kernel."""
     b, t, hq, d = q.shape
     hkv, s = k.shape[1], k.shape[2]
     g = hq // hkv
+
+    if isinstance(k, QuantKV):
+        import jax as _jax
+        import os as _os
+
+        on_tpu = _jax.default_backend() != "cpu"
+        blockwise_ok = s % 128 == 0 and _os.environ.get("ZLLM_NO_FLASH", "0") != "1"
+        if (on_tpu or interpret) and blockwise_ok:
+            return flash_attention_blockwise(
+                q, k.q, v.q, positions, scale=scale, softcap=softcap,
+                window=window, sinks=sinks, ks=k.s, vs=v.s, interpret=interpret,
+            )
+        k, v = k.dequant(q.dtype), v.dequant(q.dtype)
+
+    if use_blockwise(t, s, g, d, interpret):
+        return flash_attention_blockwise(
+            q, k, v, positions, scale=scale, softcap=softcap, window=window,
+            sinks=sinks, interpret=interpret,
+        )
     if use_fused(t, s, g, d, hq, b, interpret):
         return flash_attention(
             q, k, v, positions, scale=scale, softcap=softcap, window=window,

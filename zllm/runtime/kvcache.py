@@ -175,15 +175,23 @@ class KVCacheQ8:
         vss[il] = jax.vmap(upd)(self.vs[il], vs, pos0)
         return KVCacheQ8(k=tuple(k), v=tuple(v), ks=tuple(kss), vs=tuple(vss))
 
-    def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
-        """Dequantized [B, H, S, D] bf16 views."""
+    def layer(self, il: int):
+        """QuantKV views — the blockwise attention kernel streams the int8
+        codes from HBM at half the bf16 bandwidth and applies the scales
+        in-VMEM (the capacity AND bandwidth win; dequant-on-read fallback
+        lives in QuantKV.dequant for CPU/short-context paths)."""
+        from ..ops.attention import QuantKV
+
+        return (QuantKV(self.k[il], self.ks[il]), QuantKV(self.v[il], self.vs[il]))
+
+    def _deq(self, il: int):
         k = self.k[il].astype(jnp.bfloat16) * self.ks[il].astype(jnp.bfloat16)
         v = self.v[il].astype(jnp.bfloat16) * self.vs[il].astype(jnp.bfloat16)
         return k, v
 
     def stacked(self):
-        return jnp.stack([self.layer(i)[0] for i in range(len(self.k))]), jnp.stack(
-            [self.layer(i)[1] for i in range(len(self.k))]
+        return jnp.stack([self._deq(i)[0] for i in range(len(self.k))]), jnp.stack(
+            [self._deq(i)[1] for i in range(len(self.k))]
         )
 
 
