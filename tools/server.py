@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="n-gram speculative decoding for greedy requests")
+    ap.add_argument("--draft-max", type=int, default=6, help="draft tokens per step")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -28,7 +31,8 @@ def main():
 
     print(f"loading {args.model} ...", file=sys.stderr)
     m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
-    srv = ZllmServer(m, n_slots=args.slots, max_len=args.ctx, host=args.host, port=args.port)
+    srv = ZllmServer(m, n_slots=args.slots, max_len=args.ctx, host=args.host, port=args.port,
+                     speculative=args.spec, n_draft=args.draft_max)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -107,7 +107,8 @@ def _common_prefix(a: list[int], b: list[int]) -> int:
 
 class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
-                 kv_dtype=None, prefix_reuse: bool = True, context_shift: bool = True):
+                 kv_dtype=None, prefix_reuse: bool = True, context_shift: bool = True,
+                 speculative: bool = False, n_draft: int = 6):
         import functools
 
         import jax
@@ -123,6 +124,13 @@ class Engine:
         self.prefill_chunk = prefill_chunk
         self.prefix_reuse = prefix_reuse
         self.context_shift = context_shift
+        # n-gram (prompt-lookup) speculation inside the batched decode step
+        # (reference: server speculative decoding, server-context.cpp:651-786
+        # + examples/lookup); drafts ride as extra batch columns and the
+        # verify IS the decode forward — greedy slots only, so accepted
+        # output is bit-identical to plain decode
+        self.speculative = speculative
+        self.n_draft = min(n_draft, prefill_chunk - 1)
         cfg = model.cfg
         kv_dtype = kv_dtype or jnp.bfloat16
         # trash region [max_len, max_len + prefill_chunk) past the
@@ -169,6 +177,8 @@ class Engine:
             "decode_steps_total": 0,
             "context_shifts_total": 0,
             "engine_errors_total": 0,
+            "spec_drafted_total": 0,
+            "spec_accepted_total": 0,
         }
         self.thread = threading.Thread(target=self._loop, daemon=True, name="zllm-engine")
 
@@ -349,6 +359,8 @@ class Engine:
 
         if prompt_slots:
             self._mixed_step(prompt_slots[0], gen_slots)
+        elif self.speculative and any(self._can_spec(s) for s in gen_slots):
+            self._spec_decode_step(gen_slots)
         else:
             self._decode_step(gen_slots)
 
@@ -401,6 +413,74 @@ class Engine:
         sample_rows.extend(gen_slots)
         if sample_rows:
             self._sample_and_emit(logits, cols, sample_rows)
+
+    def _can_spec(self, slot: _Slot) -> bool:
+        """Speculation keeps output exact only for greedy, grammar-free
+        slots with headroom before the context limit."""
+        req = slot.req
+        return (
+            req is not None and req.temp <= 0 and req.grammar is None
+            and slot.pos + 2 + self.n_draft < self.max_len
+        )
+
+    def _spec_decode_step(self, gen_slots):
+        """[n_slots, 1 + n_draft] decode: column 0 is the normal decode
+        token; speculating slots carry n-gram drafts in columns 1.. whose
+        logits verify them in the same forward.  Rejected draft positions
+        hold junk K/V at positions > pos, which the slot==position cache
+        overwrites before they ever become attendable."""
+        from ..runtime.speculative import ngram_propose
+
+        jnp = self._jnp
+        t = self.n_draft + 1
+        toks = np.zeros((self.n_slots, t), dtype=np.int32)
+        pos = np.full((self.n_slots, t), self.max_len, dtype=np.int32)  # trash
+        drafts: dict[int, list[int]] = {}
+        for s in gen_slots:
+            toks[s.idx, 0] = s.last_token
+            pos[s.idx, 0] = s.pos
+            if self._can_spec(s):
+                cap = min(self.n_draft, self.max_len - s.pos - 2)
+                d = ngram_propose(s.cache_tokens + [s.last_token], cap)[:cap]
+                if d:
+                    toks[s.idx, 1 : 1 + len(d)] = d
+                    pos[s.idx, 1 : 1 + len(d)] = np.arange(s.pos + 1, s.pos + 1 + len(d))
+                    drafts[s.idx] = d
+                    self.metrics["spec_drafted_total"] += len(d)
+
+        logits, self.kv = self._step(
+            self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
+        )
+        self.metrics["decode_steps_total"] += 1
+        for s in gen_slots:
+            s.cache_tokens.append(s.last_token)
+            s.pos += 1
+
+        spec_slots = [s for s in gen_slots if s.idx in drafts]
+        plain = [s for s in gen_slots if s.idx not in drafts]
+        if spec_slots:
+            rows = np.asarray(logits[np.asarray([s.idx for s in spec_slots])])  # [ns, t, V]
+            for s, row in zip(spec_slots, rows):
+                d = drafts[s.idx]
+                preds = row[: 1 + len(d)].argmax(axis=-1).astype(np.int32)
+                accepted = 0
+                for i, di in enumerate(d):
+                    if int(preds[i]) == di:
+                        accepted += 1
+                    else:
+                        break
+                self.metrics["spec_accepted_total"] += accepted
+                # accepted drafts' K/V are already in the cache
+                for i in range(accepted):
+                    s.cache_tokens.append(d[i])
+                    s.pos += 1
+                    self._emit_token(s, d[i])
+                    if s.state == SlotState.IDLE:
+                        break
+                else:
+                    self._emit_token(s, int(preds[accepted]))
+        if plain:
+            self._sample_and_emit(logits, np.zeros((self.n_slots,), np.int32), plain)
 
     def _decode_step(self, gen_slots):
         jnp = self._jnp
