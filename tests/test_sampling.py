@@ -93,3 +93,90 @@ def test_greedy_chain():
     lg = jnp.asarray([0.1, 5.0, 2.0])
     chain = S.SamplerChain(greedy=True)
     assert int(chain.sample(lg, jax.random.PRNGKey(0))) == 1
+
+
+def test_dry_penalizes_repeats():
+    """DRY: a token that would extend a repeated sequence gets pushed
+    down; unrelated tokens untouched (reference llama_sampler_init_dry)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.sampling.batched import _dry_b
+
+    v, w = 32, 16
+    lg = jnp.zeros((1, v), jnp.float32)
+    # context ... 5 6 7 | 5 6 — candidate 7 extends the (5,6) match (n=2)
+    recent = np.full((1, w), -1, np.int32)
+    recent[0, -5:] = [5, 6, 7, 5, 6]
+    out = np.asarray(_dry_b(
+        lg, jnp.asarray(recent),
+        jnp.asarray([1.5], jnp.float32), jnp.asarray([1.75], jnp.float32),
+        jnp.asarray([2.0], jnp.float32), jnp.zeros((v,), bool),
+    ))[0]
+    assert out[7] < -1.0, out[7]  # mult * base^0 = 1.5
+    assert out[3] == 0.0  # unrelated token untouched
+
+
+def test_dry_breakers_block_matches():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.sampling.batched import _dry_b
+
+    v, w = 32, 16
+    lg = jnp.zeros((1, v), jnp.float32)
+    recent = np.full((1, w), -1, np.int32)
+    recent[0, -5:] = [5, 6, 7, 5, 6]
+    br = np.zeros((v,), bool)
+    br[6] = True  # 6 is a sequence breaker: the (5,6) match dies
+    out = np.asarray(_dry_b(
+        lg, jnp.asarray(recent),
+        jnp.asarray([1.5], jnp.float32), jnp.asarray([1.75], jnp.float32),
+        jnp.asarray([2.0], jnp.float32), jnp.asarray(br),
+    ))[0]
+    assert out[7] == 0.0, out[7]
+
+
+def test_dynatemp_sharpens_confident_rows():
+    """Low-entropy rows get temp below base, high-entropy rows above."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.sampling.batched import _temperature_b
+
+    lg = jnp.asarray(np.stack([
+        np.array([10.0, 0, 0, 0], np.float32),   # confident
+        np.array([1.0, 1.0, 1.0, 1.0], np.float32),  # uniform
+    ]))
+    temp = jnp.asarray([1.0, 1.0], jnp.float32)
+    rng = jnp.asarray([0.5, 0.5], jnp.float32)
+    expo = jnp.asarray([1.0, 1.0], jnp.float32)
+    out = np.asarray(_temperature_b(lg, temp, rng, expo))
+    # effective temp: confident row ~0.5 (logits doubled), uniform ~1.5
+    assert out[0, 0] > 15.0, out[0]
+    np.testing.assert_allclose(out[1], lg[1] / 1.5, rtol=1e-5)
+
+
+def test_sample_batch_dry_end_to_end():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.sampling.batched import SlotParams, sample_batch
+
+    n, v, w = 2, 64, 16
+    sp = SlotParams(n)
+    sp.temp[:] = 0.0
+    sp.dry_multiplier[0] = 8.0  # huge penalty on slot 0
+    logits = np.zeros((n, v), np.float32)
+    logits[:, 7] = 1.0  # 7 would win greedily
+    recent = np.full((n, w), -1, np.int32)
+    recent[:, -5:] = [5, 6, 7, 5, 6]  # 7 extends the repeat
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n)])
+    toks, _, _ = sample_batch(
+        jnp.asarray(logits), keys, jnp.asarray(recent), jnp.zeros((v,), bool),
+        *[jnp.asarray(a) for a in sp.arrays()]
+    )
+    toks = np.asarray(toks)
+    assert toks[0] != 7  # DRY suppressed the repeat on slot 0
+    assert toks[1] == 7  # slot 1 unaffected

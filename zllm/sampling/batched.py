@@ -36,6 +36,11 @@ class SlotParams:
     repeat_penalty: np.ndarray = field(default=None)
     freq_penalty: np.ndarray = field(default=None)
     presence_penalty: np.ndarray = field(default=None)
+    dry_multiplier: np.ndarray = field(default=None)
+    dry_base: np.ndarray = field(default=None)
+    dry_allowed_length: np.ndarray = field(default=None)
+    dynatemp_range: np.ndarray = field(default=None)
+    dynatemp_exponent: np.ndarray = field(default=None)
 
     def __post_init__(self):
         n = self.n
@@ -43,6 +48,8 @@ class SlotParams:
             temp=0.8, top_k=40, top_p=0.95, min_p=0.05, typical_p=1.0,
             top_n_sigma=0.0, xtc_probability=0.0, xtc_threshold=0.1,
             repeat_penalty=1.0, freq_penalty=0.0, presence_penalty=0.0,
+            dry_multiplier=0.0, dry_base=1.75, dry_allowed_length=2.0,
+            dynatemp_range=0.0, dynatemp_exponent=1.0,
         )
         for k, v in defaults.items():
             if getattr(self, k) is None:
@@ -61,12 +68,19 @@ class SlotParams:
         self.repeat_penalty[i] = req.repeat_penalty
         self.freq_penalty[i] = getattr(req, "freq_penalty", 0.0)
         self.presence_penalty[i] = getattr(req, "presence_penalty", 0.0)
+        self.dry_multiplier[i] = getattr(req, "dry_multiplier", 0.0)
+        self.dry_base[i] = getattr(req, "dry_base", 1.75)
+        self.dry_allowed_length[i] = getattr(req, "dry_allowed_length", 2)
+        self.dynatemp_range[i] = getattr(req, "dynatemp_range", 0.0)
+        self.dynatemp_exponent[i] = getattr(req, "dynatemp_exponent", 1.0)
 
     def arrays(self) -> tuple:
         return (
             self.temp, self.top_k, self.top_p, self.min_p, self.typical_p,
             self.top_n_sigma, self.xtc_probability, self.xtc_threshold,
             self.repeat_penalty, self.freq_penalty, self.presence_penalty,
+            self.dry_multiplier, self.dry_base, self.dry_allowed_length,
+            self.dynatemp_range, self.dynatemp_exponent,
         )
 
 
@@ -146,10 +160,59 @@ def _xtc_b(lg, prob, thr, keys):
     return jnp.where(apply, masked, lg)
 
 
-def _temperature_b(lg, temp):
+def _dry_b(lg, recent, mult, base, allowed, br_mask):
+    """DRY (don't-repeat-yourself) repetition penalty (reference:
+    llama_sampler_init_dry, src/llama-sampling.cpp): a candidate token z
+    that would extend an earlier occurrence of the current context suffix
+    is penalized mult * base^(n - allowed) where n is the matched suffix
+    length.  O(W^2) suffix-match over the recent window, fully in-jit;
+    `br_mask` is a [V] bool sequence-breaker table (tokens whose text
+    contains a breaker substring terminate matches)."""
+    b, w = recent.shape
+    valid = recent >= 0
+    z = jnp.where(valid, recent, 0)
+    is_br = br_mask[z] & valid  # [B, W]
+
+    t_idx = jnp.arange(w)
+    jm = jnp.arange(w)[:, None] - 1 - t_idx[None, :]  # [W(j), W(t)]
+    wm = w - 1 - t_idx  # [W(t)]
+    ok = jm >= 0
+    a = recent[:, jnp.clip(jm, 0, w - 1)]  # [B, W, W]
+    c = recent[:, wm]  # [B, W]
+    abr = is_br[:, jnp.clip(jm, 0, w - 1)]
+    cbr = is_br[:, wm]
+    eq = (
+        ok[None]
+        & (a == c[:, None, :]) & (a >= 0) & (c[:, None, :] >= 0)
+        & ~abr & ~cbr[:, None, :]
+    )
+    run = jnp.cumprod(eq.astype(jnp.int32), axis=-1)
+    n_match = jnp.sum(run, axis=-1).astype(jnp.float32)  # [B, W]
+
+    ncap = jnp.minimum(n_match, 48.0)  # cap the exponent (reference caps too)
+    pen_j = mult[:, None] * jnp.power(jnp.maximum(base[:, None], 1.0), ncap - allowed[:, None])
+    pen_j = jnp.where(
+        (n_match >= allowed[:, None]) & valid & ~is_br & (mult[:, None] > 0), pen_j, 0.0
+    )
+    pen = jax.vmap(lambda p, zz, pj: p.at[zz].max(pj))(jnp.zeros_like(lg), z, pen_j)
+    return lg - pen
+
+
+def _temperature_b(lg, temp, dt_range, dt_expo):
+    # dynamic temperature (reference llama_sampler_init_temp_ext): scale
+    # temp within [temp-range, temp+range] by normalized candidate entropy
+    valid = lg > NEG_INF / 2
+    probs = jax.nn.softmax(jnp.where(valid, lg, NEG_INF), axis=-1)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs + 1e-30), 0.0), axis=-1)
+    max_ent = jnp.log(jnp.maximum(jnp.sum(valid, axis=-1).astype(jnp.float32), 2.0))
+    norm = jnp.clip(ent / max_ent, 0.0, 1.0) ** jnp.maximum(dt_expo, 1e-3)
+    lo = jnp.maximum(temp - dt_range, 0.0)
+    hi = temp + dt_range
+    t_eff = jnp.where(dt_range > 0, lo + (hi - lo) * norm, temp)
+
     mx = jnp.max(lg, axis=-1, keepdims=True)
     greedy = jnp.where(lg == mx, lg, NEG_INF)
-    return jnp.where(temp[:, None] <= 0, greedy, lg / jnp.maximum(temp[:, None], 1e-6))
+    return jnp.where(t_eff[:, None] <= 0, greedy, lg / jnp.maximum(t_eff[:, None], 1e-6))
 
 
 @jax.jit
@@ -157,12 +220,15 @@ def sample_batch(
     logits: jax.Array,  # [B, V] f32
     keys: jax.Array,  # [B, 2] uint32 per-slot PRNG keys
     recent: jax.Array,  # [B, W] int32 recent tokens (-1 empty)
+    br_mask: jax.Array,  # [V] bool DRY sequence-breaker table
     temp, top_k, top_p, min_p, typical_p, top_n_sigma,
     xtc_probability, xtc_threshold, repeat_penalty, freq_penalty, presence_penalty,
+    dry_multiplier, dry_base, dry_allowed_length, dynatemp_range, dynatemp_exponent,
 ):
     """Returns (tokens [B] int32, probs_logits [B, V] post-chain, new_keys)."""
     lg = logits.astype(jnp.float32)
     lg = _penalties_b(lg, recent, repeat_penalty, freq_penalty, presence_penalty)
+    lg = _dry_b(lg, recent, dry_multiplier, dry_base, dry_allowed_length, br_mask)
     lg = _top_k_b(lg, top_k)
     lg = _typical_b(lg, typical_p)
     lg = _top_p_b(lg, top_p)
@@ -172,9 +238,25 @@ def sample_batch(
     new_keys, sub = split[:, 0], split[:, 1]
     xtc_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(sub, 1)
     lg = _xtc_b(lg, xtc_probability, xtc_threshold, xtc_keys)
-    lg = _temperature_b(lg, temp)
+    lg = _temperature_b(lg, temp, dynatemp_range, dynatemp_exponent)
     toks = jax.vmap(jax.random.categorical)(sub, lg).astype(jnp.int32)
     return toks, lg, new_keys
+
+
+def breaker_mask(tokenizer, vocab_size: int, breakers=("\n", ":", "\"", "*")) -> np.ndarray:
+    """[V] bool: tokens whose decoded piece contains a DRY sequence
+    breaker (reference default breakers, common/sampling.cpp)."""
+    mask = np.zeros((vocab_size,), bool)
+    if tokenizer is None:
+        return mask
+    try:
+        pieces = tokenizer.vocab.tokens
+    except AttributeError:
+        return mask
+    for i, piece in enumerate(pieces[:vocab_size]):
+        if any(b in piece for b in breakers):
+            mask[i] = True
+    return mask
 
 
 def make_keys(seeds) -> jax.Array:

@@ -64,6 +64,11 @@ class Request:
     repeat_penalty: float = 1.0
     freq_penalty: float = 0.0
     presence_penalty: float = 0.0
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    dynatemp_range: float = 0.0
+    dynatemp_exponent: float = 1.0
     seed: int = -1
     n_keep: int = 0  # tokens preserved by context shift
     stop_tokens: frozenset = frozenset()
@@ -159,6 +164,9 @@ class Engine:
         self._pick = _pick
         self._sample_batch = _batched.sample_batch
         self._params = SlotParams(n_slots)
+        self._br_mask = jnp.asarray(
+            _batched.breaker_mask(model.tokenizer, cfg.vocab_size)
+        )
         self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_slots)])
         self._recent = np.full((n_slots, PENALTY_WINDOW), -1, np.int32)
         self._jnp = jnp
@@ -504,7 +512,8 @@ class Engine:
         jnp = self._jnp
         picked = self._pick(logits, jnp.asarray(cols))  # [n_slots, V] on device
         toks, chain_logits, self._keys = self._sample_batch(
-            picked, self._keys, jnp.asarray(self._recent), *[jnp.asarray(a) for a in self._params.arrays()]
+            picked, self._keys, jnp.asarray(self._recent), self._br_mask,
+            *[jnp.asarray(a) for a in self._params.arrays()]
         )
         toks_host = np.asarray(toks)
         for s in slots:

@@ -70,6 +70,11 @@ class ZllmServer:
             top_n_sigma=float(body.get("top_n_sigma", 0.0)),
             xtc_probability=float(body.get("xtc_probability", 0.0)),
             xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+            dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+            dry_base=float(body.get("dry_base", 1.75)),
+            dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+            dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+            dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
             repeat_penalty=float(body.get("repeat_penalty", 1.0)),
             freq_penalty=float(body.get("frequency_penalty", 0.0)),
             presence_penalty=float(body.get("presence_penalty", 0.0)),
