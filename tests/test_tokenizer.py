@@ -11,9 +11,8 @@ from zllm.tokenizer import Tokenizer
 REF_MODELS = "/root/reference/models"
 SEP = "__ggml_vocab_test__"
 
-# vocabs with both the gguf and golden vectors present; bert (WPM) excluded
-# until the WPM tokenizer lands
 GOLDEN = [
+    "ggml-vocab-bert-bge",  # WPM
     "ggml-vocab-llama-spm",
     "ggml-vocab-phi-3",
     "ggml-vocab-gpt-2",
@@ -94,3 +93,54 @@ def test_incremental_decoder_buffers_utf8_tail():
     pieces = [inc.push(t) for t in ids]
     assert "�" not in "".join(pieces)
     assert "".join(pieces) + inc.flush() == "🚀"
+
+
+def test_ugm_viterbi():
+    """UGM picks the max-score segmentation, not greedy longest match
+    (reference llm_tokenizer_ugm, src/llama-vocab.cpp:853-940)."""
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    # "▁ab" + "c" scores -1 + -4 = -5; "▁a" + "bc" scores -3 + -1 = -4 (wins)
+    tokens = ["<unk>", "▁ab", "c", "▁a", "bc", "▁", "a", "b", "x"]
+    scores = [0.0, -1.0, -4.0, -3.0, -1.0, -2.0, -5.0, -5.0, -5.0]
+    types = [int(TokenType.UNKNOWN)] + [int(TokenType.NORMAL)] * 8
+    v = Vocab(model="t5", pre="default", tokens=tokens, scores=scores, types=types,
+              unk_id=0, add_bos=False, add_eos=True, eos_id=-1, add_space_prefix=True)
+    tok = Tokenizer(v)
+    assert tok.encode("abc") == [3, 4]  # ▁a bc
+    # unknown codepoints collapse to one merged UNK
+    assert tok.encode("abzzc") == [1, 0, 2]  # ▁ab <unk><unk->merged> c
+
+
+def test_ugm_user_defined_wins():
+    """User-defined tokens score 0 and beat normal pieces."""
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    tokens = ["<unk>", "▁he", "llo", "▁hello", "▁", "h", "e", "l", "o"]
+    scores = [0.0, -1.0, -1.0, -9.0, -2.0, -3.0, -3.0, -3.0, -3.0]
+    types = [int(TokenType.UNKNOWN), int(TokenType.NORMAL), int(TokenType.NORMAL),
+             int(TokenType.USER_DEFINED)] + [int(TokenType.NORMAL)] * 5
+    v = Vocab(model="t5", pre="default", tokens=tokens, scores=scores, types=types,
+              unk_id=0, add_space_prefix=True)
+    tok = Tokenizer(v)
+    # ▁hello (user-defined, 0.0) beats ▁he+llo (-2.0)... but user-defined
+    # tokens are also partitioned out of raw text pre-tokenization, so
+    # encode sees it either way
+    assert tok.encode("hello") == [3]
+
+
+def test_wpm_decode_roundtrip():
+    import os
+
+    from zllm.gguf import read_gguf
+    from zllm.tokenizer import Tokenizer
+
+    p = os.path.join(REF_MODELS, "ggml-vocab-bert-bge.gguf")
+    if not os.path.exists(p):
+        import pytest
+        pytest.skip("no reference models")
+    tok = Tokenizer.from_gguf(read_gguf(p))
+    ids = tok.encode("hello world", add_special=False)
+    assert tok.decode(ids) == "hello world"

@@ -1,12 +1,16 @@
-"""Tokenizers: SPM (llama), byte-level BPE (gpt2) with special-token
-partitioning — the engine-facing facade is `Tokenizer`."""
+"""Tokenizers: SPM (llama), byte-level BPE (gpt2), WPM (bert), UGM (t5)
+with special-token partitioning — the engine-facing facade is
+`Tokenizer`.  (Reference algorithm set: src/llama-vocab.cpp SPM/BPE/WPM/
+UGM/RWKV.)"""
 
 from __future__ import annotations
 
 from ..gguf.reader import GGUFFile
 from .bpe import BpeTokenizer
 from .spm import SpmTokenizer
+from .ugm import UgmTokenizer
 from .vocab import TokenType, Vocab
+from .wpm import WpmTokenizer
 
 
 class Tokenizer:
@@ -21,6 +25,10 @@ class Tokenizer:
             self.inner = SpmTokenizer(vocab)
         elif vocab.model == "gpt2":
             self.inner = BpeTokenizer(vocab)
+        elif vocab.model == "bert":
+            self.inner = WpmTokenizer(vocab)
+        elif vocab.model == "t5":
+            self.inner = UgmTokenizer(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
         self._specials = vocab.special_tokens()
@@ -77,7 +85,10 @@ class Tokenizer:
                 continue
             parts.append(self.inner.decode_piece(tid))
         text = b"".join(parts).decode("utf-8", errors="replace")
-        if self.vocab.model == "llama" and self.vocab.add_space_prefix and text.startswith(" "):
+        strip = (self.vocab.model == "llama" and self.vocab.add_space_prefix) or (
+            self.vocab.model in ("bert", "t5")  # U+2581 is the word marker
+        )
+        if strip and text.startswith(" "):
             text = text[1:]
         return text
 
