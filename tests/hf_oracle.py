@@ -20,6 +20,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
 
     cfg = json.loads(cfg_json)
     torch.manual_seed(0)
+    if arch == "bert":
+        return main_bert(out_path, cfg)
     cls = {
         "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
         "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
@@ -45,6 +47,31 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
     out["toks"] = toks
     out["logits"] = logits
     out["greedy"] = greedy
+    np.savez(out_path, **out)
+
+
+def main_bert(out_path: str, cfg: dict):
+    """BertForSequenceClassification: hidden states + rank scores."""
+    import numpy as np
+    import torch
+    import transformers
+
+    torch.set_num_threads(2)
+    hf = transformers.BertForSequenceClassification(
+        transformers.BertConfig(**cfg, num_labels=1, attn_implementation="eager")
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg["vocab_size"], size=(2, 10)).astype(np.int64)
+    with torch.no_grad():
+        tt = torch.tensor(toks)
+        hidden = hf.bert(tt).last_hidden_state.numpy()
+        score = hf(tt).logits.numpy()[:, 0]
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["toks"] = toks
+    out["hidden"] = hidden
+    out["score"] = score
     np.savez(out_path, **out)
 
 

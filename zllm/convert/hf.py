@@ -176,3 +176,75 @@ def convert_hf_llama(
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_bert(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    pooling: int = 2,  # LLAMA_POOLING_TYPE_CLS
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF BertModel / BertForSequenceClassification -> GGUF (reference:
+    convert_hf_to_gguf.py BertModel; tensor names src/llama-arch.cpp
+    LLM_ARCH_BERT table)."""
+    npy = _npy
+    arch = "bert"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+
+    sd = dict(state_dict)
+    if any(k.startswith("bert.") for k in sd):  # *ForSequenceClassification
+        sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 512)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_eps", 1e-12)))
+    w.add(f"{arch}.attention.causal", False)
+    w.add(f"{arch}.pooling_type", int(pooling))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    e = "embeddings."
+    _emit(w, "token_embd.weight", npy(sd[e + "word_embeddings.weight"]), gtype)
+    _emit(w, "token_types.weight", npy(sd[e + "token_type_embeddings.weight"]), GGMLType.F32)
+    _emit(w, "position_embd.weight", npy(sd[e + "position_embeddings.weight"]), GGMLType.F32)
+    _emit(w, "token_embd_norm.weight", npy(sd[e + "LayerNorm.weight"]), GGMLType.F32)
+    _emit(w, "token_embd_norm.bias", npy(sd[e + "LayerNorm.bias"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"encoder.layer.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_q.weight", npy(sd[p + "attention.self.query.weight"]), gtype)
+        _emit(w, o + "attn_q.bias", npy(sd[p + "attention.self.query.bias"]), GGMLType.F32)
+        _emit(w, o + "attn_k.weight", npy(sd[p + "attention.self.key.weight"]), gtype)
+        _emit(w, o + "attn_k.bias", npy(sd[p + "attention.self.key.bias"]), GGMLType.F32)
+        _emit(w, o + "attn_v.weight", npy(sd[p + "attention.self.value.weight"]), gtype)
+        _emit(w, o + "attn_v.bias", npy(sd[p + "attention.self.value.bias"]), GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(sd[p + "attention.output.dense.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(sd[p + "attention.output.dense.bias"]), GGMLType.F32)
+        _emit(w, o + "attn_output_norm.weight", npy(sd[p + "attention.output.LayerNorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_output_norm.bias", npy(sd[p + "attention.output.LayerNorm.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(sd[p + "intermediate.dense.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(sd[p + "intermediate.dense.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(sd[p + "output.dense.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(sd[p + "output.dense.bias"]), GGMLType.F32)
+        _emit(w, o + "layer_output_norm.weight", npy(sd[p + "output.LayerNorm.weight"]), GGMLType.F32)
+        _emit(w, o + "layer_output_norm.bias", npy(sd[p + "output.LayerNorm.bias"]), GGMLType.F32)
+    if "pooler.dense.weight" in sd:  # rank pooler (dense + tanh)
+        _emit(w, "cls.weight", npy(sd["pooler.dense.weight"]), gtype)
+        _emit(w, "cls.bias", npy(sd["pooler.dense.bias"]), GGMLType.F32)
+    if "classifier.weight" in state_dict:  # rank output projection
+        _emit(w, "cls.output.weight", npy(state_dict["classifier.weight"]), gtype)
+        _emit(w, "cls.output.bias", npy(state_dict["classifier.bias"]), GGMLType.F32)
+    w.write()
+    return out_path

@@ -1,0 +1,82 @@
+"""BERT-family encoder forward (embeddings + cross-encoder rerankers).
+
+Reference: src/models/bert.cpp (token/type/position embeddings, post-LN
+blocks, GELU FFN) and the pooling / rank classification head of
+llm_graph_context::build_pooling (src/llama-graph.cpp:2080-2150).
+Bidirectional attention, no KV cache — encoder batches are one-shot.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import layer_norm
+from ..ops.linear import linear
+
+# LLAMA_POOLING_TYPE_* (include/llama.h)
+POOLING = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
+
+
+def bert_forward(
+    params,
+    cfg,
+    tokens: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32
+    attn_mask: jax.Array | None = None,  # [B, T] 1=real token, 0=padding
+) -> jax.Array:
+    """-> last hidden states [B, T, K]."""
+    b, t = tokens.shape
+    x = params["tok_emb"][tokens]
+    if "type_emb" in params:  # token types hardcoded to sentence A (row 0)
+        x = x + params["type_emb"][0]
+    if "pos_emb" in params:
+        x = x + params["pos_emb"][positions]
+    x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
+
+    scale = 1.0 / (cfg.head_dim**0.5)
+    neg = jnp.asarray(-1e9, jnp.float32)
+    for layer in params["layers"]:
+        q = linear(x, layer["wq"], layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
+        k = linear(x, layer["wk"], layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
+        v = linear(x, layer["wv"], layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+        if attn_mask is not None:
+            scores = scores + (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * neg
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v).reshape(b, t, -1)
+        att = linear(att, layer["wo"], layer.get("bo"))
+        x = layer_norm(x + att, layer["attn_out_norm"], layer.get("attn_out_norm_b"), cfg.norm_eps)
+
+        h = jax.nn.gelu(linear(x, layer["ffn_up"], layer.get("ffn_up_b")), approximate=False)
+        f = linear(h, layer["ffn_down"], layer.get("ffn_down_b"))
+        x = layer_norm(x + f, layer["layer_out_norm"], layer.get("layer_out_norm_b"), cfg.norm_eps)
+    return x
+
+
+def pool(hidden: jax.Array, pooling: str, attn_mask: jax.Array | None = None) -> jax.Array:
+    """[B, T, K] -> [B, K] per the model's pooling type."""
+    if pooling == "mean":
+        if attn_mask is None:
+            return jnp.mean(hidden, axis=1)
+        m = attn_mask[:, :, None].astype(hidden.dtype)
+        return jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    if pooling == "last":
+        if attn_mask is None:
+            return hidden[:, -1]
+        idx = jnp.maximum(jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1, 0)
+        return jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    # cls / rank / default: first token
+    return hidden[:, 0]
+
+
+def rank_score(params, hidden: jax.Array) -> jax.Array:
+    """Cross-encoder relevance score from the CLS position (reference
+    LLAMA_POOLING_TYPE_RANK branch: optional pooler dense+tanh `cls`,
+    then the `cls.output` projection to one logit)."""
+    x = hidden[:, 0]
+    if "cls_w" in params:
+        x = jnp.tanh(linear(x, params["cls_w"], params.get("cls_b")))
+    if "cls_out_w" in params:
+        x = linear(x, params["cls_out_w"], params.get("cls_out_b"))
+    return x[..., 0]

@@ -53,6 +53,13 @@ class ModelConfig:
     act: str = "silu"
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim); gemma2 query_pre_attn_scalar
     tp_axis: str | None = None  # mesh axis name when running inside shard_map
+    pooling: str = "none"  # none | mean | cls | last | rank (llama.h pooling types)
+
+    @property
+    def is_encoder(self) -> bool:
+        """Bidirectional encoder family (bert): no causal mask, no KV
+        cache, no LM head (reference: hparams.causal_attn == false)."""
+        return self.arch in ("bert", "nomic-bert", "jina-bert-v2")
 
     @property
     def q_dim(self) -> int:
@@ -136,6 +143,9 @@ class ModelConfig:
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             act="gelu" if arch.startswith("gemma") else "silu",
             attn_scale=(1.0 / float(qpas) ** 0.5) if qpas else 0.0,
+            pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
+                int(kv("pooling_type", 0)), "none"
+            ),
         )
 
     def with_(self, **kw) -> "ModelConfig":

@@ -53,6 +53,13 @@ _LAYER_MAP = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "attn_sinks.weight": "attn_sinks",
+    # bert-family encoder blocks (reference: src/models/bert.cpp)
+    "attn_output_norm.weight": "attn_out_norm",
+    "attn_output_norm.bias": "attn_out_norm_b",
+    "layer_output_norm.weight": "layer_out_norm",
+    "layer_output_norm.bias": "layer_out_norm_b",
+    "ffn_up.bias": "ffn_up_b",
+    "ffn_down.bias": "ffn_down_b",
 }
 
 # params keys holding 2-D matmul weights (eligible for quantized execution)
@@ -62,6 +69,8 @@ _MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down", "ffn_g
 _VECTOR_KEYS = {
     "attn_norm", "ffn_norm", "attn_q_norm", "attn_k_norm", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
+    "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
+    "ffn_up_b", "ffn_down_b",
 }
 
 
@@ -109,6 +118,24 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             params["output"] = _load_matmul(f, name, quantized, dtype)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = _load_dense(f, name, jnp.float32)
+        # bert-family encoder extras (reference LLM_TENSOR_* names,
+        # src/llama-arch.cpp:349-356)
+        elif name == "token_types.weight":
+            params["type_emb"] = _load_dense(f, name, dtype)
+        elif name == "position_embd.weight":
+            params["pos_emb"] = _load_dense(f, name, dtype)
+        elif name == "token_embd_norm.weight":
+            params["tok_norm"] = _load_dense(f, name, jnp.float32)
+        elif name == "token_embd_norm.bias":
+            params["tok_norm_b"] = _load_dense(f, name, jnp.float32)
+        elif name == "cls.weight":
+            params["cls_w"] = _load_matmul(f, name, quantized, dtype)
+        elif name == "cls.bias":
+            params["cls_b"] = _load_dense(f, name, jnp.float32)
+        elif name == "cls.output.weight":
+            params["cls_out_w"] = _load_matmul(f, name, quantized, dtype)
+        elif name == "cls.output.bias":
+            params["cls_out_b"] = _load_dense(f, name, jnp.float32)
         elif name.startswith("blk."):
             _, il_s, suffix = name.split(".", 2)
             il = int(il_s)
@@ -149,7 +176,8 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             log.warning("unmapped tensor %s", name)
         handled.add(name)
 
-    if "output" not in params:  # tied embedding (e.g. gemma, tinyllama variants)
+    if "output" not in params and not cfg.is_encoder:
+        # tied embedding (e.g. gemma, tinyllama variants)
         params["output"] = jnp.asarray(np.asarray(params["tok_emb"], dtype=np.float32).T, dtype=dtype)
     return params
 
@@ -263,7 +291,7 @@ class Model:
             except NotImplementedError as e:
                 log.warning("tokenizer unavailable: %s", e)
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
-        if fuse:
+        if fuse and not cfg.is_encoder:
             params = fuse_projections(params, cfg)
         if isinstance(params.get("output"), QTensor):
             from ..quant.repack import pad_n

@@ -35,6 +35,7 @@ class ZllmServer:
         self.httpd: ThreadingHTTPServer | None = None
         self._t0 = time.time()
         self._embed_fn = None
+        self._rank_fn = None
 
     # -- request building ---------------------------------------------------
     def _make_request(self, body: dict, prompt_tokens: list[int]) -> Request:
@@ -85,31 +86,75 @@ class ZllmServer:
         )
 
     def embed(self, text: str):
-        """Mean-pooled L2-normalized final hidden state (reference:
-        /embeddings with --pooling mean)."""
+        """L2-normalized pooled embedding.  Encoder models (bert family)
+        run the bidirectional encoder with their GGUF pooling type;
+        decoder models mean-pool the final hidden state (reference:
+        /embeddings with --pooling)."""
         import jax
-        import jax.numpy as jnp
         import numpy as np
+
+        tok = self.model.tokenizer
+        cfg = self.model.cfg
+        ids = tok.encode(text, add_special=True)[: self.engine.max_len - 1]
+        n = len(ids)
+        toks = np.asarray(ids, np.int32)[None]
+        pos = np.arange(n, dtype=np.int32)[None]
+
+        if cfg.is_encoder:
+            from ..models.bert import bert_forward, pool
+
+            if self._embed_fn is None:
+                self._embed_fn = jax.jit(
+                    lambda p, t, q: bert_forward(p, cfg, t, q)
+                )
+            h = self._embed_fn(self.model.params, toks, pos)
+            v = np.asarray(pool(h, cfg.pooling if cfg.pooling != "none" else "mean"))[0]
+            return v / (np.linalg.norm(v) + 1e-9)
 
         from ..models.llama import forward
 
-        tok = self.model.tokenizer
-        ids = tok.encode(text, add_special=True)[: self.engine.max_len - 1]
         if self._embed_fn is None:
-            cfg = self.model.cfg
-
             def fn(params, toks, pos):
                 taps = {}
                 forward(params, cfg, toks, pos, None, taps=taps)
                 return taps["hidden"]
 
             self._embed_fn = jax.jit(fn)
-        n = len(ids)
-        toks = np.asarray(ids, np.int32)[None]
-        pos = np.arange(n, dtype=np.int32)[None]
         h = np.asarray(self._embed_fn(self.model.params, toks, pos))[0]
         v = h.mean(axis=0)
         return v / (np.linalg.norm(v) + 1e-9)
+
+    def rerank_scores(self, query: str, docs: list[str]) -> list[float]:
+        """Cross-encoder relevance: each (query, doc) pair runs through the
+        encoder jointly and the rank head scores it (reference: /rerank
+        with a LLAMA_POOLING_TYPE_RANK model, build_pooling cls head).
+        Falls back to embedding dot products for decoder-only models."""
+        import jax
+        import numpy as np
+
+        cfg = self.model.cfg
+        tok = self.model.tokenizer
+        if not cfg.is_encoder:
+            q = self.embed(query)
+            return [float(np.dot(q, self.embed(d))) for d in docs]
+
+        from ..models.bert import bert_forward, rank_score
+
+        if self._rank_fn is None:
+            self._rank_fn = jax.jit(
+                lambda p, t, q: rank_score(p, bert_forward(p, cfg, t, q))
+            )
+        v = tok.vocab
+        out = []
+        qi = tok.encode(query)
+        for doc in docs:
+            # [CLS] query [SEP] doc [SEP] (the reference's rank prompt)
+            ids = [v.bos_id] + qi + [v.eos_id] + tok.encode(doc) + [v.eos_id]
+            ids = [i for i in ids if i >= 0][: self.engine.max_len]
+            toks = np.asarray(ids, np.int32)[None]
+            pos = np.arange(len(ids), dtype=np.int32)[None]
+            out.append(float(np.asarray(self._rank_fn(self.model.params, toks, pos))[0]))
+        return out
 
     def serve_forever(self):
         server = self
@@ -221,14 +266,11 @@ class ZllmServer:
                 })
 
             def _rerank(self, body):
-                import numpy as _np
-
-                q = server.embed(body["query"])
                 docs = body.get("documents", body.get("texts", []))
-                scores = []
-                for i, doc in enumerate(docs):
-                    d = server.embed(doc)
-                    scores.append({"index": i, "relevance_score": float(_np.dot(q, d))})
+                vals = server.rerank_scores(body["query"], docs)
+                scores = [
+                    {"index": i, "relevance_score": v} for i, v in enumerate(vals)
+                ]
                 scores.sort(key=lambda s: -s["relevance_score"])
                 self._json(200, {"model": "zllm", "results": scores})
 
