@@ -69,3 +69,169 @@ def test_perplexity_fn(f32_model):
     # random model on random tokens: ppl should be near vocab size
     assert 50 < ppl < 5000
     assert n == 4 * (64 // 2 - 1)
+
+
+def test_gguf_split_merge_roundtrip(tmp_path):
+    """Split a model into shards, load the shard set transparently, merge
+    back, and verify tensor bytes survive (reference: tools/gguf-split)."""
+    import numpy as np
+
+    from tools.gguf_split import merge, split
+    from zllm.gguf.constants import GGMLType
+    from zllm.gguf.reader import read_gguf
+    from zllm.testing import make_llama_gguf
+
+    src = str(tmp_path / "m.gguf")
+    make_llama_gguf(src, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=128, gtype=GGMLType.Q8_0)
+    outs = split(src, str(tmp_path / "shard"), max_tensors=5)
+    assert len(outs) > 1
+
+    f0 = read_gguf(src)
+    fs = read_gguf(outs[0])  # SplitGGUF
+    assert set(fs.tensors) == set(f0.tensors)
+    for name in f0.tensors:
+        np.testing.assert_array_equal(fs.tensor_bytes(name), f0.tensor_bytes(name))
+
+    merged = str(tmp_path / "merged.gguf")
+    merge(outs[0], merged)
+    fm = read_gguf(merged)
+    for name in f0.tensors:
+        np.testing.assert_array_equal(fm.tensor_bytes(name), f0.tensor_bytes(name))
+    assert fm.kv("llama.block_count") == f0.kv("llama.block_count")
+    f0.close(); fs.close(); fm.close()
+
+
+def test_split_model_loads(tmp_path):
+    """Model.load works directly on the first shard of a split set."""
+    import jax.numpy as jnp
+
+    from tools.gguf_split import split
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    src = str(tmp_path / "m.gguf")
+    make_llama_gguf(src, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=128, gtype=GGMLType.Q8_0)
+    outs = split(src, str(tmp_path / "shard"), max_tensors=4)
+    m = Model.load(outs[0], quantized=True, dtype=jnp.float32)
+    assert len(m.params["layers"]) == 2
+
+
+def test_export_lora_merges(tmp_path):
+    """export-lora: merged model forward == base forward + runtime LoRA."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tools.export_lora import export_lora
+    from zllm.gguf.constants import GGMLType
+    from zllm.gguf.writer import GGUFWriter
+    from zllm.models.adapter import load_lora
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    src = str(tmp_path / "base.gguf")
+    make_llama_gguf(src, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=128, gtype=GGMLType.F32)
+
+    # synthesize a rank-2 adapter on layer 0's wq
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((64, 2)).astype(np.float32) * 0.1  # [K, r]
+    b = rng.standard_normal((2, 64)).astype(np.float32) * 0.1  # [r, N]
+    lp = str(tmp_path / "adapter.gguf")
+    w = GGUFWriter(lp)
+    w.add("general.type", "adapter")
+    w.add("adapter.type", "lora")
+    w.add("adapter.lora.alpha", 4.0)
+    w.add("adapter.lora.rank", 2)
+    w.add_tensor("blk.0.attn_q.lora_a", a)
+    w.add_tensor("blk.0.attn_q.lora_b", b)
+    w.write()
+
+    merged_path = export_lora(src, lp, str(tmp_path / "merged.gguf"), gtype=GGMLType.F32)
+
+    toks = jnp.asarray(np.asarray([[3, 9, 27]], np.int32))
+    pos = jnp.asarray(np.arange(3, dtype=np.int32)[None])
+
+    base = Model.load(src, quantized=False, dtype=jnp.float32, fuse=False)
+    load_lora(base, lp)
+    want, _ = forward(base.params, base.cfg, toks, pos, None)
+
+    m2 = Model.load(merged_path, quantized=False, dtype=jnp.float32, fuse=False)
+    got, _ = forward(m2.params, m2.cfg, toks, pos, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_cvector_generate_and_apply(tmp_path):
+    """cvector: generated directions steer the residual stream (applying
+    the vector changes logits; clearing restores them)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tools.cvector import generate, write_cvector_gguf
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.adapter import clear_cvector, load_cvector
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    src = str(tmp_path / "m.gguf")
+    make_llama_gguf(src, n_layers=3, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.F32)
+    m = Model.load(src, quantized=False, dtype=jnp.float32)
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(253)]
+    types = [int(TokenType.UNKNOWN)] + [int(TokenType.CONTROL)] * 2 + [int(TokenType.BYTE)] * 253
+    m.tokenizer = Tokenizer(Vocab(model="llama", pre="default", tokens=tokens,
+        scores=[0.0] * 256, types=types, bos_id=1, eos_id=2, unk_id=0,
+        add_bos=True, add_space_prefix=False))
+
+    dirs = generate(m, ["happy day", "good news"], ["sad day", "bad news"], method="pca")
+    assert set(dirs) == {1, 2} and dirs[1].shape == (64,)
+    out = write_cvector_gguf(dirs, str(tmp_path / "cv.gguf"), "llama")
+
+    toks = jnp.asarray(np.asarray([[5, 9]], np.int32))
+    pos = jnp.asarray(np.arange(2, dtype=np.int32)[None])
+    before, _ = forward(m.params, m.cfg, toks, pos, None)
+    n = load_cvector(m, out, scale=5.0)
+    assert n == 2
+    after, _ = forward(m.params, m.cfg, toks, pos, None)
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    clear_cvector(m)
+    restored, _ = forward(m.params, m.cfg, toks, pos, None)
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(before))
+
+
+def test_tokenize_cli(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from conftest import subprocess_env
+
+    out = subprocess.run(
+        [_sys.executable, "tools/tokenize.py",
+         "/root/reference/models/ggml-vocab-llama-spm.gguf", "-p", "Hello world",
+         "--ids", "--show-count"],
+        capture_output=True, text=True, timeout=120, env=subprocess_env(), cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    ids = eval(out.stdout.strip())
+    assert isinstance(ids, list) and len(ids) > 2
+    assert "Total number of tokens" in out.stderr
+
+
+def test_fit_params(tmp_path):
+    from tools.fit_params import fit
+    from zllm.gguf.constants import GGMLType
+    from zllm.testing import make_llama_gguf
+
+    src = str(tmp_path / "m.gguf")
+    make_llama_gguf(src, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=128, gtype=GGMLType.Q8_0)
+    ctx, slots = fit(src, ctx=32768, slots=4, margin=0, hbm=1 << 30)
+    assert ctx == 32768 and slots == 4  # tiny model fits outright
+    ctx2, slots2 = fit(src, ctx=1 << 24, slots=64, margin=0, hbm=64 << 20)
+    assert ctx2 < (1 << 24)  # context was reduced to fit

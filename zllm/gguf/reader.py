@@ -169,7 +169,70 @@ class GGUFFile:
         self.close()
 
 
-def read_gguf(path: str | os.PathLike) -> GGUFFile:
+class SplitGGUF:
+    """Sharded GGUF set (reference: gguf-split output, loaded via
+    llama_get_list_splits, src/llama-model-loader.cpp:71-100): presents
+    the union of all shards' tensors behind the GGUFFile interface."""
+
+    def __init__(self, files: list[GGUFFile]):
+        self.files = files
+        self.path = files[0].path
+        self.version = files[0].version
+        self.metadata = files[0].metadata
+        self.data_offset = files[0].data_offset
+        self.tensors: dict[str, TensorMeta] = {}
+        self._owner: dict[str, GGUFFile] = {}
+        for f in files:
+            for name, meta in f.tensors.items():
+                self.tensors[name] = meta
+                self._owner[name] = f
+
+    def kv(self, key: str, default=None, arch: str | None = None):
+        return self.files[0].kv(key, default, arch)
+
+    @property
+    def architecture(self) -> str:
+        return self.files[0].architecture
+
+    def tensor_bytes(self, name: str):
+        return self._owner[name].tensor_bytes(name)
+
+    def tensor_f32(self, name: str):
+        return self._owner[name].tensor_f32(name)
+
+    def close(self):
+        for f in self.files:
+            f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+SPLIT_PATTERN = "{prefix}-{no:05d}-of-{count:05d}.gguf"
+
+
+def read_gguf(path: str | os.PathLike):
+    """Open a GGUF; a first shard of a gguf-split set (split.count > 1)
+    transparently opens its siblings."""
+    f = _read_one(path)
+    n_split = int(f.kv("split.count", 0) or 0)
+    if n_split > 1:
+        import re
+
+        m = re.match(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$", str(path))
+        if m and int(m.group(2)) == 1:
+            prefix = m.group(1)
+            files = [f]
+            for no in range(2, n_split + 1):
+                files.append(_read_one(SPLIT_PATTERN.format(prefix=prefix, no=no, count=n_split)))
+            return SplitGGUF(files)
+    return f
+
+
+def _read_one(path: str | os.PathLike) -> GGUFFile:
     fh = open(path, "rb")
     mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
     cur = _Cursor(mm)

@@ -121,3 +121,29 @@ def clear_lora(model):
     for layer in model.params["layers"]:
         for key in [k for k in layer if k.endswith(".lora")]:
             del layer[key]
+
+
+def load_cvector(model, path: str, scale: float = 1.0, il_start: int = 1, il_end: int = 10**9):
+    """Attach a control-vector GGUF (reference: llama_apply_adapter_cvec,
+    src/llama-adapter.cpp + common/control-vector): tensors direction.{il}
+    add `scale * v` to layer il's residual stream output within
+    [il_start, il_end]."""
+    import jax.numpy as jnp
+
+    f = read_gguf(path)
+    n = 0
+    for name in f.tensors:
+        if not name.startswith("direction."):
+            continue
+        il = int(name.split(".")[1])
+        if il_start <= il <= il_end and il < len(model.params["layers"]):
+            v = f.tensor_f32(name) * scale
+            model.params["layers"][il]["cvec"] = jnp.asarray(v, jnp.float32)
+            n += 1
+    f.close()
+    return n
+
+
+def clear_cvector(model):
+    for layer in model.params["layers"]:
+        layer.pop("cvec", None)

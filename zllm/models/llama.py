@@ -232,6 +232,11 @@ def layer_forward(
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     x = x + ff
+    if "cvec" in layer:  # control vector on the residual stream
+        # (reference: llama_adapter_cvec::apply_to, src/llama-adapter.cpp)
+        x = x + layer["cvec"].astype(x.dtype)
+    if taps is not None:
+        taps[f"{tapname}.l_out"] = x  # per-layer hidden (cvector-generator)
     return x, kv
 
 
