@@ -29,6 +29,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "mixtral": (transformers.MixtralForCausalLM, transformers.MixtralConfig),
         "qwen3": (transformers.Qwen3ForCausalLM, transformers.Qwen3Config),
         "phi3": (transformers.Phi3ForCausalLM, transformers.Phi3Config),
+        "deepseek2": (transformers.DeepseekV2ForCausalLM, transformers.DeepseekV2Config),
+        "gemma3": (transformers.Gemma3ForCausalLM, transformers.Gemma3TextConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

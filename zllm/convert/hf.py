@@ -248,3 +248,95 @@ def convert_hf_bert(
         _emit(w, "cls.output.bias", npy(state_dict["classifier.bias"]), GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_hf_deepseek2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF DeepseekV2/V3ForCausalLM -> GGUF with the MLA absorption split
+    (reference: convert_hf_to_gguf.py DeepseekV2Model.modify_tensors —
+    kv_b_proj splits into k_b [transposed] and v_b per head)."""
+    npy = _npy
+    arch = "deepseek2"
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    dn = int(config["qk_nope_head_dim"])
+    dr = int(config["qk_rope_head_dim"])
+    dv = int(config["v_head_dim"])
+    r = int(config["kv_lora_rank"])
+    q_rank = config.get("q_lora_rank") or 0
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", int(config["hidden_size"]))
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.key_length", dn + dr)
+    w.add(f"{arch}.attention.value_length", dv)
+    w.add(f"{arch}.attention.kv_lora_rank", r)
+    if q_rank:
+        w.add(f"{arch}.attention.q_lora_rank", int(q_rank))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-6)))
+    w.add(f"{arch}.rope.dimension_count", dr)
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if config.get("n_routed_experts"):
+        w.add(f"{arch}.expert_count", int(config["n_routed_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config["num_experts_per_tok"]))
+        w.add(f"{arch}.expert_feed_forward_length", int(config["moe_intermediate_size"]))
+        w.add(f"{arch}.expert_shared_count", int(config.get("n_shared_experts", 0)))
+        w.add(f"{arch}.expert_weights_scale", float(config.get("routed_scaling_factor", 1.0)))
+        w.add(f"{arch}.expert_gating_func",
+              2 if config.get("scoring_func") == "sigmoid" else 1)
+        w.add(f"{arch}.leading_dense_block_count", int(config.get("first_k_dense_replace", 0)))
+        w.add(f"{arch}.norm_topk_prob", bool(config.get("norm_topk_prob", False)))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if q_rank:
+            _emit(w, o + "attn_q_a.weight", npy(state_dict[p + "self_attn.q_a_proj.weight"]), gtype)
+            _emit(w, o + "attn_q_a_norm.weight", npy(state_dict[p + "self_attn.q_a_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_q_b.weight", npy(state_dict[p + "self_attn.q_b_proj.weight"]), gtype)
+        else:
+            _emit(w, o + "attn_q.weight", npy(state_dict[p + "self_attn.q_proj.weight"]), gtype)
+        _emit(w, o + "attn_kv_a_mqa.weight", npy(state_dict[p + "self_attn.kv_a_proj_with_mqa.weight"]), gtype)
+        _emit(w, o + "attn_kv_a_norm.weight", npy(state_dict[p + "self_attn.kv_a_layernorm.weight"]), GGMLType.F32)
+        # MLA split: kv_b [H*(dn+dv), r] -> k_b [H, r, dn], v_b [H, dv, r]
+        kv_b = npy(state_dict[p + "self_attn.kv_b_proj.weight"]).reshape(n_head, dn + dv, r)
+        k_b = np.ascontiguousarray(kv_b[:, :dn, :].transpose(0, 2, 1))  # [H, r, dn]
+        v_b = np.ascontiguousarray(kv_b[:, dn:, :])  # [H, dv, r]
+        _emit(w, o + "attn_k_b.weight", k_b, GGMLType.F32)
+        _emit(w, o + "attn_v_b.weight", v_b, GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        if p + "mlp.gate.weight" in state_dict:  # MoE layer
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.weight"]), GGMLType.F32)
+            if p + "mlp.gate.e_score_correction_bias" in state_dict:
+                _emit(w, o + "exp_probs_b.bias", npy(state_dict[p + "mlp.gate.e_score_correction_bias"]), GGMLType.F32)
+            n_exp = int(config["n_routed_experts"])
+            for hf_name, gg in (("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"), ("down_proj", "ffn_down_exps")):
+                stk = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.{hf_name}.weight"]) for e in range(n_exp)])
+                _emit(w, o + gg + ".weight", stk, gtype)
+            for hf_name, gg in (("gate_proj", "ffn_gate_shexp"), ("up_proj", "ffn_up_shexp"), ("down_proj", "ffn_down_shexp")):
+                _emit(w, o + gg + ".weight", npy(state_dict[f"{p}mlp.shared_experts.{hf_name}.weight"]), gtype)
+        else:
+            _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

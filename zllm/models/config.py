@@ -23,7 +23,21 @@ class MoeConfig:
     n_shared_experts: int = 0
     gate_func: str = "softmax"  # softmax | sigmoid
     norm_topk_prob: bool = True
-    scale: float = 1.0
+    scale: float = 1.0  # routed-expert weight scale (deepseek2)
+    n_dense_lead: int = 0  # leading dense (non-MoE) layers (deepseek2)
+
+
+@dataclass(frozen=True)
+class MlaConfig:
+    """Multi-head latent attention dims (deepseek2).  With the absorption
+    optimization the KV cache is MQA over [rope | latent] vectors:
+    cfg.n_kv_heads == 1 and cfg.head_dim == qk_rope_dim + kv_lora_rank."""
+
+    kv_lora_rank: int
+    q_lora_rank: int  # 0 = lite variant (dense wq)
+    qk_nope_dim: int
+    qk_rope_dim: int
+    v_head_dim: int
 
 
 @dataclass(frozen=True)
@@ -54,6 +68,8 @@ class ModelConfig:
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim); gemma2 query_pre_attn_scalar
     tp_axis: str | None = None  # mesh axis name when running inside shard_map
     pooling: str = "none"  # none | mean | cls | last | rank (llama.h pooling types)
+    # multi-head latent attention (deepseek2; reference src/models/deepseek2.cpp)
+    mla: "MlaConfig | None" = None
 
     @property
     def is_encoder(self) -> bool:
@@ -117,7 +133,33 @@ class ModelConfig:
                 n_shared_experts=int(kv("expert_shared_count", 0)),
                 gate_func={1: "softmax", 2: "sigmoid"}.get(int(kv("expert_gating_func", 1)), "softmax"),
                 norm_topk_prob=bool(kv("norm_topk_prob", arch in ("llama", "mixtral", "qwen2moe", "qwen3moe"))),
+                scale=float(kv("expert_weights_scale", 1.0)),
+                n_dense_lead=int(kv("leading_dense_block_count", 0)),
             )
+
+        # deepseek2 multi-head latent attention: the cache is MQA over
+        # [rope | latent]; n_kv_heads/head_dim describe the CACHE dims
+        mla = None
+        kv_lora = int(kv("attention.kv_lora_rank", 0))
+        attn_scale_override = 0.0
+        if arch == "deepseek2" and kv_lora > 0:
+            mla = MlaConfig(
+                kv_lora_rank=kv_lora,
+                q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
+                qk_nope_dim=int(kv("attention.key_length")) - rope_dim,
+                qk_rope_dim=rope_dim,
+                v_head_dim=int(kv("attention.value_length")),
+            )
+            # YaRN-aware kq scale (reference deepseek2.cpp:20-30: mscale^2 /
+            # sqrt(full qk head dim)); mscale = 1 without rope scaling
+            import math
+
+            head_k = int(kv("attention.key_length"))
+            mscale = 1.0
+            if scale_factor > 1.0 and scaling == "yarn":
+                log_mul = float(kv("rope.scaling.yarn_log_multiplier", 0.1))
+                mscale = 1.0 + log_mul * math.log(scale_factor)
+            attn_scale_override = mscale * mscale / math.sqrt(head_k)
 
         qpas = kv("attention.query_pre_attn_scalar")
         return cls(
@@ -125,8 +167,8 @@ class ModelConfig:
             n_layers=int(kv("block_count")),
             n_embd=n_embd,
             n_heads=n_heads,
-            n_kv_heads=int(kv("attention.head_count_kv", n_heads)),
-            head_dim=head_dim,
+            n_kv_heads=1 if mla else int(kv("attention.head_count_kv", n_heads)),
+            head_dim=(mla.qk_rope_dim + mla.kv_lora_rank) if mla else head_dim,
             n_ff=int(kv("feed_forward_length")),
             vocab_size=vocab_size,
             ctx_len=int(kv("context_length", 4096)),
@@ -142,10 +184,11 @@ class ModelConfig:
             swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             act="gelu" if arch.startswith("gemma") else "silu",
-            attn_scale=(1.0 / float(qpas) ** 0.5) if qpas else 0.0,
+            attn_scale=attn_scale_override or ((1.0 / float(qpas) ** 0.5) if qpas else 0.0),
             pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
                 int(kv("pooling_type", 0)), "none"
             ),
+            mla=mla,
         )
 
     def with_(self, **kw) -> "ModelConfig":

@@ -97,9 +97,18 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:
         probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
+    if "ffn_exp_probs_b" in layer:
+        # deepseek3-style selection bias: biased scores pick the experts,
+        # the un-biased probs weight them (build_moe_ffn exp_probs_b)
+        sel = probs + layer["ffn_exp_probs_b"].astype(probs.dtype)
+        _, topi = jax.lax.top_k(sel, moe.n_experts_used)
+        topv = jnp.take_along_axis(probs, topi, axis=-1)
+    else:
+        topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
     if moe.norm_topk_prob:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if moe.scale != 1.0:
+        topv = topv * moe.scale
     act = swiglu if cfg.act == "silu" else geglu
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
@@ -170,6 +179,12 @@ def layer_forward(
     h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
+
+    if "wkv_a_mqa" in layer:  # deepseek2 multi-head latent attention
+        att, kv = _mla_attention(layer, cfg, h, positions, kv, il, scale)
+        att = lora_linear(layer, "wo", att.reshape(b, t, -1))
+        x = x + att
+        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis), kv
     if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
         qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
         qd, kvd = cfg.q_dim, cfg.kv_dim
@@ -213,6 +228,11 @@ def layer_forward(
         att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
     x = x + att
 
+    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis), kv
+
+
+def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
+    """Post-attention half of a block: FFN/MoE + residual + cvector."""
     h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
     if taps is not None:
         taps[f"{tapname}.ffn_gate.weight"] = h2
@@ -237,7 +257,58 @@ def layer_forward(
         x = x + layer["cvec"].astype(x.dtype)
     if taps is not None:
         taps[f"{tapname}.l_out"] = x  # per-layer hidden (cvector-generator)
-    return x, kv
+    return x
+
+
+def _mla_attention(layer, cfg, h, positions, kv, il, scale):
+    """Multi-head latent attention with the absorption optimization
+    (reference: src/models/deepseek2.cpp:110-150): queries absorb wk_b so
+    attention runs as MQA over cached [rope | latent] vectors; wv_b
+    decompresses the latent attention output per head.  Returns
+    ([B, T, H, dv], kv)."""
+    m = cfg.mla
+    b, t = h.shape[:2]
+    dn, dr, r = m.qk_nope_dim, m.qk_rope_dim, m.kv_lora_rank
+
+    if m.q_lora_rank:
+        q = rms_norm(lora_linear(layer, "wq_a", h), layer["attn_q_a_norm"], cfg.norm_eps)
+        q = lora_linear(layer, "wq_b", q)
+    else:  # lite variant
+        q = lora_linear(layer, "wq", h)
+    q = q.reshape(b, t, -1, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    kv_pe = lora_linear(layer, "wkv_a_mqa", h)  # [B, T, r + dr]
+    kv_cmpr = rms_norm(kv_pe[..., :r], layer["attn_kv_a_norm"], cfg.norm_eps)
+    k_pe = kv_pe[..., None, r:]  # [B, T, 1, dr]
+
+    q_pe = apply_rope(q_pe, positions, cfg.rope)
+    k_pe = apply_rope(k_pe, positions, cfg.rope)
+
+    # absorb wk_b [H, r, dn]: q_nope -> latent space
+    q_abs = jnp.einsum("hrd,bthd->bthr", layer["wk_b"].astype(q_nope.dtype), q_nope)
+    q_full = jnp.concatenate([q_pe, q_abs], axis=-1)  # [B, T, H, dr + r]
+    k_full = jnp.concatenate([k_pe, kv_cmpr[..., None, :]], axis=-1)  # [B, T, 1, dr + r]
+    v_lat = kv_cmpr[..., None, :]  # [B, T, 1, r]
+
+    if kv is not None:
+        # MQA cache holds [rope | latent]; V is a suffix view of K
+        kv = kv.update(il, k_full, k_full, positions)
+        k_all, _ = kv.layer(il)  # [B, 1, S, dr + r]
+        v_all = k_all[..., dr:]
+    else:
+        k_all = k_full.transpose(0, 2, 1, 3)
+        v_all = v_lat.transpose(0, 2, 1, 3)
+
+    # jnp attention path (head dims differ between K and V; the fused
+    # kernels assume equal dims)
+    from ..runtime.kvcache import causal_mask
+    from ..ops.layers import attention_ref
+
+    mask = causal_mask(positions, k_all.shape[2], 0)
+    att = attention_ref(q_full, k_all, v_all, mask, scale)  # [B, T, H, r]
+    # decompress with wv_b [H, dv, r]
+    return jnp.einsum("hvr,bthr->bthv", layer["wv_b"].astype(att.dtype), att), kv
 
 
 def forward(

@@ -53,6 +53,17 @@ _LAYER_MAP = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "attn_sinks.weight": "attn_sinks",
+    # deepseek2 MLA projections (reference: src/llama-arch.cpp:374-400,
+    # src/models/deepseek2.cpp); wk_b/wv_b are per-head 3-D (dense-loaded)
+    "attn_q_a.weight": "wq_a",
+    "attn_q_b.weight": "wq_b",
+    "attn_q_a_norm.weight": "attn_q_a_norm",
+    "attn_kv_a_mqa.weight": "wkv_a_mqa",
+    "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    "attn_k_b.weight": "wk_b",
+    "attn_v_b.weight": "wv_b",
+    "attn_kv_b.weight": "wkv_b",
+    "exp_probs_b.bias": "ffn_exp_probs_b",
     # bert-family encoder blocks (reference: src/models/bert.cpp)
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_b",
@@ -70,8 +81,11 @@ _VECTOR_KEYS = {
     "attn_norm", "ffn_norm", "attn_q_norm", "attn_k_norm", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
-    "ffn_up_b", "ffn_down_b",
+    "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
 }
+
+# per-head 3-D MLA projections: dense arrays, einsum-consumed
+_DENSE3D_KEYS = {"wk_b", "wv_b"}
 
 
 def _load_dense(f: GGUFFile, name: str, dtype):
@@ -154,7 +168,9 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             if key is None:
                 log.warning("unmapped tensor %s", name)
                 continue
-            if key in _MATMUL_KEYS:
+            if key in _DENSE3D_KEYS:
+                params["layers"][il][key] = jnp.asarray(f.tensor_f32(name), dtype=dtype)
+            elif key in _MATMUL_KEYS:
                 params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)
             elif key in _VECTOR_KEYS:
                 params["layers"][il][key] = _load_dense(f, name, jnp.float32)

@@ -148,7 +148,8 @@ def attention_ref(
     else:
         probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgts,bhsd->bthgd", probs, vf)
-    return out.reshape(b, t, hq, d).astype(q.dtype)
+    # V's head dim may differ from Q/K's (MLA latent values)
+    return out.reshape(b, t, hq, -1).astype(q.dtype)
 
 
 def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
