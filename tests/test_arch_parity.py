@@ -85,6 +85,25 @@ ARCH_CFGS = {
         num_experts_per_tok=2,
         tie_word_embeddings=False,
     ),
+    "gemma3": dict(
+        vocab_size=167,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=7,  # layers 0-4 + 6 sliding, layer 5 full
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        rope_local_base_freq=10000.0,
+        query_pre_attn_scalar=16,
+        sliding_window=32,
+        sliding_window_pattern=6,
+        attn_logit_softcapping=None,
+        final_logit_softcapping=None,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -104,7 +123,7 @@ def _oracle(arch, tmpdir):
     return sd, data["toks"], data["logits"], data["greedy"]
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral", "qwen3", "phi3"])
+@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3"])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
     import jax.numpy as jnp

@@ -58,6 +58,8 @@ _ARCH_RULES = {
     "gemma2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=True),
     # qwen3: neox rope, per-head q/k RMSNorm instead of biases
     "qwen3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # gemma3: gemma2 sandwich norms + QK-norm + per-layer-type rope base
+    "gemma3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=True),
     # phi3: neox rope; HF ships fused qkv_proj / gate_up_proj, kept fused
     # like the reference converter (loader splits by block rows)
     "phi3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False, fused=True),
@@ -109,6 +111,8 @@ def convert_hf_llama(
         w.add(f"{arch}.attention.query_pre_attn_scalar", float(config["query_pre_attn_scalar"]))
     if "sliding_window" in config and config.get("sliding_window"):
         w.add(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+    if config.get("rope_local_base_freq"):  # gemma3 local-layer rope base
+        w.add(f"{arch}.rope.freq_base_swa", float(config["rope_local_base_freq"]))
     if "num_local_experts" in config:  # mixtral-style MoE
         w.add(f"{arch}.expert_count", int(config["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
@@ -149,9 +153,9 @@ def convert_hf_llama(
             _emit(w, o + "attn_q.bias", npy(state_dict[p + "self_attn.q_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_k.bias", npy(state_dict[p + "self_attn.k_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_v.bias", npy(state_dict[p + "self_attn.v_proj.bias"]), GGMLType.F32)
-        if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2 QK-norm
-            _emit(w, o + "attn_q_norm.weight", npy(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
-            _emit(w, o + "attn_k_norm.weight", npy(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
+        if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2/gemma3 QK-norm
+            _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
         if p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
             _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)

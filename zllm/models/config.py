@@ -54,6 +54,9 @@ class ModelConfig:
     norm_eps: float = 1e-5
     norm_kind: str = "rms"  # rms | layer
     rope: RopeParams = field(default_factory=lambda: RopeParams(dim=0))
+    # SWA layers' rope (gemma3: local layers run base 10k, full layers 1M
+    # — reference get_rope_freq_base, src/llama-model.cpp:683-685)
+    rope_swa: RopeParams | None = None
     moe: MoeConfig | None = None
     tie_embedding: bool = False
     attn_logit_softcap: float = 0.0
@@ -123,6 +126,13 @@ class ModelConfig:
             attn_factor=float(kv("rope.scaling.attn_factor", 1.0)),
         )
 
+        rope_swa = None
+        fb_swa = kv("rope.freq_base_swa")
+        if fb_swa is not None and int(kv("attention.sliding_window", 0)) > 0:
+            # local-attention layers: plain rope at the SWA base (scaling
+            # applies only to the full-attention layers)
+            rope_swa = rope._replace(base=float(fb_swa), scaling="none", scale_factor=1.0)
+
         moe = None
         n_experts = int(kv("expert_count", 0))
         if n_experts > 0:
@@ -176,6 +186,7 @@ class ModelConfig:
                 kv("attention.layer_norm_rms_epsilon", kv("attention.layer_norm_epsilon", 1e-5))
             ),
             rope=rope,
+            rope_swa=rope_swa,
             moe=moe,
             attn_logit_softcap=float(kv("attn_logit_softcapping", 0.0)),
             final_logit_softcap=float(kv("final_logit_softcapping", 0.0)),

@@ -202,8 +202,9 @@ def layer_forward(
         q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
 
-    q = apply_rope(q, positions, cfg.rope)
-    k = apply_rope(k, positions, cfg.rope)
+    rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
+    q = apply_rope(q, positions, rope)
+    k = apply_rope(k, positions, rope)
 
     if kv is not None:
         kv = kv.update(il, k, v, positions)
