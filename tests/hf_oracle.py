@@ -23,6 +23,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
     if arch == "bert":
         return main_bert(out_path, cfg)
     cls = {
+        "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
         "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
         "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
         "gemma2": (transformers.Gemma2ForCausalLM, transformers.Gemma2Config),

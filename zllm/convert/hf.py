@@ -344,3 +344,61 @@ def convert_hf_deepseek2(
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_mamba(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF MambaForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    MambaModel — A stored as -exp(A_log), conv1d squeezed to 2-D)."""
+    npy = _npy
+    arch = "mamba"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    d_inner = int(config.get("intermediate_size") or config.get("expand", 2) * n_embd)
+    dt_rank = config.get("time_step_rank")
+    if dt_rank in (None, "auto"):
+        dt_rank = -(-n_embd // 16)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 1 << 20)  # recurrent: unbounded
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", 0)
+    w.add(f"{arch}.attention.head_count", 1)
+    w.add(f"{arch}.attention.head_count_kv", 1)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", int(config.get("state_size", 16)))
+    w.add(f"{arch}.ssm.time_step_rank", int(dt_rank))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["backbone.embeddings.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"backbone.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ssm_in.weight", npy(state_dict[p + "mixer.in_proj.weight"]), gtype)
+        conv = npy(state_dict[p + "mixer.conv1d.weight"])  # [di, 1, dc]
+        _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+        _emit(w, o + "ssm_conv1d.bias", npy(state_dict[p + "mixer.conv1d.bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_x.weight", npy(state_dict[p + "mixer.x_proj.weight"]), gtype)
+        _emit(w, o + "ssm_dt.weight", npy(state_dict[p + "mixer.dt_proj.weight"]), gtype)
+        _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "mixer.dt_proj.bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "mixer.A_log"])), GGMLType.F32)
+        _emit(w, o + "ssm_d", npy(state_dict[p + "mixer.D"]), GGMLType.F32)
+        _emit(w, o + "ssm_out.weight", npy(state_dict[p + "mixer.out_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["backbone.norm_f.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

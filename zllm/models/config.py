@@ -28,6 +28,16 @@ class MoeConfig:
 
 
 @dataclass(frozen=True)
+class SsmConfig:
+    """Mamba selective-state-space dims (reference llama_hparams ssm_*)."""
+
+    d_conv: int
+    d_inner: int
+    d_state: int
+    dt_rank: int
+
+
+@dataclass(frozen=True)
 class MlaConfig:
     """Multi-head latent attention dims (deepseek2).  With the absorption
     optimization the KV cache is MQA over [rope | latent] vectors:
@@ -73,6 +83,13 @@ class ModelConfig:
     pooling: str = "none"  # none | mean | cls | last | rank (llama.h pooling types)
     # multi-head latent attention (deepseek2; reference src/models/deepseek2.cpp)
     mla: "MlaConfig | None" = None
+    # recurrent state space (mamba; reference src/models/mamba.cpp)
+    ssm: "SsmConfig | None" = None
+
+    @property
+    def is_recurrent(self) -> bool:
+        """Recurrent-memory family: state instead of a KV cache."""
+        return self.ssm is not None
 
     @property
     def is_encoder(self) -> bool:
@@ -98,9 +115,9 @@ class ModelConfig:
         def kv(suffix: str, default=None):
             return f.metadata.get(f"{arch}.{suffix}", default)
 
-        n_heads = int(kv("attention.head_count"))
+        n_heads = int(kv("attention.head_count", 1) or 1)
         n_embd = int(kv("embedding_length"))
-        head_dim = int(kv("attention.key_length", n_embd // n_heads))
+        head_dim = int(kv("attention.key_length", n_embd // n_heads) or 1)
         vocab = f.kv("tokenizer.ggml.tokens")
         vocab_size = int(kv("vocab_size", len(vocab) if vocab is not None else 0))
 
@@ -171,6 +188,15 @@ class ModelConfig:
                 mscale = 1.0 + log_mul * math.log(scale_factor)
             attn_scale_override = mscale * mscale / math.sqrt(head_k)
 
+        ssm = None
+        if kv("ssm.inner_size"):
+            ssm = SsmConfig(
+                d_conv=int(kv("ssm.conv_kernel", 4)),
+                d_inner=int(kv("ssm.inner_size")),
+                d_state=int(kv("ssm.state_size", 16)),
+                dt_rank=int(kv("ssm.time_step_rank", n_embd // 16)),
+            )
+
         qpas = kv("attention.query_pre_attn_scalar")
         return cls(
             arch=arch,
@@ -179,7 +205,7 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=1 if mla else int(kv("attention.head_count_kv", n_heads)),
             head_dim=(mla.qk_rope_dim + mla.kv_lora_rank) if mla else head_dim,
-            n_ff=int(kv("feed_forward_length")),
+            n_ff=int(kv("feed_forward_length", 0) or 0),
             vocab_size=vocab_size,
             ctx_len=int(kv("context_length", 4096)),
             norm_eps=float(
@@ -200,6 +226,7 @@ class ModelConfig:
                 int(kv("pooling_type", 0)), "none"
             ),
             mla=mla,
+            ssm=ssm,
         )
 
     def with_(self, **kw) -> "ModelConfig":

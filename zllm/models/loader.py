@@ -53,6 +53,19 @@ _LAYER_MAP = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "attn_sinks.weight": "attn_sinks",
+    # mamba SSM mixer (reference: src/llama-arch.cpp LLM_ARCH_MAMBA table)
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_b",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_b",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
+    "ssm_dt_norm.weight": "ssm_dt_norm",
+    "ssm_b_norm.weight": "ssm_b_norm",
+    "ssm_c_norm.weight": "ssm_c_norm",
     # deepseek2 MLA projections (reference: src/llama-arch.cpp:374-400,
     # src/models/deepseek2.cpp); wk_b/wv_b are per-head 3-D (dense-loaded)
     "attn_q_a.weight": "wq_a",
@@ -82,6 +95,8 @@ _VECTOR_KEYS = {
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
+    "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b",
+    "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm",
 }
 
 # per-head 3-D MLA projections: dense arrays, einsum-consumed

@@ -1,0 +1,128 @@
+"""Mamba (S6 selective-state-space) forward pass.
+
+Reference: src/models/mamba.cpp + graph-context-mamba.cpp
+build_mamba_layer (conv window + ggml_ssm_conv / ggml_ssm_scan) and the
+recurrent memory class src/llama-memory-recurrent.cpp — the per-sequence
+state here is a RecurrentState pytree (conv tail [B, d_inner, d_conv-1]
+and SSM state [B, d_inner, d_state] per layer) carried functionally, the
+TPU-native counterpart of the reference's r/s state slots.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.layers import rms_norm
+from ..ops.linear import linear
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RecurrentState:
+    """Per-layer recurrent memory (reference llama_memory_recurrent: get_r_l
+    conv states + get_s_l ssm states)."""
+
+    conv: tuple  # L x [B, d_inner, d_conv-1]
+    ssm: tuple  # L x [B, d_inner, d_state]
+
+    def tree_flatten(self):
+        return (*self.conv, *self.ssm), len(self.conv)
+
+    @classmethod
+    def tree_unflatten(cls, n, leaves):
+        return cls(conv=tuple(leaves[:n]), ssm=tuple(leaves[n:]))
+
+    @classmethod
+    def create(cls, cfg, batch: int, dtype=jnp.float32):
+        s = cfg.ssm
+        conv = tuple(
+            jnp.zeros((batch, s.d_inner, s.d_conv - 1), dtype) for _ in range(cfg.n_layers)
+        )
+        ssm = tuple(
+            jnp.zeros((batch, s.d_inner, s.d_state), jnp.float32) for _ in range(cfg.n_layers)
+        )
+        return cls(conv=conv, ssm=ssm)
+
+    def with_layer(self, il: int, conv, ssm) -> "RecurrentState":
+        c, s = list(self.conv), list(self.ssm)
+        c[il], s[il] = conv, ssm
+        return RecurrentState(conv=tuple(c), ssm=tuple(s))
+
+
+def mamba_layer(layer, cfg, x, conv_state, ssm_state):
+    """One mixer (reference build_mamba_layer): returns (y, conv', ssm').
+    x: [B, T, K]; conv_state [B, di, dc-1]; ssm_state [B, di, ds]."""
+    s = cfg.ssm
+    b, t, _ = x.shape
+    di, ds, dc, dtr = s.d_inner, s.d_state, s.d_conv, s.dt_rank
+
+    xz = linear(x, layer["ssm_in"])  # [B, T, 2*di]
+    xi, z = xz[..., :di], xz[..., di:]
+
+    # causal depthwise conv over time with the carried (dc-1)-column tail
+    convx = jnp.concatenate([conv_state.astype(xi.dtype), xi.transpose(0, 2, 1)], axis=-1)
+    new_conv = convx[..., t:]  # last dc-1 columns
+    w = layer["ssm_conv1d"].astype(jnp.float32)  # [di, dc]
+    windows = jnp.stack([convx[..., j : j + t] for j in range(dc)], axis=-1)  # [B, di, T, dc]
+    xc = jnp.einsum("bdtc,dc->bdt", windows.astype(jnp.float32), w)
+    xc = xc + layer["ssm_conv1d_b"].astype(jnp.float32)[None, :, None]
+    xc = jax.nn.silu(xc).transpose(0, 2, 1)  # [B, T, di] f32
+
+    xdb = linear(xc.astype(x.dtype), layer["ssm_x"])  # [B, T, dtr + 2*ds]
+    dt = xdb[..., :dtr]
+    B_ = xdb[..., dtr : dtr + ds].astype(jnp.float32)
+    C_ = xdb[..., dtr + ds :].astype(jnp.float32)
+    if "ssm_dt_norm" in layer:  # falcon-mamba/jamba B/C/dt norms
+        dt = rms_norm(dt, layer["ssm_dt_norm"], cfg.norm_eps)
+        B_ = rms_norm(B_, layer["ssm_b_norm"], cfg.norm_eps)
+        C_ = rms_norm(C_, layer["ssm_c_norm"], cfg.norm_eps)
+    dt = linear(dt, layer["ssm_dt"], layer["ssm_dt_b"]).astype(jnp.float32)
+    dt = jax.nn.softplus(dt)  # [B, T, di]
+
+    A = layer["ssm_a"].astype(jnp.float32)  # [di, ds], negative
+    D = layer["ssm_d"].astype(jnp.float32)  # [di]
+
+    def step(h, inp):
+        dt_t, b_t, c_t, x_t = inp  # [B,di], [B,ds], [B,ds], [B,di]
+        dA = jnp.exp(dt_t[..., None] * A[None])  # [B, di, ds]
+        h = h * dA + (dt_t * x_t)[..., None] * b_t[:, None, :]
+        y = jnp.einsum("bds,bs->bd", h, c_t)
+        return h, y
+
+    xs = (dt.transpose(1, 0, 2), B_.transpose(1, 0, 2), C_.transpose(1, 0, 2), xc.transpose(1, 0, 2))
+    h_final, ys = lax.scan(step, ssm_state.astype(jnp.float32), xs)
+    y = ys.transpose(1, 0, 2) + xc * D[None, None, :]  # [B, T, di]
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    out = linear(y.astype(x.dtype), layer["ssm_out"])
+    return out, new_conv, h_final
+
+
+def mamba_forward(
+    params,
+    cfg,
+    tokens: jax.Array,  # [B, T]
+    state: RecurrentState | None = None,
+    *,
+    logits_for: str = "all",
+):
+    """Returns (logits, state).  Unlike attention, positions are implicit —
+    the recurrent state IS the context."""
+    x = params["tok_emb"][tokens]
+    if state is None:
+        state = RecurrentState.create(cfg, tokens.shape[0], x.dtype)
+    for il, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[il], state.ssm[il])
+        state = state.with_layer(il, conv, ssm)
+        x = x + y
+    x = rms_norm(x, params["out_norm"], cfg.norm_eps)
+    if logits_for == "last":
+        x = x[:, -1:, :]
+    logits = linear(x, params["output"]).astype(jnp.float32)
+    if logits.shape[-1] != cfg.vocab_size:
+        logits = logits[..., : cfg.vocab_size]
+    return logits, state
