@@ -42,6 +42,37 @@ import numpy as np
 PENALTY_WINDOW = 64
 
 
+class Histogram:
+    """Prometheus-style cumulative histogram (reference: server /metrics
+    surface; the reference exposes counters — histograms are the natural
+    superset for latency SLOs)."""
+
+    def __init__(self, buckets=(0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)):
+        self.buckets = tuple(buckets)
+        self.counts = [0] * (len(self.buckets) + 1)  # +Inf
+        self.total = 0.0
+        self.n = 0
+
+    def observe(self, v: float):
+        self.total += v
+        self.n += 1
+        for i, b in enumerate(self.buckets):
+            if v <= b:
+                self.counts[i] += 1
+                return
+        self.counts[-1] += 1
+
+    def prometheus(self, name: str) -> str:
+        out, cum = [], 0
+        for b, c in zip(self.buckets, self.counts):
+            cum += c
+            out.append(f'{name}_bucket{{le="{b}"}} {cum}')
+        out.append(f'{name}_bucket{{le="+Inf"}} {self.n}')
+        out.append(f"{name}_sum {self.total}")
+        out.append(f"{name}_count {self.n}")
+        return "\n".join(out)
+
+
 class SlotState(Enum):
     IDLE = 0
     PROMPT = 1  # prefilling
@@ -188,6 +219,9 @@ class Engine:
             "spec_drafted_total": 0,
             "spec_accepted_total": 0,
         }
+        self.hist_ttft = Histogram()  # time to first token (s)
+        self.hist_per_token = Histogram((0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0))
+        self.hist_request = Histogram()
         self.thread = threading.Thread(target=self._loop, daemon=True, name="zllm-engine")
 
     # -- public API ---------------------------------------------------------
@@ -325,6 +359,13 @@ class Engine:
         req.error = error
         req.done = True
         req.t_done = time.time()
+        if req.t_first_token:
+            self.hist_ttft.observe(req.t_first_token - req.t_submit)
+            if len(req.out_tokens) > 1:
+                self.hist_per_token.observe(
+                    (req.t_done - req.t_first_token) / (len(req.out_tokens) - 1)
+                )
+        self.hist_request.observe(req.t_done - req.t_submit)
         req.stream_q.put(None)  # sentinel
         slot.state = SlotState.IDLE
         slot.req = None

@@ -204,6 +204,13 @@ class ZllmServer:
                     for k, v in m.items():
                         lines.append(f"# TYPE zllm_{k} counter")
                         lines.append(f"zllm_{k} {v}")
+                    for name, h in (
+                        ("zllm_time_to_first_token_seconds", server.engine.hist_ttft),
+                        ("zllm_inter_token_latency_seconds", server.engine.hist_per_token),
+                        ("zllm_request_duration_seconds", server.engine.hist_request),
+                    ):
+                        lines.append(f"# TYPE {name} histogram")
+                        lines.append(h.prometheus(name))
                     data = ("\n".join(lines) + "\n").encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; version=0.0.4")
@@ -221,6 +228,10 @@ class ZllmServer:
                         self._completion(body, chat=False)
                     elif self.path == "/v1/chat/completions":
                         self._completion(body, chat=True)
+                    elif self.path == "/v1/messages":
+                        self._anthropic_messages(body)
+                    elif self.path == "/v1/messages/count_tokens":
+                        self._anthropic_count(body)
                     elif self.path in ("/embeddings", "/v1/embeddings"):
                         self._embeddings(body)
                     elif self.path in ("/rerank", "/v1/rerank"):
@@ -325,6 +336,105 @@ class ZllmServer:
                     self._json(200, server.engine.erase_slot(idx))
                 else:
                     self._json(400, {"error": f"unknown action {action!r}"})
+
+            # -- Anthropic Messages API (reference: tools/server
+            # README.md:1306-1377 /v1/messages + count_tokens) ------------
+            def _anthropic_prompt(self, body: dict):
+                msgs = []
+                system = body.get("system")
+                if system:
+                    if isinstance(system, list):  # content blocks
+                        system = "".join(b.get("text", "") for b in system)
+                    msgs.append({"role": "system", "content": system})
+                for m in body.get("messages", []):
+                    content = m.get("content", "")
+                    if isinstance(content, list):
+                        content = "".join(
+                            b.get("text", "") for b in content if b.get("type") == "text"
+                        )
+                    msgs.append({"role": m.get("role", "user"), "content": content})
+                tok = server.model.tokenizer
+                text = apply_chat_template(server.model, msgs)
+                ids = tok.encode(text, add_special=True, parse_special=True)
+                if len(ids) >= 2 and ids[0] == tok.bos_id and ids[1] == tok.bos_id:
+                    ids = ids[1:]
+                return ids
+
+            def _anthropic_count(self, body: dict):
+                self._json(200, {"input_tokens": len(self._anthropic_prompt(body))})
+
+            def _anthropic_messages(self, body: dict):
+                ids = self._anthropic_prompt(body)
+                oai_body = {
+                    "max_tokens": body.get("max_tokens", 4096),
+                    "temperature": body.get("temperature", 1.0),
+                    "top_p": body.get("top_p", 1.0),
+                    "top_k": body.get("top_k", 0),
+                    "stop": body.get("stop_sequences", []),
+                }
+                req = server._make_request(oai_body, ids)
+                server.engine.submit(req)
+                mid = "msg_" + req.rid
+                model_name = body.get("model", "zllm")
+                stop_map = {"stop": "end_turn", "length": "max_tokens"}
+
+                if not body.get("stream", False):
+                    while req.stream_q.get() is not None:
+                        pass
+                    text = server.model.tokenizer.decode(req.out_tokens)
+                    stop_reason = stop_map.get(req.finish_reason, "end_turn")
+                    for ss in req.stop_strings:
+                        i = text.find(ss)
+                        if i >= 0:
+                            text, stop_reason = text[:i], "stop_sequence"
+                            break
+                    self._json(200, {
+                        "id": mid, "type": "message", "role": "assistant",
+                        "model": model_name,
+                        "content": [{"type": "text", "text": text}],
+                        "stop_reason": stop_reason, "stop_sequence": None,
+                        "usage": {"input_tokens": len(ids),
+                                  "output_tokens": len(req.out_tokens)},
+                    })
+                    return
+
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunked(data: bytes):
+                    self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+                def ev(name: str, obj: dict):
+                    chunked(f"event: {name}\ndata: {json.dumps(obj)}\n\n".encode())
+
+                ev("message_start", {"type": "message_start", "message": {
+                    "id": mid, "type": "message", "role": "assistant",
+                    "model": model_name, "content": [],
+                    "stop_reason": None, "stop_sequence": None,
+                    "usage": {"input_tokens": len(ids), "output_tokens": 0}}})
+                ev("content_block_start", {"type": "content_block_start", "index": 0,
+                                           "content_block": {"type": "text", "text": ""}})
+                from ..tokenizer import IncrementalDecoder
+
+                inc = IncrementalDecoder(server.model.tokenizer)
+                while True:
+                    t = req.stream_q.get()
+                    piece = inc.flush() if t is None else inc.push(t)
+                    if piece:
+                        ev("content_block_delta", {"type": "content_block_delta", "index": 0,
+                                                   "delta": {"type": "text_delta", "text": piece}})
+                    if t is None:
+                        break
+                ev("content_block_stop", {"type": "content_block_stop", "index": 0})
+                ev("message_delta", {"type": "message_delta",
+                                     "delta": {"stop_reason": stop_map.get(req.finish_reason, "end_turn"),
+                                               "stop_sequence": None},
+                                     "usage": {"output_tokens": len(req.out_tokens)}})
+                ev("message_stop", {"type": "message_stop"})
+                chunked(b"")
 
             def _completion(self, body: dict, chat: bool):
                 tok = server.model.tokenizer

@@ -29,6 +29,7 @@ def make_llama_gguf(
     ctx_len: int = 4096,
     n_experts: int = 0,
     n_experts_used: int = 2,
+    with_tokenizer: bool = False,
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_heads
@@ -54,6 +55,22 @@ def make_llama_gguf(
         w.add("llama.expert_count", n_experts)
         w.add("llama.expert_used_count", n_experts_used)
         w.add("llama.expert_feed_forward_length", n_ff)
+    if with_tokenizer:
+        # byte-level SPM vocab (vocab_size >= 259): unk/bos/eos + 256 bytes
+        assert vocab_size >= 259, "with_tokenizer needs vocab_size >= 259"
+        tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+        tokens += [f"<extra{i}>" for i in range(vocab_size - len(tokens))]
+        types = [2, 3, 3] + [6] * 256 + [1] * (vocab_size - 259)
+        w.add("tokenizer.ggml.model", "llama")
+        w.add("tokenizer.ggml.pre", "default")
+        w.add("tokenizer.ggml.tokens", tokens)
+        w.add("tokenizer.ggml.scores", [0.0] * vocab_size)
+        w.add("tokenizer.ggml.token_type", types)
+        w.add("tokenizer.ggml.bos_token_id", 1)
+        w.add("tokenizer.ggml.eos_token_id", 2)
+        w.add("tokenizer.ggml.unknown_token_id", 0)
+        w.add("tokenizer.ggml.add_bos_token", True)
+        w.add("tokenizer.ggml.add_space_prefix", False)
 
     def emit(name: str, shape, scale=0.02, force_f32=False):
         t = GGMLType.F32 if force_f32 else gtype
