@@ -144,3 +144,31 @@ def test_wpm_decode_roundtrip():
     tok = Tokenizer.from_gguf(read_gguf(p))
     ids = tok.encode("hello world", add_special=False)
     assert tok.decode(ids) == "hello world"
+
+
+def test_rwkv_trie_tokenizer():
+    """RWKV byte-trie greedy longest match + escaped byte tokens
+    (reference llm_tokenizer_rwkv, llama-vocab.cpp:1190)."""
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.rwkv import unescape_rwkv_token
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    assert unescape_rwkv_token("\\n") == b"\n"
+    assert unescape_rwkv_token("\\x41B") == b"AB"
+    assert unescape_rwkv_token("a\\\\b") == b"a\\b"
+
+    tokens = ["<unk>", "hello", "hell", "he", " world", "wor", "l", "d", "o", " ", "\\n"]
+    types = [int(TokenType.UNKNOWN)] + [int(TokenType.NORMAL)] * 10
+    v = Vocab(model="rwkv", pre="default", tokens=tokens, scores=[0.0] * 11,
+              types=types, unk_id=0, add_bos=False, add_space_prefix=False)
+    tok = Tokenizer(v)
+    # greedy longest: "hello world" -> hello, " world"
+    assert tok.encode("hello world") == [1, 4]
+    # falls back through shorter prefixes: "helld" -> hell, d
+    assert tok.encode("helld") == [2, 7]
+    # unmatched byte -> unk, advance one
+    assert tok.encode("hz") == [0, 0] or tok.encode("hz")[0] == 0
+    # escaped newline token matches a real newline byte
+    assert tok.encode("\n") == [10]
+    # decode round-trips bytes
+    assert tok.decode(tok.encode("hello world")) == "hello world"

@@ -235,3 +235,101 @@ def test_fit_params(tmp_path):
     assert ctx == 32768 and slots == 4  # tiny model fits outright
     ctx2, slots2 = fit(src, ctx=1 << 24, slots=64, margin=0, hbm=64 << 20)
     assert ctx2 < (1 << 24)  # context was reduced to fit
+
+
+def test_kl_divergence_modes(tmp_path):
+    """Save-base + compare: same model vs itself gives ~0 KL; vs another
+    seed gives KL > 0 (reference: perplexity --kl-divergence)."""
+    import jax.numpy as jnp
+
+    from tools.perplexity import kl_divergence
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    ids = list(range(3, 131)) * 2  # 256 tokens
+    p1 = str(tmp_path / "a.gguf")
+    make_llama_gguf(p1, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.F32, seed=0)
+    m1 = Model.load(p1, quantized=False, dtype=jnp.float32)
+    base = str(tmp_path / "base.npz")
+    out = kl_divergence(m1, ids, n_ctx=64, batch=2, save_path=base)
+    assert out["chunks"] == 4
+
+    same = kl_divergence(m1, ids, base, n_ctx=64, batch=2)
+    assert same["mean_kl"] < 1e-3 and same["same_top_frac"] == 1.0
+
+    p2 = str(tmp_path / "b.gguf")
+    make_llama_gguf(p2, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.F32, seed=9)
+    m2 = Model.load(p2, quantized=False, dtype=jnp.float32)
+    diff = kl_divergence(m2, ids, base, n_ctx=64, batch=2)
+    assert diff["mean_kl"] > same["mean_kl"]
+
+
+def test_hellaswag_scoring(tmp_path):
+    """The ending identical to what the model actually continues with must
+    win over random endings — construct tasks from the model's own greedy
+    continuations so label-0 accuracy is 100%."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tools.perplexity import hellaswag
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    p = str(tmp_path / "m.gguf")
+    make_llama_gguf(p, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.F32)
+    m = Model.load(p, quantized=False, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+
+    tasks = []
+    for i in range(3):
+        ctx = list(rng.integers(3, 250, 8))
+        ids = [int(x) for x in ctx]
+        # greedy 4-token continuation = the "right" ending
+        cur = list(ids)
+        for _ in range(4):
+            toks = jnp.asarray(np.asarray(cur, np.int32)[None])
+            pos = jnp.asarray(np.arange(len(cur), dtype=np.int32)[None])
+            logits, _ = forward(m.params, m.cfg, toks, pos, None, logits_for="last")
+            cur.append(int(np.asarray(logits)[0, -1].argmax()))
+        right = cur[len(ids):]
+        wrongs = [[int(x) for x in rng.integers(3, 250, 4)] for _ in range(3)]
+        tasks.append({"context": ids, "endings": [right] + wrongs, "label": 0})
+    acc, n = hellaswag(m, tasks)
+    assert n == 3 and acc == 1.0
+
+
+def test_args_env_and_preset(tmp_path, monkeypatch):
+    """CLI > env > preset > default precedence (reference common/arg.cpp
+    LLAMA_ARG_* envs + presets)."""
+    import argparse
+
+    from zllm.utils.args import add_common_args, parse_with_presets
+
+    preset = tmp_path / "p.ini"
+    preset.write_text("[serve]\nctx = 4096\nslots = 8\nseed = 3\n")
+
+    # preset fills defaults
+    ap = argparse.ArgumentParser()
+    add_common_args(ap, server=True)
+    args = parse_with_presets(ap, ["--preset", f"{preset}:serve"])
+    assert args.ctx == 4096 and int(args.slots) == 8 and args.seed == 3
+
+    # CLI beats preset
+    ap = argparse.ArgumentParser()
+    add_common_args(ap, server=True)
+    args = parse_with_presets(ap, ["--preset", f"{preset}:serve", "--ctx", "1024"])
+    assert int(args.ctx) == 1024 and int(args.slots) == 8
+
+    # env beats preset
+    monkeypatch.setenv("ZLLM_ARG_SLOTS", "2")
+    ap = argparse.ArgumentParser()
+    add_common_args(ap, server=True)
+    args = parse_with_presets(ap, ["--preset", f"{preset}:serve"])
+    assert int(args.slots) == 2

@@ -68,6 +68,101 @@ def perplexity(model, token_ids, n_ctx: int = 512, batch: int = 4, progress=True
     return ppl, err, count
 
 
+def kl_divergence(model, token_ids, base_logits_path: str = "", n_ctx: int = 512,
+                  batch: int = 4, save_path: str = ""):
+    """KL-divergence mode (reference: perplexity.cpp --kl-divergence):
+    either SAVE this model's chunk logits (--kl-divergence-base author
+    step) or COMPARE against a saved base, reporting mean KL and
+    same-top-token rate between the two models' predictive
+    distributions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.models.llama import forward
+
+    cfg = model.cfg
+
+    @jax.jit
+    def chunk_logp(params, toks, positions):
+        logits, _ = forward(params, cfg, toks, positions, None)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    ids = np.asarray(token_ids, dtype=np.int32)
+    n_chunks = len(ids) // n_ctx
+    positions = np.broadcast_to(np.arange(n_ctx, dtype=np.int32), (batch, n_ctx))
+    first = n_ctx // 2
+
+    all_logp = []
+    for start in range(0, n_chunks, batch):
+        nb = min(batch, n_chunks - start)
+        toks = np.zeros((batch, n_ctx), dtype=np.int32)
+        for j in range(nb):
+            toks[j] = ids[(start + j) * n_ctx : (start + j + 1) * n_ctx]
+        lp = np.asarray(chunk_logp(model.params, jnp.asarray(toks), jnp.asarray(positions)))
+        all_logp.append(lp[:nb, first:-1].astype(np.float16))
+    logp = np.concatenate(all_logp)  # [chunks, T, V] f16
+
+    if save_path:
+        np.savez_compressed(save_path, logp=logp, n_ctx=n_ctx)
+        return {"saved": save_path, "chunks": int(logp.shape[0])}
+
+    base = np.load(base_logits_path)["logp"].astype(np.float32)
+    cur = logp.astype(np.float32)
+    assert base.shape == cur.shape, (base.shape, cur.shape)
+    p = np.exp(base)
+    kl = np.sum(p * (base - cur), axis=-1)  # per-position KL(base || cur)
+    same_top = (base.argmax(-1) == cur.argmax(-1)).mean()
+    return {
+        "mean_kl": float(kl.mean()),
+        "max_kl": float(kl.max()),
+        "p99_kl": float(np.percentile(kl, 99)),
+        "same_top_frac": float(same_top),
+        "n_positions": int(kl.size),
+    }
+
+
+def hellaswag(model, tasks: list[dict], batch: int = 4):
+    """HellaSwag scoring (reference: perplexity.cpp hellaswag_score):
+    each task is {"context": str-or-ids, "endings": [4 x str-or-ids],
+    "label": int}; the ending with the highest length-normalized
+    log-likelihood wins.  Returns (accuracy, n)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.models.llama import forward
+
+    cfg = model.cfg
+    tok = model.tokenizer
+
+    @jax.jit
+    def logp_fn(params, toks, positions):
+        logits, _ = forward(params, cfg, toks, positions, None)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def enc(x, bos):
+        if isinstance(x, str):
+            return tok.encode(x, add_special=bos)
+        return list(x)
+
+    n_correct = 0
+    for task in tasks:
+        ctx = enc(task["context"], True)
+        scores = []
+        for ending in task["endings"]:
+            end_ids = enc(ending, False)
+            ids = (ctx + end_ids)[:1024]
+            toks = np.asarray(ids, np.int32)[None]
+            pos = np.arange(len(ids), dtype=np.int32)[None]
+            lp = np.asarray(logp_fn(model.params, jnp.asarray(toks), jnp.asarray(pos)))[0]
+            ll = sum(float(lp[t - 1, ids[t]]) for t in range(len(ctx), len(ids)))
+            scores.append(ll / max(len(end_ids), 1))
+        if int(np.argmax(scores)) == int(task["label"]):
+            n_correct += 1
+    return n_correct / max(len(tasks), 1), len(tasks)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model")
@@ -75,6 +170,11 @@ def main():
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dense", action="store_true", help="dequantize weights at load")
+    ap.add_argument("--kl-divergence-base", default="",
+                    help="saved base logits (.npz) to compare against")
+    ap.add_argument("--save-logits", default="", help="save this model's logits as the KL base")
+    ap.add_argument("--hellaswag", action="store_true",
+                    help="treat corpus as HellaSwag JSONL (context/endings/label)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -86,9 +186,21 @@ def main():
         raise SystemExit("model has no tokenizer")
     with open(args.corpus, encoding="utf-8") as fh:
         text = fh.read()
+    if args.hellaswag:
+        import json
+
+        tasks = [json.loads(l) for l in text.splitlines() if l.strip()]
+        acc, n = hellaswag(m, tasks, batch=args.batch)
+        print(f"hellaswag accuracy = {100*acc:.2f}% ({n} tasks)")
+        return
     ids = m.tokenizer.encode(text, add_special=True)
     print(f"{len(ids)} tokens", file=sys.stderr)
 
+    if args.save_logits or args.kl_divergence_base:
+        out = kl_divergence(m, ids, args.kl_divergence_base, n_ctx=args.ctx,
+                            batch=args.batch, save_path=args.save_logits)
+        print(out)
+        return
     ppl, err, n = perplexity(m, ids, n_ctx=args.ctx, batch=args.batch)
     print(f"PPL = {ppl:.4f} +/- {err:.4f}  ({n} tokens scored, ctx {args.ctx})")
 

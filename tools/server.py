@@ -1,7 +1,12 @@
 #!/usr/bin/env python
-"""llama-server analogue: OpenAI-compatible continuous-batching HTTP server.
+"""llama-server analogue: OpenAI/Anthropic-compatible continuous-batching
+HTTP server; router mode when launched without a model (reference:
+tools/server, server-models.cpp router).
 
 Usage: python tools/server.py MODEL.gguf [--port 8080 --slots 4 --ctx 2048]
+       python tools/server.py --models-dir ./models   (router mode)
+Flags fall back to ZLLM_ARG_* environment variables and --preset INI
+defaults (reference: common/arg.cpp LLAMA_ARG_* + presets).
 """
 
 import argparse
@@ -10,19 +15,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from zllm.utils.args import EnvDefault, add_common_args, parse_with_presets
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("model")
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("--slots", type=int, default=4)
-    ap.add_argument("--ctx", type=int, default=2048)
-    ap.add_argument("--dense", action="store_true")
+    ap.add_argument("model", nargs="?", default=os.environ.get("ZLLM_ARG_MODEL", ""))
+    add_common_args(ap, server=True)
     ap.add_argument("--spec", action="store_true",
-                    help="n-gram speculative decoding for greedy requests")
-    ap.add_argument("--draft-max", type=int, default=6, help="draft tokens per step")
-    args = ap.parse_args()
+                    default=os.environ.get("ZLLM_ARG_SPEC", "") == "1",
+                    help="n-gram speculative decoding for greedy requests [ZLLM_ARG_SPEC=1]")
+    ap.add_argument("--draft-max", action=EnvDefault, type=int, default=6,
+                    help="draft tokens per step [ZLLM_ARG_DRAFT_MAX]")
+    ap.add_argument("--models-dir", action=EnvDefault, default="",
+                    help="router mode: serve every GGUF in this directory [ZLLM_ARG_MODELS_DIR]")
+    ap.add_argument("--models-max", action=EnvDefault, type=int, default=2,
+                    help="router mode: max simultaneously loaded models [ZLLM_ARG_MODELS_MAX]")
+    args = parse_with_presets(ap)
+
+    if not args.model and args.models_dir:
+        from zllm.server.router import RouterServer
+
+        r = RouterServer(args.models_dir, host=args.host, port=int(args.port),
+                         models_max=int(args.models_max), n_slots=int(args.slots),
+                         max_len=int(args.ctx))
+        print(f"router on http://{args.host}:{args.port} serving {r.available()}", file=sys.stderr)
+        r.serve_forever()
+        return
+    if not args.model:
+        ap.error("MODEL.gguf or --models-dir required")
 
     import jax.numpy as jnp
 
@@ -31,8 +52,8 @@ def main():
 
     print(f"loading {args.model} ...", file=sys.stderr)
     m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
-    srv = ZllmServer(m, n_slots=args.slots, max_len=args.ctx, host=args.host, port=args.port,
-                     speculative=args.spec, n_draft=args.draft_max)
+    srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
+                     port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max))
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -212,11 +212,24 @@ def layer_forward(
     else:
         k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
-    att = attention(
-        q, k_all, v_all, positions, scale=scale,
-        softcap=cfg.attn_logit_softcap, window=window,
-        sinks=layer.get("attn_sinks"),
-    )
+    ring = kv.ring_size(il) if (kv is not None and hasattr(kv, "ring_size")) else 0
+    if ring:
+        # pruned SWA ring cache: slot->position mapping needs its own mask
+        # (KVCacheSWA; reference llama-kv-cache-iswa); windows are small,
+        # so the materialized-scores path is the right one
+        from ..ops.layers import attention_ref
+        from ..runtime.kvcache import ring_mask
+
+        mask = ring_mask(positions, ring, k_all.shape[2], window)
+        att = attention_ref(q, k_all, v_all, mask, scale,
+                            logit_softcap=cfg.attn_logit_softcap,
+                            sinks=layer.get("attn_sinks"))
+    else:
+        att = attention(
+            q, k_all, v_all, positions, scale=scale,
+            softcap=cfg.attn_logit_softcap, window=window,
+            sinks=layer.get("attn_sinks"),
+        )
     # under tensor parallelism wo carries a psum flag (zllm.parallel);
     # bias is added after the reduce
     att = att.reshape(b, t, -1)

@@ -432,15 +432,10 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, xq_ref, dx_ref, *r
     out_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
-def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
-    import os as _os
-
+@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "interpret"))
+def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, interpret=False):
     group, _, bname = _INT_FMT[fmt]
-    tk = fold
-    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
-    if mult > 1 and k % (fold * mult) == 0:
-        tk = fold * mult
+    tk = tk or fold
     gt = tk // group
     names = _PLANE_ORDER[fmt]
     grid = (n // tn, k // tk)
@@ -669,8 +664,12 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
 
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
-    tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "2048"))
+    tn = next((t for t in (tn_pref, 2048, 1024, 512, 256, 128) if n % t == 0), 128)
+    tk = qt.fold
+    mult = int(os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+    if mult > 1 and k % (qt.fold * mult) == 0:
+        tk = qt.fold * mult
     xq, dx, e = _quant_acts(x, group)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     if qt.fmt in _DUALDOT_FMTS and os.environ.get("ZLLM_QMM_DUALDOT", "0") == "1":
@@ -681,7 +680,8 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
             interpret=interpret,
         )
     return _qmm_w4a8_call(
-        xq, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret
+        xq, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk,
+        interpret=interpret
     )
 
 

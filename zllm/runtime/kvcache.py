@@ -84,7 +84,11 @@ class KVCache:
 
             k[il] = jax.vmap(upd)(self.k[il], kt, pos0)
             v[il] = jax.vmap(upd)(self.v[il], vt, pos0)
-        return KVCache(k=tuple(k), v=tuple(v))
+        return self._rebuild(tuple(k), tuple(v))
+
+    def _rebuild(self, k, v) -> "KVCache":
+        """Type-preserving constructor hook for subclasses (KVCacheSWA)."""
+        return KVCache(k=k, v=v)
 
     def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
         """-> k, v as [B, H, S, D]."""
@@ -270,3 +274,77 @@ def seq_cp(kv, dst: int, src: int):
             for name in ("k", "v", *(("ks", "vs") if hasattr(kv, "ks") else ()))
         }
     )
+
+
+@jax.tree_util.register_pytree_node_class
+class KVCacheSWA(KVCache):
+    """Dual-size cache for sliding-window models (reference:
+    llama-kv-cache-iswa.{h,cpp}: a pruned cache for SWA layers beside the
+    full cache).  SWA layers keep only `ring` = round_up(window + chunk)
+    slots addressed as position % ring, plus a `chunk`-sized trash region
+    at [ring, ring+chunk) absorbing the engine's inactive-row writes
+    (write positions >= the attendable horizon map there).  Memory for a
+    gemma-style model drops from L*S to L_full*S + L_swa*ring.
+
+    Contract: chunked writes start at multiples of `chunk` (the engine's
+    prefill alignment), so a ring write never wraps mid-run.
+    """
+
+    def __init__(self, k, v, swa_mask, ring, horizon):
+        self.k = k
+        self.v = v
+        self.swa_mask = swa_mask  # per-layer bool tuple
+        self.ring = ring  # attendable ring slots of SWA layers
+        self.horizon = horizon  # absolute attendable positions (max_len)
+
+    def tree_flatten(self):
+        aux = (len(self.k), self.swa_mask, self.ring, self.horizon)
+        return (*self.k, *self.v), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        n, swa_mask, ring, horizon = aux
+        return cls(tuple(leaves[:n]), tuple(leaves[n:]), swa_mask, ring, horizon)
+
+    @classmethod
+    def create_swa(cls, cfg, batch: int, max_len: int, chunk: int, dtype=jnp.bfloat16):
+        ring = ((cfg.sliding_window + chunk + 127) // 128) * 128
+        ring = min(ring, max_len)
+        swa_mask = tuple(cfg.is_swa_layer(il) for il in range(cfg.n_layers))
+        ks, vs = [], []
+        for il in range(cfg.n_layers):
+            s = (ring + chunk) if swa_mask[il] else (max_len + chunk)
+            shape = (batch, cfg.n_kv_heads, s, cfg.head_dim)
+            ks.append(jnp.zeros(shape, dtype))
+            vs.append(jnp.zeros(shape, dtype))
+        return cls(tuple(ks), tuple(vs), swa_mask, ring, max_len)
+
+    def _map_positions(self, il: int, positions):
+        if not self.swa_mask[il]:
+            return positions
+        # ring slots for live positions; trash region for horizon writes
+        p0 = positions[:, 0:1]
+        ring_pos = positions - p0 + (p0 % self.ring)
+        return jnp.where(p0 >= self.horizon, self.ring + (positions - p0), ring_pos)
+
+    def _rebuild(self, k, v):
+        return KVCacheSWA(k, v, self.swa_mask, self.ring, self.horizon)
+
+    def update(self, il, k_new, v_new, positions):
+        return super().update(il, k_new, v_new, self._map_positions(il, positions))
+
+    def ring_size(self, il: int) -> int:
+        return self.ring if self.swa_mask[il] else 0
+
+
+def ring_mask(positions: jax.Array, ring: int, s_total: int, window: int) -> jax.Array:
+    """bool[B, T, S] for a ring cache: slot s of a ring of size `ring`
+    holds absolute position a_s = p - ((p - s) mod ring); attendable iff
+    0 <= a_s <= p and a_s > p - window.  Slots >= ring (trash) never."""
+    s_idx = jnp.arange(s_total, dtype=jnp.int32)[None, None, :]
+    p = positions[:, :, None]
+    a = p - ((p - s_idx) % ring)
+    m = (a >= 0) & (a <= p) & (s_idx < ring)
+    if window > 0:
+        m &= a > p - window
+    return m

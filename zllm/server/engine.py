@@ -143,7 +143,7 @@ def _common_prefix(a: list[int], b: list[int]) -> int:
 
 class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
-                 kv_dtype=None, prefix_reuse: bool = True, context_shift: bool = True,
+                 kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
                  speculative: bool = False, n_draft: int = 6):
         import functools
 
@@ -159,7 +159,6 @@ class Engine:
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
         self.prefix_reuse = prefix_reuse
-        self.context_shift = context_shift
         # n-gram (prompt-lookup) speculation inside the batched decode step
         # (reference: server speculative decoding, server-context.cpp:651-786
         # + examples/lookup); drafts ride as extra batch columns and the
@@ -176,9 +175,19 @@ class Engine:
         # write stays entirely inside the region — it can never overwrite a
         # live slot of a stalled GENERATING row (attendable slots are
         # strictly < max_len)
-        self.kv = KVCache.create(
-            cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
-        )
+        self.context_shift = context_shift if context_shift != "auto" else True
+        if cfg.sliding_window > 0 and context_shift in ("auto", False):
+            # pruned ring cache for SWA layers (reference: iswa dual cache)
+            # — old context drops out of the ring natively, so the K-
+            # re-rotating context shift is neither needed nor supported
+            from ..runtime.kvcache import KVCacheSWA
+
+            self.kv = KVCacheSWA.create_swa(cfg, n_slots, max_len, prefill_chunk, kv_dtype)
+            self.context_shift = False
+        else:
+            self.kv = KVCache.create(
+                cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
+            )
 
         @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
         def _step(params, tokens, positions, kv, logits_for="last"):
@@ -333,6 +342,11 @@ class Engine:
                         best, best_n = s, ncp
             # keep >= 1 token to prefill so the step yields next-token logits
             n_reuse = min(best_n, len(req.prompt_tokens) - 1)
+            from ..runtime.kvcache import KVCacheSWA
+
+            if isinstance(self.kv, KVCacheSWA):
+                # ring writes must stay chunk-aligned (no mid-run wrap)
+                n_reuse -= n_reuse % self.prefill_chunk
             if n_reuse < 16:  # not worth the bookkeeping below this
                 n_reuse = 0
             slot = best

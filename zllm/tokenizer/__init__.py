@@ -29,6 +29,10 @@ class Tokenizer:
             self.inner = WpmTokenizer(vocab)
         elif vocab.model == "t5":
             self.inner = UgmTokenizer(vocab)
+        elif vocab.model == "rwkv":
+            from .rwkv import RwkvTokenizer
+
+            self.inner = RwkvTokenizer(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
         self._specials = vocab.special_tokens()
