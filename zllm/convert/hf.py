@@ -402,3 +402,87 @@ def convert_hf_mamba(
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_rwkv6(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF Rwkv6ForCausalLM (v6-Finch HF layout) -> GGUF (reference:
+    convert_hf_to_gguf.py Rwkv6Model:6391-6459 — w1/decay_w1/decay_w2
+    transposed, w2 permuted, lerps squeezed and fused, output weights
+    pre-divided by 2^(il//rescale_every))."""
+    npy = _npy
+    arch = "rwkv6"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    head_size = int(config.get("head_size", 64))
+    rescale = int(config.get("rescale_every", 6))
+    n_ff = int(config.get("intermediate_size") or (n_embd * 3.5) // 32 * 32)
+    tm_dim = 64 if n_embd == 4096 else 32
+    td_dim = 128 if n_embd == 4096 else 64
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 1 << 20)  # recurrent: unbounded
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", 0)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.wkv.head_size", head_size)
+    w.add(f"{arch}.time_mix_extra_dim", tm_dim)
+    w.add(f"{arch}.time_decay_extra_dim", td_dim)
+    w.add(f"{arch}.rescale_every_n_layers", rescale)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["rwkv.embeddings.weight"]), gtype)
+    _emit(w, "token_embd_norm.weight", npy(state_dict["rwkv.blocks.0.pre_ln.weight"]), GGMLType.F32)
+    _emit(w, "token_embd_norm.bias", npy(state_dict["rwkv.blocks.0.pre_ln.bias"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"rwkv.blocks.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "ln1.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[p + "ln1.bias"]), GGMLType.F32)
+        _emit(w, o + "attn_norm_2.weight", npy(state_dict[p + "ln2.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm_2.bias", npy(state_dict[p + "ln2.bias"]), GGMLType.F32)
+
+        a = p + "attention."
+        _emit(w, o + "time_mix_w1.weight", npy(state_dict[a + "time_maa_w1"]).T, gtype)
+        # HF [5, E, C] -> GGUF rows [5, C, E] (reference permute(0, 2, 1))
+        _emit(w, o + "time_mix_w2.weight", npy(state_dict[a + "time_maa_w2"]).transpose(0, 2, 1), gtype)
+        _emit(w, o + "time_mix_lerp_x.weight", npy(state_dict[a + "time_maa_x"]).reshape(-1), GGMLType.F32)
+        fused = np.stack(
+            [npy(state_dict[a + f"time_maa_{nm}"]).reshape(-1) for nm in "wkvrg"]
+        ).reshape(5, 1, 1, n_embd)
+        _emit(w, o + "time_mix_lerp_fused.weight", fused, GGMLType.F32)
+        _emit(w, o + "time_mix_first.weight", npy(state_dict[a + "time_faaaa"]), GGMLType.F32)
+        _emit(w, o + "time_mix_decay.weight", npy(state_dict[a + "time_decay"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_decay_w1.weight", npy(state_dict[a + "time_decay_w1"]).T, gtype)
+        _emit(w, o + "time_mix_decay_w2.weight", npy(state_dict[a + "time_decay_w2"]).T, gtype)
+        scale = 0.5 ** (il // rescale) if rescale > 0 else 1.0
+        for src, dst in (
+            ("receptance", "receptance"), ("key", "key"), ("value", "value"), ("gate", "gate"),
+        ):
+            _emit(w, o + f"time_mix_{dst}.weight", npy(state_dict[a + src + ".weight"]), gtype)
+        _emit(w, o + "time_mix_output.weight", npy(state_dict[a + "output.weight"]) * scale, gtype)
+        _emit(w, o + "time_mix_ln.weight", npy(state_dict[a + "ln_x.weight"]), GGMLType.F32)
+        _emit(w, o + "time_mix_ln.bias", npy(state_dict[a + "ln_x.bias"]), GGMLType.F32)
+
+        ff = p + "feed_forward."
+        _emit(w, o + "channel_mix_lerp_k.weight", npy(state_dict[ff + "time_maa_k"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "channel_mix_lerp_r.weight", npy(state_dict[ff + "time_maa_r"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "channel_mix_key.weight", npy(state_dict[ff + "key.weight"]), gtype)
+        _emit(w, o + "channel_mix_receptance.weight", npy(state_dict[ff + "receptance.weight"]), gtype)
+        _emit(w, o + "channel_mix_value.weight", npy(state_dict[ff + "value.weight"]) * scale, gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["rwkv.ln_out.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["rwkv.ln_out.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["head.weight"]), gtype)
+    w.write()
+    return out_path

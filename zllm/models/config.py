@@ -38,6 +38,19 @@ class SsmConfig:
 
 
 @dataclass(frozen=True)
+class WkvConfig:
+    """RWKV time-mix dims (reference llama_hparams wkv_head_size /
+    time_mix_extra_dim / time_decay_extra_dim / rescale_every_n_layers,
+    src/llama-model.cpp:1968-1977)."""
+
+    head_size: int
+    time_mix_extra_dim: int
+    time_decay_extra_dim: int
+    rescale_every: int = 0
+    token_shift_count: int = 2
+
+
+@dataclass(frozen=True)
 class MlaConfig:
     """Multi-head latent attention dims (deepseek2).  With the absorption
     optimization the KV cache is MQA over [rope | latent] vectors:
@@ -85,11 +98,13 @@ class ModelConfig:
     mla: "MlaConfig | None" = None
     # recurrent state space (mamba; reference src/models/mamba.cpp)
     ssm: "SsmConfig | None" = None
+    # rwkv time-mix (reference src/models/rwkv6*.cpp)
+    wkv: "WkvConfig | None" = None
 
     @property
     def is_recurrent(self) -> bool:
         """Recurrent-memory family: state instead of a KV cache."""
-        return self.ssm is not None
+        return self.ssm is not None or self.wkv is not None
 
     @property
     def is_encoder(self) -> bool:
@@ -188,6 +203,17 @@ class ModelConfig:
                 mscale = 1.0 + log_mul * math.log(scale_factor)
             attn_scale_override = mscale * mscale / math.sqrt(head_k)
 
+        wkv = None
+        whs = int(kv("wkv.head_size", 0) or 0)
+        if whs > 0:
+            wkv = WkvConfig(
+                head_size=whs,
+                time_mix_extra_dim=int(kv("time_mix_extra_dim", 32)),
+                time_decay_extra_dim=int(kv("time_decay_extra_dim", 64)),
+                rescale_every=int(kv("rescale_every_n_layers", 0) or 0),
+                token_shift_count=int(kv("token_shift_count", 2)),
+            )
+
         ssm = None
         if kv("ssm.inner_size"):
             ssm = SsmConfig(
@@ -227,6 +253,8 @@ class ModelConfig:
             ),
             mla=mla,
             ssm=ssm,
+            wkv=wkv,
+            norm_kind="layer" if arch.startswith("rwkv") else "rms",
         )
 
     def with_(self, **kw) -> "ModelConfig":

@@ -77,6 +77,36 @@ _LAYER_MAP = {
     "attn_v_b.weight": "wv_b",
     "attn_kv_b.weight": "wkv_b",
     "exp_probs_b.bias": "ffn_exp_probs_b",
+    # rwkv6 time-mix / channel-mix (reference: src/llama-arch.cpp:436-459,
+    # src/models/rwkv6-base.cpp)
+    "attn_norm.bias": "attn_norm_b",
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_b",
+    "time_mix_w1.weight": "time_mix_w1",
+    "time_mix_w2.weight": "time_mix_w2",
+    "time_mix_lerp_x.weight": "time_mix_lerp_x",
+    "time_mix_lerp_w.weight": "time_mix_lerp_w",
+    "time_mix_lerp_k.weight": "time_mix_lerp_k",
+    "time_mix_lerp_v.weight": "time_mix_lerp_v",
+    "time_mix_lerp_r.weight": "time_mix_lerp_r",
+    "time_mix_lerp_g.weight": "time_mix_lerp_g",
+    "time_mix_lerp_fused.weight": "time_mix_lerp_fused",
+    "time_mix_first.weight": "time_mix_first",
+    "time_mix_decay.weight": "time_mix_decay",
+    "time_mix_decay_w1.weight": "time_mix_decay_w1",
+    "time_mix_decay_w2.weight": "time_mix_decay_w2",
+    "time_mix_key.weight": "time_mix_key",
+    "time_mix_value.weight": "time_mix_value",
+    "time_mix_receptance.weight": "time_mix_receptance",
+    "time_mix_gate.weight": "time_mix_gate",
+    "time_mix_ln.weight": "time_mix_ln",
+    "time_mix_ln.bias": "time_mix_ln_b",
+    "time_mix_output.weight": "time_mix_output",
+    "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
+    "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
+    "channel_mix_key.weight": "channel_mix_key",
+    "channel_mix_value.weight": "channel_mix_value",
+    "channel_mix_receptance.weight": "channel_mix_receptance",
     # bert-family encoder blocks (reference: src/models/bert.cpp)
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_b",
@@ -97,6 +127,15 @@ _VECTOR_KEYS = {
     "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
     "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b",
     "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm",
+    "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
+    "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
+}
+
+# rwkv lerp coefficients: GGUF stores them {C, 1, 1}; flatten to [C]
+# (time_mix_lerp_fused keeps its leading 5-way axis: {C,1,1,5} -> [5, C])
+_FLATTEN_KEYS = {
+    "time_mix_lerp_x", "time_mix_lerp_w", "time_mix_lerp_k", "time_mix_lerp_v",
+    "time_mix_lerp_r", "time_mix_lerp_g", "channel_mix_lerp_k", "channel_mix_lerp_r",
 }
 
 # per-head 3-D MLA projections: dense arrays, einsum-consumed
@@ -143,6 +182,8 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             params["tok_emb"] = _load_dense(f, name, dtype)
         elif name == "output_norm.weight":
             params["out_norm"] = _load_dense(f, name, jnp.float32)
+        elif name == "output_norm.bias":
+            params["out_norm_b"] = _load_dense(f, name, jnp.float32)
         elif name == "output.weight":
             params["output"] = _load_matmul(f, name, quantized, dtype)
         elif name == "rope_freqs.weight":
@@ -183,7 +224,16 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             if key is None:
                 log.warning("unmapped tensor %s", name)
                 continue
-            if key in _DENSE3D_KEYS:
+            if key in _FLATTEN_KEYS:
+                params["layers"][il][key] = jnp.asarray(f.tensor_f32(name).reshape(-1), jnp.float32)
+            elif key == "time_mix_lerp_fused":
+                x = f.tensor_f32(name)  # numpy [5, 1, 1, C]
+                params["layers"][il][key] = jnp.asarray(x.reshape(5, -1), jnp.float32)
+            elif key == "time_mix_w2":
+                # GGUF ne {E, C, 5} -> numpy [5, C, E] -> [5, E, C]
+                x = f.tensor_f32(name)
+                params["layers"][il][key] = jnp.asarray(np.swapaxes(x, 1, 2), dtype=dtype)
+            elif key in _DENSE3D_KEYS:
                 params["layers"][il][key] = jnp.asarray(f.tensor_f32(name), dtype=dtype)
             elif key in _MATMUL_KEYS:
                 params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)

@@ -53,9 +53,15 @@ class RecurrentState:
         return RecurrentState(conv=tuple(c), ssm=tuple(s))
 
 
-def mamba_layer(layer, cfg, x, conv_state, ssm_state):
+def mamba_layer(layer, cfg, x, conv_state, ssm_state, lengths=None):
     """One mixer (reference build_mamba_layer): returns (y, conv', ssm').
-    x: [B, T, K]; conv_state [B, di, dc-1]; ssm_state [B, di, ds]."""
+    x: [B, T, K]; conv_state [B, di, dc-1]; ssm_state [B, di, ds].
+
+    `lengths` [B] (optional) marks how many leading tokens of each row are
+    real: state updates freeze after them, so rows padded inside a batched
+    serving step leave their recurrent memory untouched (the TPU analogue
+    of the reference's split_equal recurrent batching,
+    src/llama-batch.h:103-110)."""
     s = cfg.ssm
     b, t, _ = x.shape
     di, ds, dc, dtr = s.d_inner, s.d_state, s.d_conv, s.dt_rank
@@ -65,7 +71,12 @@ def mamba_layer(layer, cfg, x, conv_state, ssm_state):
 
     # causal depthwise conv over time with the carried (dc-1)-column tail
     convx = jnp.concatenate([conv_state.astype(xi.dtype), xi.transpose(0, 2, 1)], axis=-1)
-    new_conv = convx[..., t:]  # last dc-1 columns
+    if lengths is None:
+        new_conv = convx[..., t:]  # last dc-1 columns
+    else:
+        # per-row valid tail: columns [len_b, len_b + dc - 1)
+        idx = lengths[:, None, None] + jnp.arange(dc - 1)[None, None, :]
+        new_conv = jnp.take_along_axis(convx, jnp.broadcast_to(idx, (b, di, dc - 1)), axis=-1)
     w = layer["ssm_conv1d"].astype(jnp.float32)  # [di, dc]
     windows = jnp.stack([convx[..., j : j + t] for j in range(dc)], axis=-1)  # [B, di, T, dc]
     xc = jnp.einsum("bdtc,dc->bdt", windows.astype(jnp.float32), w)
@@ -87,13 +98,20 @@ def mamba_layer(layer, cfg, x, conv_state, ssm_state):
     D = layer["ssm_d"].astype(jnp.float32)  # [di]
 
     def step(h, inp):
-        dt_t, b_t, c_t, x_t = inp  # [B,di], [B,ds], [B,ds], [B,di]
+        dt_t, b_t, c_t, x_t, m_t = inp  # [B,di], [B,ds], [B,ds], [B,di], [B]
         dA = jnp.exp(dt_t[..., None] * A[None])  # [B, di, ds]
-        h = h * dA + (dt_t * x_t)[..., None] * b_t[:, None, :]
-        y = jnp.einsum("bds,bs->bd", h, c_t)
+        h_new = h * dA + (dt_t * x_t)[..., None] * b_t[:, None, :]
+        h = jnp.where(m_t[:, None, None], h_new, h)
+        y = jnp.einsum("bds,bs->bd", h_new, c_t)
         return h, y
 
-    xs = (dt.transpose(1, 0, 2), B_.transpose(1, 0, 2), C_.transpose(1, 0, 2), xc.transpose(1, 0, 2))
+    mask = (
+        jnp.ones((b, t), bool)
+        if lengths is None
+        else jnp.arange(t)[None, :] < lengths[:, None]
+    )
+    xs = (dt.transpose(1, 0, 2), B_.transpose(1, 0, 2), C_.transpose(1, 0, 2),
+          xc.transpose(1, 0, 2), mask.transpose(1, 0))
     h_final, ys = lax.scan(step, ssm_state.astype(jnp.float32), xs)
     y = ys.transpose(1, 0, 2) + xc * D[None, None, :]  # [B, T, di]
     y = y * jax.nn.silu(z.astype(jnp.float32))
@@ -107,16 +125,18 @@ def mamba_forward(
     tokens: jax.Array,  # [B, T]
     state: RecurrentState | None = None,
     *,
+    lengths: jax.Array | None = None,
     logits_for: str = "all",
 ):
     """Returns (logits, state).  Unlike attention, positions are implicit —
-    the recurrent state IS the context."""
+    the recurrent state IS the context.  `lengths` [B] freezes each row's
+    state after its valid tokens (batched-serving padding safety)."""
     x = params["tok_emb"][tokens]
     if state is None:
         state = RecurrentState.create(cfg, tokens.shape[0], x.dtype)
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[il], state.ssm[il])
+        y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[il], state.ssm[il], lengths)
         state = state.with_layer(il, conv, ssm)
         x = x + y
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)

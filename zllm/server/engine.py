@@ -158,6 +158,13 @@ class Engine:
         self.n_slots = n_slots
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
+        self.recurrent = model.cfg.is_recurrent
+        if self.recurrent:
+            # recurrent memory is not prefix-addressable and has no
+            # context limit; spec-verify would need state rollback
+            prefix_reuse = False
+            speculative = False
+            context_shift = False
         self.prefix_reuse = prefix_reuse
         # n-gram (prompt-lookup) speculation inside the batched decode step
         # (reference: server speculative decoding, server-context.cpp:651-786
@@ -176,7 +183,22 @@ class Engine:
         # live slot of a stalled GENERATING row (attendable slots are
         # strictly < max_len)
         self.context_shift = context_shift if context_shift != "auto" else True
-        if cfg.sliding_window > 0 and context_shift in ("auto", False):
+        if self.recurrent:
+            # per-slot recurrent memory instead of a KV cache (reference:
+            # llama_memory_recurrent, src/llama-memory-recurrent.cpp);
+            # mixed prefill+decode batching stays safe because the forward
+            # freezes each row's state after `lengths` valid tokens
+            from ..models.recurrent import make_state, recurrent_forward
+
+            self.context_shift = False
+            self.kv = make_state(cfg, n_slots)
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def _rstep(params, tokens, lengths, state):
+                return recurrent_forward(params, cfg, tokens, state, lengths=lengths, logits_for="all")
+
+            self._step = _rstep
+        elif cfg.sliding_window > 0 and context_shift in ("auto", False):
             # pruned ring cache for SWA layers (reference: iswa dual cache)
             # — old context drops out of the ring natively, so the K-
             # re-rotating context shift is neither needed nor supported
@@ -189,9 +211,12 @@ class Engine:
                 cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
             )
 
-        @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
-        def _step(params, tokens, positions, kv, logits_for="last"):
-            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
+        if not self.recurrent:
+            @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
+            def _step(params, tokens, positions, kv, logits_for="last"):
+                return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
+
+            self._step = _step
 
         # device-side per-row logit pick + batched sampler chain
         from ..sampling import batched as _batched
@@ -200,7 +225,6 @@ class Engine:
         def _pick(logits, cols):
             return jnp.take_along_axis(logits, cols[:, None, None], axis=1)[:, 0]
 
-        self._step = _step
         self._pick = _pick
         self._sample_batch = _batched.sample_batch
         self._params = SlotParams(n_slots)
@@ -243,7 +267,7 @@ class Engine:
         self.thread.join(timeout=30)
 
     def submit(self, req: Request) -> Request:
-        if len(req.prompt_tokens) >= self.max_len:
+        if not self.recurrent and len(req.prompt_tokens) >= self.max_len:
             raise ValueError(f"prompt ({len(req.prompt_tokens)}) exceeds context ({self.max_len})")
         self.metrics["requests_total"] += 1
         self.pending.put(req)
@@ -290,6 +314,9 @@ class Engine:
     def save_slot(self, idx: int, path: str):
         from ..runtime import state as st
 
+        if self.recurrent:
+            raise ValueError("slot save/restore is not supported for recurrent models")
+
         def do():
             s = self.slots[idx]
             st.seq_save_file(path, self.model, self.kv, idx, s.pos)
@@ -299,6 +326,9 @@ class Engine:
 
     def restore_slot(self, idx: int, path: str, tokens: list[int] | None = None):
         from ..runtime import state as st
+
+        if self.recurrent:
+            raise ValueError("slot save/restore is not supported for recurrent models")
 
         def do():
             s = self.slots[idx]
@@ -350,6 +380,12 @@ class Engine:
             if n_reuse < 16:  # not worth the bookkeeping below this
                 n_reuse = 0
             slot = best
+            if self.recurrent:
+                # fresh recurrent memory for the new sequence (reference:
+                # llama_memory_seq_rm on the recurrent cache)
+                from ..models.recurrent import reset_rows
+
+                self.kv = reset_rows(self.kv, [slot.idx])
             slot.req = req
             slot.state = SlotState.PROMPT
             slot.pos = n_reuse
@@ -416,11 +452,14 @@ class Engine:
             self._wake.clear()
             return
 
-        for s in gen_slots:
-            if s.pos + 1 >= self.max_len:
-                self._shift_slot(s)
+        if not self.recurrent:
+            for s in gen_slots:
+                if s.pos + 1 >= self.max_len:
+                    self._shift_slot(s)
 
-        if prompt_slots:
+        if self.recurrent:
+            self._recurrent_step(prompt_slots[0] if prompt_slots else None, gen_slots)
+        elif prompt_slots:
             self._mixed_step(prompt_slots[0], gen_slots)
         elif self.speculative and any(self._can_spec(s) for s in gen_slots):
             self._spec_decode_step(gen_slots)
@@ -473,6 +512,47 @@ class Engine:
             cols[ps.idx] = chunk_real - 1
             sample_rows.append(ps)
             ps.state = SlotState.GENERATING
+        sample_rows.extend(gen_slots)
+        if sample_rows:
+            self._sample_and_emit(logits, cols, sample_rows)
+
+    def _recurrent_step(self, ps: _Slot | None, gen_slots):
+        """One step for recurrent-memory models.  Decode-only: [n_slots, 1]
+        with per-row lengths in {0, 1}.  With a prefilling slot: [n_slots,
+        chunk] where the prefill row carries its next prompt chunk and
+        generating rows ride in column 0 (their lengths = 1 freeze state
+        after the decode token — the forward's masked scans make padded
+        columns state-neutral)."""
+        jnp = self._jnp
+        t = min(self.prefill_chunk, len(ps.prompt_left)) if ps is not None else 1
+        toks = np.zeros((self.n_slots, t), dtype=np.int32)
+        lens = np.zeros((self.n_slots,), dtype=np.int32)
+        if ps is not None:
+            toks[ps.idx, :t] = ps.prompt_left[:t]
+            lens[ps.idx] = t
+        for s in gen_slots:
+            toks[s.idx, 0] = s.last_token
+            lens[s.idx] = 1
+
+        logits, self.kv = self._step(
+            self.model.params, jnp.asarray(toks), jnp.asarray(lens), self.kv
+        )
+        sample_rows = []
+        cols = np.zeros((self.n_slots,), np.int32)
+        if ps is not None:
+            ps.cache_tokens.extend(ps.prompt_left[:t])
+            ps.pos += t
+            ps.prompt_left = ps.prompt_left[t:]
+            self.metrics["tokens_prefilled_total"] += t
+            if not ps.prompt_left:
+                cols[ps.idx] = t - 1
+                sample_rows.append(ps)
+                ps.state = SlotState.GENERATING
+        else:
+            self.metrics["decode_steps_total"] += 1
+        for s in gen_slots:
+            s.cache_tokens.append(s.last_token)
+            s.pos += 1
         sample_rows.extend(gen_slots)
         if sample_rows:
             self._sample_and_emit(logits, cols, sample_rows)
@@ -637,5 +717,5 @@ class Engine:
             self._finish(slot, "stop")
         elif slot.generated >= req.max_new:
             self._finish(slot, "length")
-        elif slot.pos + 1 >= self.max_len and not self.context_shift:
+        elif not self.recurrent and slot.pos + 1 >= self.max_len and not self.context_shift:
             self._finish(slot, "length")
