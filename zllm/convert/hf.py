@@ -52,6 +52,7 @@ _ARCH_RULES = {
     # ggml llama uses adjacent-pair rope -> permute Q/K; no biases
     "llama": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     "mistral": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    "mixtral": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     # ggml qwen2 keeps HF half-split (neox) rope; attn has biases
     "qwen2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # gemma2: neox rope, sandwich norms stored as (w+1) -> ggml stores w+1
