@@ -1,0 +1,115 @@
+"""Continuous-batching engine over the paged KV cache.
+
+Same greedy-output contract as the contiguous engine, plus cross-slot
+prefix-page sharing (the paged form of the reference server's prompt
+cache, tools/server/server-context.cpp:105-121)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from zllm.gguf.constants import GGMLType
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    p = str(tmp_path_factory.mktemp("m") / "m.gguf")
+    make_llama_gguf(p, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=128, gtype=GGMLType.F32)
+    return Model.load(p, quantized=False, dtype=jnp.float32)
+
+
+def _run(model, prompts, n_new, **kw):
+    from zllm.server.engine import Engine, Request
+
+    eng = Engine(model, n_slots=2, max_len=256, prefill_chunk=16, **kw)
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(prompt_tokens=p, max_new=n_new, temp=0.0)) for p in prompts]
+        deadline = time.time() + 120
+        while not all(r.done for r in reqs):
+            assert time.time() < deadline, "engine timed out"
+            time.sleep(0.02)
+        assert all(r.error == "" for r in reqs), [r.error for r in reqs]
+        return reqs
+    finally:
+        eng.stop()
+
+
+def test_paged_engine_matches_contiguous(model):
+    r = np.random.default_rng(0)
+    prompts = [
+        list(r.integers(1, 100, size=37)),
+        list(r.integers(1, 100, size=5)),
+        list(r.integers(1, 100, size=21)),
+    ]
+    want = [q.out_tokens for q in _run(model, prompts, 8)]
+    got = [q.out_tokens for q in _run(model, prompts, 8, kv_layout="paged")]
+    assert got == want
+
+
+def test_paged_prefix_sharing(model):
+    """A re-sent long prefix skips prefill via shared pages even though
+    the original request ran in a different slot."""
+    from zllm.server.engine import Engine, Request
+
+    r = np.random.default_rng(1)
+    prefix = list(r.integers(1, 100, size=160))  # >= 1 full page (128)
+    eng = Engine(model, n_slots=2, max_len=256, prefill_chunk=16, kv_layout="paged")
+    eng.start()
+    try:
+        q1 = eng.submit(Request(prompt_tokens=prefix + [7], max_new=4, temp=0.0))
+        deadline = time.time() + 120
+        while not q1.done:
+            assert time.time() < deadline
+            time.sleep(0.02)
+        # second request with the same prefix: lands in the OTHER slot,
+        # shares the full prefix pages
+        q2 = eng.submit(Request(prompt_tokens=prefix + [9], max_new=4, temp=0.0))
+        while not q2.done:
+            assert time.time() < deadline
+            time.sleep(0.02)
+        assert q2.n_prompt_reused >= 128, q2.n_prompt_reused
+        # the shared-prefix result must equal a cold run of the same prompt
+        eng2 = Engine(model, n_slots=2, max_len=256, prefill_chunk=16,
+                      kv_layout="paged", prefix_reuse=False)
+        eng2.start()
+        try:
+            q3 = eng2.submit(Request(prompt_tokens=prefix + [9], max_new=4, temp=0.0))
+            while not q3.done:
+                assert time.time() < deadline
+                time.sleep(0.02)
+            assert q2.out_tokens == q3.out_tokens
+        finally:
+            eng2.stop()
+    finally:
+        eng.stop()
+
+
+def test_paged_slot_save_restore(model, tmp_path):
+    """/slots save-restore works through the page tables."""
+    from zllm.server.engine import Engine, Request
+
+    r = np.random.default_rng(2)
+    prompt = list(r.integers(1, 100, size=40))
+    eng = Engine(model, n_slots=2, max_len=256, prefill_chunk=16, kv_layout="paged")
+    eng.start()
+    try:
+        q = eng.submit(Request(prompt_tokens=prompt, max_new=4, temp=0.0))
+        deadline = time.time() + 120
+        while not q.done:
+            assert time.time() < deadline
+            time.sleep(0.02)
+        info = eng.save_slot(0, str(tmp_path / "s.bin"))
+        assert info["n_past"] > 0
+        eng.erase_slot(0)
+        out = eng.restore_slot(0, str(tmp_path / "s.bin"), tokens=prompt + q.out_tokens)
+        assert out["n_past"] == info["n_past"]
+    finally:
+        eng.stop()

@@ -31,6 +31,9 @@ def main():
                     help="router mode: serve every GGUF in this directory [ZLLM_ARG_MODELS_DIR]")
     ap.add_argument("--models-max", action=EnvDefault, type=int, default=2,
                     help="router mode: max simultaneously loaded models [ZLLM_ARG_MODELS_MAX]")
+    ap.add_argument("--kv-layout", action=EnvDefault, default="contiguous",
+                    choices=["contiguous", "paged"],
+                    help="KV cache layout: paged = shared page pool + cross-slot prefix sharing [ZLLM_ARG_KV_LAYOUT]")
     args = parse_with_presets(ap)
 
     if not args.model and args.models_dir:
@@ -53,7 +56,8 @@ def main():
     print(f"loading {args.model} ...", file=sys.stderr)
     m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
     srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
-                     port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max))
+                     port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
+                     kv_layout=args.kv_layout)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -334,6 +334,97 @@ def flash_attention_blockwise(
     return out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)
 
 
+# ---------------------------------------------------------------------------
+# paged attention (page-table-indexed blockwise online softmax)
+# ---------------------------------------------------------------------------
+# Same math as _attnb_kernel, but the K/V blocks live in a shared page
+# pool [Hkv, P*ps, D] and each (slot, logical page) resolves through a
+# scalar-prefetched page table (runtime/paged.PagedKVCache).  The index
+# maps read the table, so the DMA engine fetches the right physical page
+# while the previous block computes — the TPU-native counterpart of the
+# reference's cell-indexed unified cache reads (set_input_k_idxs,
+# src/llama-kv-cache.h:194-200).
+
+
+def _paged_attn_kernel(scale, softcap, window, g, t, ps, d, hkv, nlp,
+                       pos_ref, tbl_ref, q_ref, k_ref, v_ref, out_ref,
+                       m_ref, l_ref, acc_ref):
+    _attnb_kernel(
+        scale, softcap, window, g, t, ps, d, hkv, nlp, False, False,
+        pos_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "scale", "softcap", "window", "interpret"),
+)
+def paged_attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k_pool: jax.Array,  # [Hkv, P * ps, D]
+    v_pool: jax.Array,
+    table: jax.Array,  # int32 [B, LP + 1]
+    positions: jax.Array,  # [B, T]; consecutive per row
+    *,
+    page_size: int,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    b, t, hq, d = q.shape
+    hkv = k_pool.shape[0]
+    ps = page_size
+    g = hq // hkv
+    nlp = table.shape[1] - 1  # logical pages (last column is the trash pin)
+    tg = t * g
+
+    qg = q.reshape(b, t, hkv, g, d).transpose(0, 2, 1, 3, 4).reshape(b * hkv, tg, d)
+    pos0 = jnp.repeat(positions[:, 0], hkv, axis=0).astype(jnp.int32)
+
+    def q_map(i, j, pos, tbl):
+        return (i, 0, 0)
+
+    def kv_map(i, j, pos, tbl):
+        return (i % hkv, tbl[i // hkv, j], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, tg, d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ps, d), kv_map, memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(
+        _paged_attn_kernel, scale, softcap, window, g, t, ps, d, hkv, nlp
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * hkv, nlp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tg, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tg, 128), jnp.float32),
+            pltpu.VMEM((tg, 128), jnp.float32),
+            pltpu.VMEM((tg, d), jnp.float32),
+        ],
+    )
+    s = nlp * ps
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * hkv, tg, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * s * d,
+            bytes_accessed=qg.size * 2 + 2 * b * hkv * s * d * k_pool.dtype.itemsize,
+            transcendentals=b * hq * t * s,
+        ),
+        interpret=interpret,
+    )(pos0, table.astype(jnp.int32), qg, k_pool, v_pool)
+    return out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)
+
+
 def vmem_ok(t: int, s: int, g: int, d: int, budget: int = 10 * 2**20) -> bool:
     """Does one (batch, kv-head) step fit in VMEM?"""
     scores = t * g * s * 4 * 2  # scores + probs f32
@@ -402,6 +493,21 @@ def use_blockwise(t: int, s: int, g: int, d: int, interpret: bool) -> bool:
 def attention(q, k, v, positions, *, scale, softcap=0.0, window=0, sinks=None, interpret=False):
     """Dispatch: fused kernel when it fits (TPU), else the jnp reference.
     k/v: [B, Hkv, S, D] arrays, or QuantKV (Q8 cache) consumed in-kernel."""
+    from ..runtime.paged import PagedKV
+
+    if isinstance(k, PagedKV):
+        import os as _os
+
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() != "cpu"
+        if (on_tpu or interpret) and _os.environ.get("ZLLM_NO_FLASH", "0") != "1":
+            return paged_attention(
+                q, k.k, k.v, k.table, positions, page_size=k.page_size,
+                scale=scale, softcap=softcap, window=window, interpret=interpret,
+            )
+        k, v = k.gather(q.dtype)
+
     b, t, hq, d = q.shape
     hkv, s = k.shape[1], k.shape[2]
     g = hq // hkv

@@ -90,7 +90,19 @@ def load_session(path: str, model, kv):
 
 
 def seq_get(model, kv, seq: int, n_past: int) -> dict:
-    """Extract one sequence's state (server /slots?action=save analogue)."""
+    """Extract one sequence's state (server /slots?action=save analogue).
+    Works on both the contiguous cache and the paged cache (gathered
+    through the slot's page table)."""
+    from .paged import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        rows = [kv.gather_row(il, seq, n_past) for il in range(kv.n_layers)]
+        kv_dtype = str(np.asarray(kv.k[0][:1, :1]).dtype)
+        return {
+            "meta": _meta(model, {"n_past": n_past, "kv_dtype": kv_dtype}),
+            "k": np.stack([_to_np(k) for k, _ in rows]),
+            "v": np.stack([_to_np(v) for _, v in rows]),
+        }
     kv_dtype = str(np.asarray(kv.k[0][:1, :1, :1]).dtype)
     return {
         "meta": _meta(model, {"n_past": n_past, "kv_dtype": kv_dtype}),
@@ -103,11 +115,17 @@ def seq_set(model, kv, seq: int, state: dict):
     """Install a sequence state into slot `seq`; returns (kv, n_past)."""
     import jax.numpy as jnp
 
+    from .paged import PagedKVCache
+
     meta = state["meta"]
     n_past = int(meta["n_past"])
     dt = meta.get("kv_dtype", "")
     sk = jnp.asarray(_from_np(state["k"], dt))
     sv = jnp.asarray(_from_np(state["v"], dt))
+    if isinstance(kv, PagedKVCache):
+        for il in range(kv.n_layers):
+            kv = kv.scatter_row(il, seq, sk[il], sv[il])
+        return kv, n_past
     kv = type(kv)(
         k=tuple(x.at[seq, :, :n_past].set(sk[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
         v=tuple(x.at[seq, :, :n_past].set(sv[i].astype(x.dtype)) for i, x in enumerate(kv.v)),

@@ -144,7 +144,7 @@ def _common_prefix(a: list[int], b: list[int]) -> int:
 class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
-                 speculative: bool = False, n_draft: int = 6):
+                 speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous"):
         import functools
 
         import jax
@@ -159,6 +159,7 @@ class Engine:
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
         self.recurrent = model.cfg.is_recurrent
+        self.paged = kv_layout == "paged" and not self.recurrent
         if self.recurrent:
             # recurrent memory is not prefix-addressable and has no
             # context limit; spec-verify would need state rollback
@@ -198,6 +199,26 @@ class Engine:
                 return recurrent_forward(params, cfg, tokens, state, lengths=lengths, logits_for="all")
 
             self._step = _rstep
+        elif kv_layout == "paged":
+            # shared page pool + per-slot page tables (reference:
+            # cell-indexed unified cache, src/llama-kv-cache.h:182-200);
+            # full prefix pages are shared ACROSS slots read-only, so a
+            # common prefix is neither stored nor prefilled twice
+            from ..runtime.paged import PageAllocator, PagedKVCache
+
+            page_size = 128
+            max_len = ((max_len + page_size - 1) // page_size) * page_size
+            self.max_len = max_len
+            self.alloc = PageAllocator(n_slots, max_len, page_size)
+            for i in range(n_slots):
+                self.alloc.assign_slot(i, None, 0)
+            self.kv = PagedKVCache.create(
+                cfg.n_layers, n_slots, max_len, cfg.n_kv_heads, cfg.head_dim,
+                kv_dtype, page_size=page_size,
+            ).with_table(self.alloc.table)
+            # the paged cache drops old pages by table surgery, not by
+            # sliding data — the K-re-rotation shift doesn't apply
+            self.context_shift = False
         elif cfg.sliding_window > 0 and context_shift in ("auto", False):
             # pruned ring cache for SWA layers (reference: iswa dual cache)
             # — old context drops out of the ring natively, so the K-
@@ -370,6 +391,17 @@ class Engine:
                     ncp = _common_prefix(s.cache_tokens, req.prompt_tokens)
                     if ncp > best_n:
                         best, best_n = s, ncp
+            src_slot = best
+            if self.paged and self.prefix_reuse:
+                # paged cache: full prefix pages can be shared from ANY
+                # slot (even a busy one — full pages are immutable), so
+                # search all of them, not just the idle pool
+                for s in self.slots:
+                    ncp = _common_prefix(s.cache_tokens, req.prompt_tokens)
+                    if ncp > best_n:
+                        src_slot, best_n = s, ncp
+                        if s.state == SlotState.IDLE:
+                            best = s
             # keep >= 1 token to prefill so the step yields next-token logits
             n_reuse = min(best_n, len(req.prompt_tokens) - 1)
             from ..runtime.kvcache import KVCacheSWA
@@ -377,9 +409,21 @@ class Engine:
             if isinstance(self.kv, KVCacheSWA):
                 # ring writes must stay chunk-aligned (no mid-run wrap)
                 n_reuse -= n_reuse % self.prefill_chunk
+            if self.paged:
+                # only FULL pages are shareable/retainable
+                n_reuse -= n_reuse % self.alloc.ps
             if n_reuse < 16:  # not worth the bookkeeping below this
                 n_reuse = 0
             slot = best
+            if self.paged:
+                if n_reuse > 0 and src_slot is not slot:
+                    self.alloc.assign_slot(slot.idx, src_slot.idx, n_reuse // self.alloc.ps)
+                    self.kv = self.kv.with_table(self.alloc.table)
+                elif n_reuse == 0:
+                    # fresh mapping (drops any retained pages of this slot)
+                    self.alloc.assign_slot(slot.idx, None, 0)
+                    self.kv = self.kv.with_table(self.alloc.table)
+                # n_reuse > 0 and src is the slot itself: keep its mapping
             if self.recurrent:
                 # fresh recurrent memory for the new sequence (reference:
                 # llama_memory_seq_rm on the recurrent cache)
