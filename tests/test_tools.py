@@ -212,7 +212,7 @@ def test_tokenize_cli(tmp_path):
     from conftest import subprocess_env
 
     out = subprocess.run(
-        [_sys.executable, "tools/tokenize.py",
+        [_sys.executable, "tools/tokenize_cli.py",
          "/root/reference/models/ggml-vocab-llama-spm.gguf", "-p", "Hello world",
          "--ids", "--show-count"],
         capture_output=True, text=True, timeout=120, env=subprocess_env(), cwd=REPO,

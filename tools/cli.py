@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--greedy", action="store_true")
     ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--profile", default="", metavar="DIR",
+                    help="dump a jax.profiler device trace (TensorBoard format) to DIR")
+    ap.add_argument("--perf", action="store_true", help="print per-phase perf counters on exit")
     args = ap.parse_args()
 
     import jax
@@ -39,9 +42,12 @@ def main():
     from zllm.models.loader import Model
     from zllm.runtime.generate import Generator
     from zllm.sampling.samplers import SamplerChain
+    from zllm.utils import perf as perfmod
 
+    perfc = perfmod.PerfCounters()
     print(f"loading {args.model} ...", file=sys.stderr)
-    m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
+    with perfc.phase("load"):
+        m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
     if m.tokenizer is None:
         raise SystemExit("model has no tokenizer")
     gen = Generator(m, max_len=args.ctx)
@@ -64,7 +70,12 @@ def main():
 
     def run_once(prompt: str):
         ids = m.tokenizer.encode(prompt, add_special=True, parse_special=True)
-        res = gen.generate(ids, max_new=args.n_predict, sampler=sampler_factory(), eos_id=m.tokenizer.eos_id)
+        with perfmod.trace(args.profile):
+            res = gen.generate(ids, max_new=args.n_predict, sampler=sampler_factory(), eos_id=m.tokenizer.eos_id)
+        perfc.t_prefill_ms += res.t_prefill * 1e3
+        perfc.n_prefill += res.n_prefill
+        perfc.t_decode_ms += res.t_decode * 1e3
+        perfc.n_decode += len(res.tokens)
         print(res.text)
         pp_tps = res.n_prefill / res.t_prefill if res.t_prefill else 0
         tg_tps = (len(res.tokens) - 1) / res.t_decode if res.t_decode else 0
@@ -88,6 +99,10 @@ def main():
         if args.prompt is None:
             raise SystemExit("need -p PROMPT or -i")
         run_once(args.prompt)
+    if args.perf:
+        perfc.report()
+    if args.profile:
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
 
 if __name__ == "__main__":
