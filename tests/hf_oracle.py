@@ -32,6 +32,11 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "phi3": (transformers.Phi3ForCausalLM, transformers.Phi3Config),
         "deepseek2": (transformers.DeepseekV2ForCausalLM, transformers.DeepseekV2Config),
         "gemma3": (transformers.Gemma3ForCausalLM, transformers.Gemma3TextConfig),
+        "olmo2": (transformers.Olmo2ForCausalLM, transformers.Olmo2Config),
+        "granite": (transformers.GraniteForCausalLM, transformers.GraniteConfig),
+        "qwen2moe": (transformers.Qwen2MoeForCausalLM, transformers.Qwen2MoeConfig),
+        "qwen3moe": (transformers.Qwen3MoeForCausalLM, transformers.Qwen3MoeConfig),
+        "gpt-oss": (transformers.GptOssForCausalLM, transformers.GptOssConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -104,6 +104,89 @@ ARCH_CFGS = {
         final_logit_softcapping=None,
         tie_word_embeddings=False,
     ),
+    "olmo2": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
+    "granite": dict(
+        vocab_size=149,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        embedding_multiplier=6.0,
+        residual_multiplier=0.22,
+        attention_multiplier=0.0078125,
+        logits_scaling=8.0,
+        tie_word_embeddings=False,
+    ),
+    "qwen2moe": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=48,
+        shared_expert_intermediate_size=80,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=False,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        tie_word_embeddings=False,
+    ),
+    "qwen3moe": dict(
+        vocab_size=157,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=32,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        tie_word_embeddings=False,
+    ),
+    "gpt-oss": dict(
+        vocab_size=131,
+        hidden_size=64,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=8,
+        rope_scaling=None,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -123,7 +206,10 @@ def _oracle(arch, tmpdir):
     return sd, data["toks"], data["logits"], data["greedy"]
 
 
-@pytest.mark.parametrize("arch", ["qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3"])
+@pytest.mark.parametrize("arch", [
+    "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
+    "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
+])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
     import jax.numpy as jnp

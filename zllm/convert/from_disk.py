@@ -302,6 +302,11 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "Gemma3ForCausalLM": ("llama", "gemma3"),
     "MixtralForCausalLM": ("llama", "mixtral"),
     "Phi3ForCausalLM": ("llama", "phi3"),
+    "Olmo2ForCausalLM": ("llama", "olmo2"),
+    "GraniteForCausalLM": ("llama", "granite"),
+    "Qwen2MoeForCausalLM": ("llama", "qwen2moe"),
+    "Qwen3MoeForCausalLM": ("llama", "qwen3moe"),
+    "GptOssForCausalLM": ("llama", "gpt-oss"),
     "BertModel": ("bert", "bert"),
     "BertForMaskedLM": ("bert", "bert"),
     "DeepseekV2ForCausalLM": ("deepseek2", "deepseek2"),

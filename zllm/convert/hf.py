@@ -64,6 +64,16 @@ _ARCH_RULES = {
     # phi3: neox rope; HF ships fused qkv_proj / gate_up_proj, kept fused
     # like the reference converter (loader splits by block rows)
     "phi3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False, fused=True),
+    # olmo2: neox rope, full-dim QK norm, post-only norms
+    "olmo2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # granite: llama layout + scalar multipliers in the KVs
+    "granite": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # qwen2moe: qwen2 attention + MoE with sigmoid-gated shared expert
+    "qwen2moe": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # qwen3moe: qwen3 attention (per-head QK norm) + MoE
+    "qwen3moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # gpt-oss: attn biases + sinks, alternating SWA, MoE with biases
+    "gpt-oss": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
 }
 
 
@@ -114,10 +124,37 @@ def convert_hf_llama(
         w.add(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
     if config.get("rope_local_base_freq"):  # gemma3 local-layer rope base
         w.add(f"{arch}.rope.freq_base_swa", float(config["rope_local_base_freq"]))
-    if "num_local_experts" in config:  # mixtral-style MoE
+    if "num_local_experts" in config:  # mixtral/gpt-oss-style MoE
         w.add(f"{arch}.expert_count", int(config["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    if "num_experts" in config:  # qwen2moe/qwen3moe naming
+        w.add(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    if "moe_intermediate_size" in config:
+        w.add(f"{arch}.expert_feed_forward_length", int(config["moe_intermediate_size"]))
+    if "shared_expert_intermediate_size" in config:
+        w.add(f"{arch}.expert_shared_count", 1)
+        w.add(f"{arch}.expert_shared_feed_forward_length", int(config["shared_expert_intermediate_size"]))
+    if "norm_topk_prob" in config:
+        w.add(f"{arch}.norm_topk_prob", bool(config["norm_topk_prob"]))
+    if arch == "gpt-oss":
+        w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
+        w.add(f"{arch}.expert_gating_func", 3)  # softmax over selected weights
+    # granite scalar multipliers (reference: llama-model.cpp:2039-2043)
+    if "embedding_multiplier" in config:
+        w.add(f"{arch}.embedding_scale", float(config["embedding_multiplier"]))
+    if "residual_multiplier" in config:
+        w.add(f"{arch}.residual_scale", float(config["residual_multiplier"]))
+    if "attention_multiplier" in config:
+        w.add(f"{arch}.attention.scale", float(config["attention_multiplier"]))
+    if "logits_scaling" in config:
+        w.add(f"{arch}.logit_scale", float(config["logits_scaling"]))
     rs = config.get("rope_scaling") or {}
+    if rs.get("rope_type") == "yarn":
+        w.add(f"{arch}.rope.scaling.type", "yarn")
+        w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+        w.add(f"{arch}.rope.scaling.original_context_length",
+              int(rs.get("original_max_position_embeddings", 4096)))
     if rs.get("rope_type") == "llama3":
         w.add(f"{arch}.rope.scaling.type", "linear")
         w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))
@@ -138,7 +175,8 @@ def convert_hf_llama(
     for il in range(n_layer):
         p = f"model.layers.{il}."
         o = f"blk.{il}."
-        _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if p + "input_layernorm.weight" in state_dict:  # olmo2 has none
+            _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
         if rules.get("fused"):
             _emit(w, o + "attn_qkv.weight", npy(state_dict[p + "self_attn.qkv_proj.weight"]), gtype)
             _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
@@ -150,10 +188,14 @@ def convert_hf_llama(
         _emit(w, o + "attn_k.weight", perm(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
         _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
         _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
-        if rules["qkv_bias"]:
+        if rules["qkv_bias"] and p + "self_attn.q_proj.bias" in state_dict:
             _emit(w, o + "attn_q.bias", npy(state_dict[p + "self_attn.q_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_k.bias", npy(state_dict[p + "self_attn.k_proj.bias"]), GGMLType.F32)
             _emit(w, o + "attn_v.bias", npy(state_dict[p + "self_attn.v_proj.bias"]), GGMLType.F32)
+        if p + "self_attn.o_proj.bias" in state_dict:  # gpt-oss
+            _emit(w, o + "attn_output.bias", npy(state_dict[p + "self_attn.o_proj.bias"]), GGMLType.F32)
+        if p + "self_attn.sinks" in state_dict:  # gpt-oss attention sinks
+            _emit(w, o + "attn_sinks.weight", npy(state_dict[p + "self_attn.sinks"]), GGMLType.F32)
         if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2/gemma3 QK-norm
             _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
             _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
@@ -161,9 +203,38 @@ def convert_hf_llama(
             _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
+        elif p + "post_feedforward_layernorm.weight" in state_dict:  # olmo2 post-only
+            _emit(w, o + "post_attention_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "post_ffw_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
         else:
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
-        if p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
+        if p + "mlp.router.weight" in state_dict:  # gpt-oss fused experts
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.router.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_gate_inp.bias", npy(state_dict[p + "mlp.router.bias"]), GGMLType.F32)
+            gu = npy(state_dict[p + "mlp.experts.gate_up_proj"]).transpose(0, 2, 1)  # [E, 2F, K]
+            _emit(w, o + "ffn_gate_exps.weight", np.ascontiguousarray(gu[:, ::2, :]), gtype)
+            _emit(w, o + "ffn_up_exps.weight", np.ascontiguousarray(gu[:, 1::2, :]), gtype)
+            gub = npy(state_dict[p + "mlp.experts.gate_up_proj_bias"])  # [E, 2F]
+            _emit(w, o + "ffn_gate_exps.bias", np.ascontiguousarray(gub[:, ::2]), GGMLType.F32)
+            _emit(w, o + "ffn_up_exps.bias", np.ascontiguousarray(gub[:, 1::2]), GGMLType.F32)
+            dn = npy(state_dict[p + "mlp.experts.down_proj"]).transpose(0, 2, 1)  # [E, K, F]
+            _emit(w, o + "ffn_down_exps.weight", np.ascontiguousarray(dn), gtype)
+            _emit(w, o + "ffn_down_exps.bias", npy(state_dict[p + "mlp.experts.down_proj_bias"]), GGMLType.F32)
+        elif p + "mlp.gate.weight" in state_dict:  # qwen2moe/qwen3moe
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.weight"]), GGMLType.F32)
+            n_exp = int(config.get("num_experts") or config["num_local_experts"])
+            gate = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.gate_proj.weight"]) for e in range(n_exp)])
+            up = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.up_proj.weight"]) for e in range(n_exp)])
+            down = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.down_proj.weight"]) for e in range(n_exp)])
+            _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+            _emit(w, o + "ffn_up_exps.weight", up, gtype)
+            _emit(w, o + "ffn_down_exps.weight", down, gtype)
+            if p + "mlp.shared_expert.gate_proj.weight" in state_dict:  # qwen2moe
+                _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_expert.gate_proj.weight"]), gtype)
+                _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_expert.up_proj.weight"]), gtype)
+                _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_expert.down_proj.weight"]), gtype)
+                _emit(w, o + "ffn_gate_inp_shexp.weight", npy(state_dict[p + "mlp.shared_expert_gate.weight"]), GGMLType.F32)
+        elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
             n_exp = int(config["num_local_experts"])
             gate = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w1.weight"]) for e in range(n_exp)])

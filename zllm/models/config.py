@@ -21,7 +21,7 @@ class MoeConfig:
     n_experts_used: int
     n_ff_exp: int
     n_shared_experts: int = 0
-    gate_func: str = "softmax"  # softmax | sigmoid
+    gate_func: str = "softmax"  # softmax | sigmoid | softmax_weight (gpt-oss)
     norm_topk_prob: bool = True
     scale: float = 1.0  # routed-expert weight scale (deepseek2)
     n_dense_lead: int = 0  # leading dense (non-MoE) layers (deepseek2)
@@ -92,6 +92,8 @@ class ModelConfig:
     post_norms: bool = False  # gemma-style post-attn/post-ffn norms
     act: str = "silu"
     attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim); gemma2 query_pre_attn_scalar
+    emb_scale: float = 1.0  # granite embedding_multiplier (gemma applies sqrt(n_embd) by arch)
+    residual_scale: float = 1.0  # granite residual_multiplier
     tp_axis: str | None = None  # mesh axis name when running inside shard_map
     pooling: str = "none"  # none | mean | cls | last | rank (llama.h pooling types)
     # multi-head latent attention (deepseek2; reference src/models/deepseek2.cpp)
@@ -173,8 +175,9 @@ class ModelConfig:
                 n_experts_used=int(kv("expert_used_count", 2)),
                 n_ff_exp=int(kv("expert_feed_forward_length", kv("feed_forward_length"))),
                 n_shared_experts=int(kv("expert_shared_count", 0)),
-                gate_func={1: "softmax", 2: "sigmoid"}.get(int(kv("expert_gating_func", 1)), "softmax"),
-                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("llama", "mixtral", "qwen2moe", "qwen3moe"))),
+                gate_func={1: "softmax", 2: "sigmoid", 3: "softmax_weight"}.get(
+                    int(kv("expert_gating_func", 3 if arch == "gpt-oss" else 1)), "softmax"),
+                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("llama", "mixtral", "qwen3moe"))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
             )
@@ -223,6 +226,12 @@ class ModelConfig:
                 dt_rank=int(kv("ssm.time_step_rank", n_embd // 16)),
             )
 
+        logit_scale = float(kv("logit_scale", 1.0))
+        if arch == "granite" and logit_scale not in (0.0, 1.0):
+            # granite DIVIDES logits by the scale (reference granite.cpp:65);
+            # cohere-style logit_scale multiplies
+            logit_scale = 1.0 / logit_scale
+
         qpas = kv("attention.query_pre_attn_scalar")
         return cls(
             arch=arch,
@@ -242,12 +251,16 @@ class ModelConfig:
             moe=moe,
             attn_logit_softcap=float(kv("attn_logit_softcapping", 0.0)),
             final_logit_softcap=float(kv("final_logit_softcapping", 0.0)),
-            logit_scale=float(kv("logit_scale", 1.0)),
+            logit_scale=logit_scale,
+            emb_scale=float(kv("embedding_scale", 1.0)),
+            residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
-            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4}.get(arch, 1),
+            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
-            act="gelu" if arch.startswith("gemma") else "silu",
-            attn_scale=attn_scale_override or ((1.0 / float(qpas) ** 0.5) if qpas else 0.0),
+            act="swiglu_oai" if arch == "gpt-oss" else ("gelu" if arch.startswith("gemma") else "silu"),
+            attn_scale=attn_scale_override
+            or ((1.0 / float(qpas) ** 0.5) if qpas else 0.0)
+            or float(kv("attention.scale", 0.0)),
             pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
                 int(kv("pooling_type", 0)), "none"
             ),

@@ -39,7 +39,25 @@ def embed(params, cfg, tokens: jax.Array) -> jax.Array:
     x = params["tok_emb"][tokens]
     if cfg.arch.startswith("gemma"):
         x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
+    if cfg.emb_scale != 1.0:  # granite embedding_multiplier
+        x = x * jnp.asarray(cfg.emb_scale, x.dtype)
     return x
+
+
+def _act(cfg):
+    """Gated-FFN activation by config (reference LLM_FFN_SILU/GELU/
+    SWIGLU_OAI_MOE, src/llama-graph.cpp:1160-1202)."""
+    if cfg.act == "swiglu_oai":
+        return swiglu_oai
+    return swiglu if cfg.act == "silu" else geglu
+
+
+def swiglu_oai(g, u, alpha: float = 1.702, limit: float = 7.0):
+    """gpt-oss clamped swiglu (reference ggml_swiglu_oai,
+    ggml-cpu/ops.cpp:3205-3260): glu(min(g, limit)) * (clamp(u) + 1)."""
+    g = jnp.minimum(g.astype(jnp.float32), limit)
+    u = jnp.clip(u.astype(jnp.float32), -limit, limit)
+    return (g * jax.nn.sigmoid(alpha * g) * (u + 1.0)).astype(u.dtype)
 
 
 def _experts_gather(w, idx: jax.Array, dtype) -> jax.Array:
@@ -93,8 +111,14 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     hf = h.reshape(-1, kdim)  # [T, K]
     t = hf.shape[0]
     router = linear(hf, layer["ffn_gate_inp"])  # [T, E]
+    if "ffn_gate_inp_b" in layer:  # router bias (gpt-oss)
+        router = router + layer["ffn_gate_inp_b"].astype(router.dtype)
     if moe.gate_func == "sigmoid":
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
+    elif moe.gate_func == "softmax_weight":
+        # gpt-oss: top-k over raw logits, softmax over the selected k
+        # (reference build_moe_ffn SOFTMAX_WEIGHT, llama-graph.cpp:1047,1118)
+        probs = router.astype(jnp.float32)
     else:
         probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     if "ffn_exp_probs_b" in layer:
@@ -105,11 +129,13 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
         topv = jnp.take_along_axis(probs, topi, axis=-1)
     else:
         topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
+    if moe.gate_func == "softmax_weight":
+        topv = jax.nn.softmax(topv, axis=-1)
     if moe.norm_topk_prob:
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     if moe.scale != 1.0:
         topv = topv * moe.scale
-    act = swiglu if cfg.act == "silu" else geglu
+    act = _act(cfg)
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
     e_local = _local_expert_count(gate_w)
@@ -122,13 +148,21 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
         topi = jnp.where(inb, li, 0)
         topv = jnp.where(inb, topv, 0.0)
 
+    gb = layer.get("ffn_gate_exps_b")  # [E, F] expert biases (gpt-oss)
+    ub = layer.get("ffn_up_exps_b")
+    db = layer.get("ffn_down_exps_b")
     if t * moe.n_experts_used < e_local:
         gw = _experts_gather(gate_w, topi, h.dtype)  # [T, k, K, F]
         uw = _experts_gather(up_w, topi, h.dtype)
         dw = _experts_gather(down_w, topi, h.dtype)  # [T, k, F, K]
         ge = jnp.einsum("tk,tekf->tef", hf, gw)
         ue = jnp.einsum("tk,tekf->tef", hf, uw)
+        if gb is not None:
+            ge = ge + gb[topi].astype(ge.dtype)
+            ue = ue + ub[topi].astype(ue.dtype)
         de = jnp.einsum("tef,tefk->tek", act(ge, ue), dw)
+        if db is not None:
+            de = de + db[topi].astype(de.dtype)
         out = jnp.einsum("tek,te->tk", de, topv.astype(de.dtype))
     else:
         # scatter kept weights to a [T, E_local] mask
@@ -142,7 +176,12 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
         dwd = _experts_dense(down_w, h.dtype)
         ge = jnp.einsum("tk,ekf->tef", hf, gwd)
         ue = jnp.einsum("tk,ekf->tef", hf, uwd)
+        if gb is not None:
+            ge = ge + gb[None].astype(ge.dtype)
+            ue = ue + ub[None].astype(ue.dtype)
         de = jnp.einsum("tef,efk->tek", act(ge, ue), dwd)
+        if db is not None:
+            de = de + db[None].astype(de.dtype)
         out = jnp.einsum("tek,te->tk", de, dense_gate.astype(de.dtype))
 
     if ep_axis is not None:
@@ -150,7 +189,12 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     out = out.reshape(*lead, kdim)
     if "ffn_gate_shexp" in layer:
         sh = act(linear(h, layer["ffn_gate_shexp"]), linear(h, layer["ffn_up_shexp"]))
-        out = out + linear(sh, layer["ffn_down_shexp"])
+        sh = linear(sh, layer["ffn_down_shexp"])
+        if "ffn_gate_inp_shexp" in layer:
+            # qwen2moe sigmoid-gated shared expert (reference
+            # src/models/qwen2moe.cpp:103-110)
+            sh = sh * jax.nn.sigmoid(linear(h, layer["ffn_gate_inp_shexp"]).astype(jnp.float32)).astype(sh.dtype)
+        out = out + sh
     return out.astype(h.dtype)
 
 
@@ -176,7 +220,9 @@ def layer_forward(
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
 
-    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    # olmo2 runs attention on the raw residual stream: no pre-norm tensor
+    # exists, normalization happens post-attention (src/models/olmo2.cpp)
+    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps) if "attn_norm" in layer else x
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
 
@@ -198,9 +244,16 @@ def layer_forward(
         k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
         v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
 
-    if "attn_q_norm" in layer:  # qwen3/olmo2-style per-head QK norm
-        q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
-        k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
+    if "attn_q_norm" in layer:
+        if layer["attn_q_norm"].shape[-1] == q.shape[-1]:
+            # qwen3/gemma3: per-head RMS over head_dim
+            q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
+        else:
+            # olmo2: one RMS over the whole flattened projection
+            b_, t_ = q.shape[:2]
+            q = rms_norm(q.reshape(b_, t_, -1), layer["attn_q_norm"], cfg.norm_eps).reshape(q.shape)
+            k = rms_norm(k.reshape(b_, t_, -1), layer["attn_k_norm"], cfg.norm_eps).reshape(k.shape)
 
     rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
     q = apply_rope(q, positions, rope)
@@ -240,6 +293,8 @@ def layer_forward(
         att = att + layer["bo"].astype(att.dtype)
     if "attn_post_norm" in layer:
         att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
+    if cfg.residual_scale != 1.0:  # granite residual_multiplier
+        att = att * jnp.asarray(cfg.residual_scale, att.dtype)
     x = x + att
 
     return _ffn_block(layer, cfg, x, tapname, taps, ep_axis), kv
@@ -247,13 +302,13 @@ def layer_forward(
 
 def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
     """Post-attention half of a block: FFN/MoE + residual + cvector."""
-    h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+    h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps) if "ffn_norm" in layer else x
     if taps is not None:
         taps[f"{tapname}.ffn_gate.weight"] = h2
     if cfg.moe is not None and "ffn_gate_inp" in layer:
         ff = moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
     else:
-        act = swiglu if cfg.act == "silu" else geglu
+        act = _act(cfg)
         if "ffn_gateup" in layer:  # load-time fused gate|up
             gup = lora_linear(layer, "ffn_gateup", h2)
             half = gup.shape[-1] // 2
@@ -265,6 +320,8 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
         ff = lora_linear(layer, "ffn_down", gu)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
+    if cfg.residual_scale != 1.0:
+        ff = ff * jnp.asarray(cfg.residual_scale, ff.dtype)
     x = x + ff
     if "cvec" in layer:  # control vector on the residual stream
         # (reference: llama_adapter_cvec::apply_to, src/llama-adapter.cpp)

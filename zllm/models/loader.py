@@ -49,6 +49,11 @@ _LAYER_MAP = {
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_inp.bias": "ffn_gate_inp_b",
+    "ffn_gate_exps.bias": "ffn_gate_exps_b",
+    "ffn_up_exps.bias": "ffn_up_exps_b",
+    "ffn_down_exps.bias": "ffn_down_exps_b",
+    "ffn_gate_inp_shexp.weight": "ffn_gate_inp_shexp",
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
@@ -129,6 +134,7 @@ _VECTOR_KEYS = {
     "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm",
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
     "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
+    "ffn_gate_inp_b", "ffn_gate_exps_b", "ffn_up_exps_b", "ffn_down_exps_b",
 }
 
 # rwkv lerp coefficients: GGUF stores them {C, 1, 1}; flatten to [C]
