@@ -40,3 +40,27 @@ def test_collect_and_use(tmp_path):
     np.testing.assert_allclose(back["blk.0.attn_q.weight"],
                                sums["blk.0.attn_q.weight"] / counts["blk.0.attn_q.weight"],
                                rtol=1e-6)
+
+
+def test_weighted_encoders_reduce_weighted_error():
+    """Every imatrix-steered encoder must beat (or match) the plain
+    encoder on weighted MSE and round-trip through the decoder
+    (reference: quantize_<type> quant_weights paths, ggml-quants.c)."""
+    import numpy as np
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.quant import blocks as qb
+
+    r = np.random.default_rng(0)
+    for gt in qb._WEIGHTED_ENCODERS:
+        blk, _ = qb.GGML_BLOCK_SIZES[gt]
+        x = (r.standard_normal((64, blk)) * (1 + 5 * r.random((64, blk)))).astype(np.float32)
+        w = (0.05 + r.random((64, blk)) ** 2 * 10).astype(np.float32)
+
+        plain = qb.dequantize(qb.quantize(x, gt), gt)
+        steered = qb.dequantize(qb.quantize(x, gt, weights=w), gt)
+        e_plain = float((w * (plain - x) ** 2).sum())
+        e_steer = float((w * (steered - x) ** 2).sum())
+        assert e_steer <= e_plain * 1.001, (gt.name, e_steer, e_plain)
+        # and it's genuinely steering (different rounding) for skewed w
+        assert e_steer < e_plain, gt.name

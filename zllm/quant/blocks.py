@@ -642,46 +642,170 @@ def quantize(data: np.ndarray, gtype: GGMLType, weights: np.ndarray | None = Non
 
 # -- importance-weighted encoders -------------------------------------------
 
-def _enc_q4_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
-    """Q4_K with weighted alternating least-squares per 32-group: fix the
-    integer codes, refit (scale, min) by weighted LS, re-round, iterate —
-    the same idea as the reference's make_qkx2_quants imatrix search."""
-    n = x.shape[0]
-    g = x.reshape(n, 8, 32)
-    wg = np.maximum(w.reshape(n, 8, 32), 1e-12)
+def _wls_affine(g: np.ndarray, wg: np.ndarray, qmax: int, iters: int = 4):
+    """Weighted alternating least-squares for x ~= a*q - b per group (the
+    reference's make_qkx2_quants/make_qkx3_quants imatrix search): fix the
+    integer codes, refit (scale, min) by weighted LS, re-round, iterate.
+    g/wg: [..., group]; returns (a, b) over the leading dims."""
     m_f = np.maximum(0.0, -g.min(axis=-1))
-    s_f = np.maximum(0.0, g.max(axis=-1) + m_f) / 15.0
-    a = s_f  # scale per group
-    b = m_f  # min magnitude per group (x ~= a*q - b)
-    for _ in range(4):
-        q = _round_away((g + b[:, :, None]) * _safe_inv(a)[:, :, None]).clip(0, 15)
-        # weighted LS for x = a*q - b
+    s_f = np.maximum(0.0, g.max(axis=-1) + m_f) / qmax
+    a, b = s_f, m_f
+    for _ in range(iters):
+        q = _round_away((g + b[..., None]) * _safe_inv(a)[..., None]).clip(0, qmax)
         sw = wg.sum(-1)
         swq = (wg * q).sum(-1)
         swq2 = (wg * q * q).sum(-1)
         swx = (wg * g).sum(-1)
         swxq = (wg * g * q).sum(-1)
         det = swq2 * sw - swq * swq
-        new_a = np.where(det > 1e-12, (swxq * sw - swx * swq) / np.where(det > 1e-12, det, 1), a)
-        new_b = np.where(det > 1e-12, -(swx * swq2 - swxq * swq) / np.where(det > 1e-12, det, 1), b)
+        safe = np.where(det > 1e-12, det, 1)
+        new_a = np.where(det > 1e-12, (swxq * sw - swx * swq) / safe, a)
+        new_b = np.where(det > 1e-12, -(swx * swq2 - swxq * swq) / safe, b)
         ok = (new_a > 0) & (new_b >= 0)
         a = np.where(ok, new_a, a)
         b = np.where(ok, new_b, b)
-    # quantize the two-level scales exactly like the plain encoder
+    return a, b
+
+
+def _wls_sym(g: np.ndarray, wg: np.ndarray, qmin: int, qmax: int, iters: int = 4):
+    """Weighted LS for symmetric x ~= d*q (reference make_qx_quants with
+    quant_weights).  g/wg: [..., group]; returns d."""
+    d = _signed_absmax(g.reshape(-1, g.shape[-1])).reshape(g.shape[:-1]) / qmin
+    for _ in range(iters):
+        q = _round_away(g * _safe_inv(d)[..., None]).clip(qmin, qmax)
+        num = (wg * g * q).sum(-1)
+        den = (wg * q * q).sum(-1)
+        d = np.where(den > 1e-12, num / np.where(den > 1e-12, den, 1), d)
+    return d
+
+
+def _wg(w: np.ndarray, shape) -> np.ndarray:
+    return np.maximum(w.reshape(shape), 1e-12)
+
+
+def _kpack_affine(x, a, b, qmax):
+    """Two-level 6-bit scale/min quantization + requantize (Q4_K/Q5_K)."""
+    n = x.shape[0]
+    g = x.reshape(n, 8, 32)
     d = a.max(axis=-1, keepdims=True) / 63.0
     dmin = b.max(axis=-1, keepdims=True) / 63.0
     sc = _round_away(a * _safe_inv(d)).clip(0, 63).astype(np.uint8)
     mn = _round_away(b * _safe_inv(dmin)).clip(0, 63).astype(np.uint8)
     dl = d * sc.astype(np.float32)
     ml = dmin * mn.astype(np.float32)
-    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, 15)
-    q = q.reshape(n, QK_K).astype(np.uint8)
+    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, qmax)
+    return d, dmin, sc, mn, q.reshape(n, QK_K).astype(np.uint8)
+
+
+def _enc_q4_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    a, b = _wls_affine(x.reshape(n, 8, 32), _wg(w, (n, 8, 32)), 15)
+    d, dmin, sc, mn, q = _kpack_affine(x, a, b, 15)
     return np.concatenate(
         [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_kscales(sc, mn), _nib_pack(q, 32)], axis=1
     )
 
 
-_WEIGHTED_ENCODERS = {GGMLType.Q4_K: _enc_q4_k_weighted}
+def _enc_q5_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    a, b = _wls_affine(x.reshape(n, 8, 32), _wg(w, (n, 8, 32)), 31)
+    d, dmin, sc, mn, q = _kpack_affine(x, a, b, 31)
+    qs = _nib_pack(q & np.uint8(0x0F), 32)
+    qh = _bits_pack(q >> 4, 1, 32)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(dmin), _pack_kscales(sc, mn), qh, qs], axis=1
+    )
+
+
+def _enc_q2_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    a, b = _wls_affine(g, _wg(w, (n, 16, 16)), 3)
+    d = a.max(axis=-1, keepdims=True) / 15.0
+    dmin = b.max(axis=-1, keepdims=True) / 15.0
+    sc = _round_away(a * _safe_inv(d)).clip(0, 15).astype(np.uint8)
+    mn = _round_away(b * _safe_inv(dmin)).clip(0, 15).astype(np.uint8)
+    dl = d * sc.astype(np.float32)
+    ml = dmin * mn.astype(np.float32)
+    q = _round_away((g + ml[:, :, None]) * _safe_inv(dl)[:, :, None]).clip(0, 3)
+    q = q.reshape(n, QK_K).astype(np.uint8)
+    qs = np.concatenate([_bits_pack(q[:, c * 128 : (c + 1) * 128], 2, 32) for c in range(2)], axis=1)
+    return np.concatenate([sc | (mn << np.uint8(4)), qs, _to_f16_bytes(d), _to_f16_bytes(dmin)], axis=1)
+
+
+def _enc_q6_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    s_f = _wls_sym(g, _wg(w, (n, 16, 16)), -32, 31)
+    d = np.abs(s_f).max(axis=-1, keepdims=True) / 127.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(-128, 127).astype(np.int8)
+    dl = d * sc.astype(np.float32)
+    q = _round_away(g * _safe_inv(dl)[:, :, None]).clip(-32, 31).astype(np.int8)
+    qb = (q.reshape(n, QK_K).astype(np.int16) + 32).astype(np.uint8)
+    ql = np.concatenate([_nib_pack(qb[:, c * 128 : (c + 1) * 128] & 0x0F, 64) for c in range(2)], axis=1)
+    qh = np.concatenate([_bits_pack(qb[:, c * 128 : (c + 1) * 128] >> 4, 2, 32) for c in range(2)], axis=1)
+    return np.concatenate([ql, qh, sc.view(np.uint8), _to_f16_bytes(d)], axis=1)
+
+
+def _enc_q3_k_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    n = x.shape[0]
+    g = x.reshape(n, 16, 16)
+    s_f = _wls_sym(g, _wg(w, (n, 16, 16)), -4, 3)
+    d = np.abs(s_f).max(axis=-1, keepdims=True) / 31.0
+    sc = _round_away(s_f * _safe_inv(d)).clip(-32, 31).astype(np.int8)
+    dl = d * sc.astype(np.float32)
+    q = _round_away(g * _safe_inv(dl)[:, :, None]).clip(-4, 3).astype(np.int8).reshape(n, QK_K)
+    hbit = (q >= 0).astype(np.uint8)
+    ql = np.where(q >= 0, q, q + 4).astype(np.uint8)
+    qs = np.concatenate([_bits_pack(ql[:, c * 128 : (c + 1) * 128], 2, 32) for c in range(2)], axis=1)
+    hmask = _bits_pack(hbit, 1, 32)
+    s6 = (sc.astype(np.int16) + 32).astype(np.uint8)
+    lo_bytes = (s6[:, :8] & 0x0F) | ((s6[:, 8:] & 0x0F) << 4)
+    hi_bytes = _bits_pack(s6 >> 4, 2, 4)
+    return np.concatenate([hmask, qs, lo_bytes, hi_bytes, _to_f16_bytes(d)], axis=1)
+
+
+def _enc_q4_0_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    d = _wls_sym(x, _wg(w, x.shape), -8, 7)[:, None]
+    q = (_round_away(x * _safe_inv(d)).clip(-8, 7) + 8).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), _nib_pack(q, 16)], axis=1)
+
+
+def _enc_q5_0_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    d = _wls_sym(x, _wg(w, x.shape), -16, 15)[:, None]
+    q = (_round_away(x * _safe_inv(d)).clip(-16, 15) + 16).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), _qh_pack32(q >> 4), _nib_pack(q & np.uint8(0x0F), 16)], axis=1)
+
+
+def _enc_q4_1_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    a, b = _wls_affine(x, _wg(w, x.shape), 15)
+    d, mn = a[:, None], -b[:, None]
+    q = _round_away((x - mn) * _safe_inv(d)).clip(0, 15).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), _to_f16_bytes(mn), _nib_pack(q, 16)], axis=1)
+
+
+def _enc_q5_1_weighted(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    a, b = _wls_affine(x, _wg(w, x.shape), 31)
+    d, mn = a[:, None], -b[:, None]
+    q = _round_away((x - mn) * _safe_inv(d)).clip(0, 31).astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d), _to_f16_bytes(mn), _qh_pack32(q >> 4), _nib_pack(q & np.uint8(0x0F), 16)], axis=1
+    )
+
+
+# imatrix-steered encoders (reference: quantize_<type> quant_weights paths
+# in ggml-quants.c — every K-quant and legacy format)
+_WEIGHTED_ENCODERS = {
+    GGMLType.Q4_K: _enc_q4_k_weighted,
+    GGMLType.Q5_K: _enc_q5_k_weighted,
+    GGMLType.Q2_K: _enc_q2_k_weighted,
+    GGMLType.Q3_K: _enc_q3_k_weighted,
+    GGMLType.Q6_K: _enc_q6_k_weighted,
+    GGMLType.Q4_0: _enc_q4_0_weighted,
+    GGMLType.Q5_0: _enc_q5_0_weighted,
+    GGMLType.Q4_1: _enc_q4_1_weighted,
+    GGMLType.Q5_1: _enc_q5_1_weighted,
+}
 
 
 # ---------------------------------------------------------------------------
