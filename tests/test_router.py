@@ -98,3 +98,40 @@ def test_anthropic_streaming(router):
     assert events[0] == "message_start"
     assert "content_block_delta" in events
     assert events[-1] == "message_stop"
+
+
+def test_replica_round_robin(tmp_path):
+    """--replicas N: one model served by N engines, requests alternating
+    across them (data-parallel replica serving)."""
+    import json
+    import urllib.request
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.server.router import RouterServer
+    from zllm.testing import make_llama_gguf
+
+    make_llama_gguf(str(tmp_path / "m.gguf"), n_layers=2, n_embd=64, n_heads=4,
+                    n_kv_heads=2, n_ff=128, vocab_size=260, gtype=GGMLType.Q8_0,
+                    with_tokenizer=True)
+    r = RouterServer(str(tmp_path), port=0, models_max=1, n_slots=1,
+                     max_len=128, replicas=2)
+    r.start_background()
+    try:
+        name = r.available()[0]
+        inst = r.load(name)
+        assert len(inst.servers) == 2
+        ports = set()
+        for _ in range(4):
+            ports.add(inst.pick().port)
+        assert len(ports) == 2  # alternates between both replicas
+        body = json.dumps({"model": name, "prompt": "ab", "max_tokens": 2,
+                           "temperature": 0}).encode()
+        for _ in range(2):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{r.port}/v1/completions", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out = json.loads(resp.read())
+            assert out["choices"][0]["finish_reason"] == "length"
+    finally:
+        r.shutdown()

@@ -31,6 +31,8 @@ def main():
                     help="router mode: serve every GGUF in this directory [ZLLM_ARG_MODELS_DIR]")
     ap.add_argument("--models-max", action=EnvDefault, type=int, default=2,
                     help="router mode: max simultaneously loaded models [ZLLM_ARG_MODELS_MAX]")
+    ap.add_argument("--replicas", action=EnvDefault, type=int, default=1,
+                    help="router mode: data-parallel replicas per model, round-robin [ZLLM_ARG_REPLICAS]")
     ap.add_argument("--kv-layout", action=EnvDefault, default="contiguous",
                     choices=["contiguous", "paged"],
                     help="KV cache layout: paged = shared page pool + cross-slot prefix sharing [ZLLM_ARG_KV_LAYOUT]")
@@ -41,7 +43,7 @@ def main():
 
         r = RouterServer(args.models_dir, host=args.host, port=int(args.port),
                          models_max=int(args.models_max), n_slots=int(args.slots),
-                         max_len=int(args.ctx))
+                         max_len=int(args.ctx), replicas=int(args.replicas))
         print(f"router on http://{args.host}:{args.port} serving {r.available()}", file=sys.stderr)
         r.serve_forever()
         return

@@ -22,16 +22,32 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class ModelInstance:
-    def __init__(self, name: str, server):
+    """One model's replica group: requests round-robin across `servers`
+    (data-parallel replica serving — the TPU-native counterpart of the
+    reference's multiple server processes behind a router; each replica
+    is an independent engine with its own KV cache and slots)."""
+
+    def __init__(self, name: str, servers: list):
         self.name = name
-        self.server = server
+        self.servers = servers
         self.last_used = time.time()
+        self._rr = 0
+
+    def pick(self):
+        srv = self.servers[self._rr % len(self.servers)]
+        self._rr += 1
+        return srv
+
+    def shutdown(self):
+        for s in self.servers:
+            s.shutdown()
 
 
 class RouterServer:
     def __init__(self, models_dir: str, host="127.0.0.1", port: int = 8080,
                  models_max: int = 2, autoload: bool = True, n_slots: int = 2,
-                 max_len: int = 2048, model_kwargs: dict | None = None):
+                 max_len: int = 2048, model_kwargs: dict | None = None,
+                 replicas: int = 1):
         self.models_dir = models_dir
         self.host = host
         self.port = port
@@ -40,6 +56,7 @@ class RouterServer:
         self.n_slots = n_slots
         self.max_len = max_len
         self.model_kwargs = model_kwargs or {}
+        self.replicas = max(1, replicas)
         self.instances: dict[str, ModelInstance] = {}
         self._lock = threading.Lock()
         self.httpd: ThreadingHTTPServer | None = None
@@ -68,16 +85,19 @@ class RouterServer:
             from .http import ZllmServer
 
             m = Model.load(path, quantized=True, dtype=jnp.float32, **self.model_kwargs)
-            srv = ZllmServer(m, n_slots=self.n_slots, max_len=self.max_len, port=0)
-            srv.start_background()
-            inst = ModelInstance(name, srv)
+            servers = []
+            for _ in range(self.replicas):
+                srv = ZllmServer(m, n_slots=self.n_slots, max_len=self.max_len, port=0)
+                srv.start_background()
+                servers.append(srv)
+            inst = ModelInstance(name, servers)
             self.instances[name] = inst
             return inst
 
     def _unload(self, name: str):
         inst = self.instances.pop(name, None)
         if inst is not None:
-            inst.server.shutdown()
+            inst.shutdown()
 
     def unload(self, name: str):
         with self._lock:
@@ -154,7 +174,7 @@ class RouterServer:
                     return
 
                 # forward verbatim and stream the reply back
-                url = f"http://127.0.0.1:{inst.server.port}{self.path}"
+                url = f"http://127.0.0.1:{inst.pick().port}{self.path}"
                 freq = urllib.request.Request(
                     url, data=raw, headers={"Content-Type": "application/json"}
                 )
