@@ -219,3 +219,84 @@ def test_infill_unsupported_when_no_fim_tokens(served):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(served, "/infill", {"input_prefix": "a", "input_suffix": "b", "max_tokens": 2})
     assert ei.value.code == 501
+
+
+_TOOLS = [{
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "Get the weather",
+        "parameters": {
+            "type": "object",
+            # enum-bounded so even a random-weights model must terminate
+            "properties": {"city": {"enum": ["Oslo", "Bergen"]}},
+            "required": ["city"],
+        },
+    },
+}]
+
+
+@pytest.fixture(scope="module")
+def served_tools(served):
+    """Same model, bigger context: the tool preamble alone is ~800 byte
+    tokens on the synthetic byte-level vocab."""
+    from zllm.server import ZllmServer
+
+    srv = ZllmServer(served.model, n_slots=1, max_len=1536, port=0)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def test_tool_call_forced(served_tools):
+    served = served_tools
+    """tool_choice=required grammar-forces a parseable <tool_call> block
+    even from a random-weights model (reference: common/chat.cpp forced
+    tool grammars)."""
+    out = _post(served, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "weather in Oslo?"}],
+        "tools": _TOOLS, "tool_choice": "required",
+        "max_tokens": 160, "temperature": 0,
+    })
+    choice = out["choices"][0]
+    if choice["finish_reason"] == "length":
+        pytest.skip("random model ran out of budget mid-JSON (grammar still held)")
+    assert choice["finish_reason"] == "tool_calls"
+    calls = choice["message"]["tool_calls"]
+    assert calls[0]["function"]["name"] == "get_weather"
+    args = json.loads(calls[0]["function"]["arguments"])
+    assert args["city"] in ("Oslo", "Bergen")
+
+
+def test_tool_call_streaming_forced(served_tools):
+    """Streaming buffers the <tool_call> block and emits a tool_calls
+    delta before the final chunk."""
+    served = served_tools
+    body = {
+        "messages": [{"role": "user", "content": "weather?"}],
+        "tools": _TOOLS, "tool_choice": "required",
+        "max_tokens": 160, "temperature": 0, "stream": True,
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{served.port}/v1/chat/completions",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    deltas = []
+    finish = None
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            line = line.strip()
+            if not line.startswith(b"data: ") or line == b"data: [DONE]":
+                continue
+            c = json.loads(line[6:])["choices"][0]
+            deltas.append(c["delta"])
+            finish = c["finish_reason"] or finish
+    if finish == "length":
+        pytest.skip("random model ran out of budget mid-JSON")
+    assert finish == "tool_calls"
+    tc = [d for d in deltas if d and "tool_calls" in d]
+    assert tc and tc[0]["tool_calls"][0]["function"]["name"] == "get_weather"
+    # no raw <tool_call> text leaked into content deltas
+    content = "".join(d.get("content", "") for d in deltas if d)
+    assert "<tool_call>" not in content

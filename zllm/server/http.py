@@ -39,11 +39,11 @@ class ZllmServer:
         self._rank_fn = None
 
     # -- request building ---------------------------------------------------
-    def _make_request(self, body: dict, prompt_tokens: list[int]) -> Request:
+    def _make_request(self, body: dict, prompt_tokens: list[int],
+                      grammar=None) -> Request:
         tok = self.model.tokenizer
         stop_tokens = {tok.eos_id} if tok and tok.eos_id >= 0 else set()
-        grammar = None
-        gbnf = body.get("grammar")
+        gbnf = None if grammar is not None else body.get("grammar")
         schema = body.get("json_schema") or (
             body.get("response_format", {}).get("json_schema", {}).get("schema")
             if isinstance(body.get("response_format"), dict) else None
@@ -439,8 +439,25 @@ class ZllmServer:
 
             def _completion(self, body: dict, chat: bool):
                 tok = server.model.tokenizer
+                tools = body.get("tools") or []
+                tool_choice = body.get("tool_choice", "auto")
+                tools_on = bool(chat and tools and tool_choice != "none")
+                grammar_obj = None
                 if chat:
-                    text = apply_chat_template(server.model, body.get("messages", []))
+                    msgs = body.get("messages", [])
+                    if tools_on:
+                        from .toolcall import make_tool_grammar, prepare_messages
+
+                        msgs = prepare_messages(msgs, tools)
+                        only = None
+                        forced = tool_choice == "required"
+                        if isinstance(tool_choice, dict):
+                            only = tool_choice.get("function", {}).get("name")
+                            forced = True
+                        grammar_obj = make_tool_grammar(
+                            tools, tok, only=only, lazy=not forced
+                        )
+                    text = apply_chat_template(server.model, msgs)
                 else:
                     text = body.get("prompt", "")
                 if isinstance(text, list):
@@ -451,7 +468,7 @@ class ZllmServer:
                 # the reference explicitly warns about
                 if len(ids) >= 2 and ids[0] == tok.bos_id and ids[1] == tok.bos_id:
                     ids = ids[1:]
-                req = server._make_request(body, ids)
+                req = server._make_request(body, ids, grammar=grammar_obj)
                 stream = bool(body.get("stream", False))
                 server.engine.submit(req)
 
@@ -474,19 +491,36 @@ class ZllmServer:
                     done = False
                     # stop-string holdback: never emit the tail that could
                     # be a prefix of a stop string (reference: server
-                    # "stopping_word" partial-match buffering)
-                    holdback = max((len(s) for s in req.stop_strings), default=1) - 1
+                    # "stopping_word" partial-match buffering).  With tools
+                    # enabled, <tool_call> is held back the same way: the
+                    # block is buffered whole and parsed at the end.
+                    from .toolcall import TOOL_OPEN
+
+                    holds = list(req.stop_strings)
+                    if tools_on:
+                        holds.append(TOOL_OPEN)
+                    holdback = max((len(s) for s in holds), default=1) - 1
                     pending = ""
                     stopped = False
+                    tc_buf = ""
                     while not done:
                         t = req.stream_q.get()
                         done = t is None
                         if stopped:
                             continue
                         pending += inc.flush() if done else inc.push(t)
+                        if tc_buf:
+                            tc_buf += pending
+                            pending = ""
+                            continue
                         hit = min((i for i in (pending.find(s) for s in req.stop_strings) if i >= 0),
                                   default=-1)
-                        if hit >= 0:
+                        thit = pending.find(TOOL_OPEN) if tools_on else -1
+                        if thit >= 0 and (hit < 0 or thit < hit):
+                            # content before the tool block streams; the
+                            # block itself buffers for parsing
+                            piece, tc_buf, pending = pending[:thit], pending[thit:], ""
+                        elif hit >= 0:
                             piece, pending, stopped = pending[:hit], "", True
                         elif done:
                             piece, pending = pending, ""
@@ -506,10 +540,25 @@ class ZllmServer:
                                        "model": "zllm", "choices": [{"index": 0, "text": piece, "finish_reason": None}]}
                         chunked(_sse(payload))
                         sent += 1
+                    finish = req.finish_reason
+                    if tc_buf:
+                        from .toolcall import parse_tool_calls
+
+                        _, calls = parse_tool_calls(tc_buf, req.rid)
+                        if calls:
+                            finish = "tool_calls"
+                            for ci, c in enumerate(calls):
+                                c["index"] = ci
+                            chunked(_sse({
+                                "id": oid, "object": "chat.completion.chunk",
+                                "created": created, "model": "zllm",
+                                "choices": [{"index": 0,
+                                             "delta": {"tool_calls": calls},
+                                             "finish_reason": None}]}))
                     fin = {"id": oid, "object": "chat.completion.chunk" if chat else "text_completion",
                            "created": created, "model": "zllm",
                            "choices": [{"index": 0, "delta": {} if chat else None, "text": None if chat else "",
-                                        "finish_reason": req.finish_reason}]}
+                                        "finish_reason": finish}]}
                     chunked(_sse(fin))
                     chunked(b"data: [DONE]\n\n")
                     chunked(b"")
@@ -528,10 +577,21 @@ class ZllmServer:
                 usage = {"prompt_tokens": len(ids), "completion_tokens": len(req.out_tokens),
                          "total_tokens": len(ids) + len(req.out_tokens)}
                 if chat:
+                    message = {"role": "assistant", "content": out_text}
+                    finish = req.finish_reason
+                    if tools_on:
+                        from .toolcall import parse_tool_calls
+
+                        content, calls = parse_tool_calls(out_text, req.rid)
+                        if calls:
+                            message = {"role": "assistant",
+                                       "content": content or None,
+                                       "tool_calls": calls}
+                            finish = "tool_calls"
                     self._json(200, {
                         "id": oid, "object": "chat.completion", "created": created, "model": "zllm",
-                        "choices": [{"index": 0, "message": {"role": "assistant", "content": out_text},
-                                     "finish_reason": req.finish_reason}],
+                        "choices": [{"index": 0, "message": message,
+                                     "finish_reason": finish}],
                         "usage": usage,
                     })
                 else:
