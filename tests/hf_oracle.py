@@ -37,6 +37,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "qwen2moe": (transformers.Qwen2MoeForCausalLM, transformers.Qwen2MoeConfig),
         "qwen3moe": (transformers.Qwen3MoeForCausalLM, transformers.Qwen3MoeConfig),
         "gpt-oss": (transformers.GptOssForCausalLM, transformers.GptOssConfig),
+        "jamba": (transformers.JambaForCausalLM, transformers.JambaConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

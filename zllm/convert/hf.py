@@ -558,3 +558,93 @@ def convert_hf_rwkv6(
     _emit(w, "output.weight", npy(state_dict["head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_jamba(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF JambaForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    JambaModel — per-layer head_count_kv vector marks attention layers;
+    experts stacked to 3-D ffn_*_exps)."""
+    npy = _npy
+    arch = "jamba"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    d_inner = int(config.get("mamba_expand", 2)) * n_embd
+    dt_rank = config.get("mamba_dt_rank")
+    if dt_rank in (None, "auto"):
+        dt_rank = -(-n_embd // 16)
+    n_kv = int(config["num_key_value_heads"])
+    attn_off = int(config.get("attn_layer_offset", 4))
+    attn_per = int(config.get("attn_layer_period", 8))
+    kv_vec = [
+        n_kv if il >= attn_off and (il - attn_off) % attn_per == 0 else 0
+        for il in range(n_layer)
+    ]
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 1 << 18)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", int(config["num_attention_heads"]))
+    w.add(f"{arch}.attention.head_count_kv", kv_vec)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-6)))
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 16)))
+    w.add(f"{arch}.ssm.time_step_rank", int(dt_rank))
+    w.add(f"{arch}.expert_count", int(config.get("num_experts", 1)))
+    w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 1)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if p + "mamba.in_proj.weight" in state_dict:
+            _emit(w, o + "ssm_in.weight", npy(state_dict[p + "mamba.in_proj.weight"]), gtype)
+            conv = npy(state_dict[p + "mamba.conv1d.weight"])  # [di, 1, dc]
+            _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+            _emit(w, o + "ssm_conv1d.bias", npy(state_dict[p + "mamba.conv1d.bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_x.weight", npy(state_dict[p + "mamba.x_proj.weight"]), gtype)
+            _emit(w, o + "ssm_dt.weight", npy(state_dict[p + "mamba.dt_proj.weight"]), gtype)
+            _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "mamba.dt_proj.bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "mamba.A_log"])), GGMLType.F32)
+            _emit(w, o + "ssm_d", npy(state_dict[p + "mamba.D"]), GGMLType.F32)
+            _emit(w, o + "ssm_out.weight", npy(state_dict[p + "mamba.out_proj.weight"]), gtype)
+            _emit(w, o + "ssm_dt_norm.weight", npy(state_dict[p + "mamba.dt_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ssm_b_norm.weight", npy(state_dict[p + "mamba.b_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ssm_c_norm.weight", npy(state_dict[p + "mamba.c_layernorm.weight"]), GGMLType.F32)
+        else:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                _emit(w, o + f"{gg}.weight", npy(state_dict[p + f"self_attn.{hf}.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "pre_ff_layernorm.weight"]), GGMLType.F32)
+        if p + "feed_forward.router.weight" in state_dict:
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "feed_forward.router.weight"]), gtype)
+            n_exp = int(config.get("num_experts", 1))
+            for part in ("gate", "up", "down"):
+                stack = np.stack([
+                    npy(state_dict[p + f"feed_forward.experts.{e}.{part}_proj.weight"])
+                    for e in range(n_exp)
+                ])
+                _emit(w, o + f"ffn_{part}_exps.weight", stack, gtype)
+        else:
+            _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "feed_forward.gate_proj.weight"]), gtype)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "feed_forward.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "feed_forward.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.final_layernorm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

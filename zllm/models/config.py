@@ -102,11 +102,30 @@ class ModelConfig:
     ssm: "SsmConfig | None" = None
     # rwkv time-mix (reference src/models/rwkv6*.cpp)
     wkv: "WkvConfig | None" = None
+    # hybrid (jamba): per-layer attention flag; False = recurrent layer
+    # (reference: hparams.recurrent_layer_arr from per-layer head_count_kv,
+    # src/llama-model.cpp:1494-1506)
+    attn_layers: tuple | None = None
+    use_rope: bool = True  # jamba attention layers carry no rope
 
     @property
     def is_recurrent(self) -> bool:
-        """Recurrent-memory family: state instead of a KV cache."""
-        return self.ssm is not None or self.wkv is not None
+        """Pure recurrent-memory family: state instead of a KV cache."""
+        return (self.ssm is not None or self.wkv is not None) and self.attn_layers is None
+
+    @property
+    def is_hybrid(self) -> bool:
+        """Hybrid memory (jamba): KV cache for attention layers +
+        recurrent state for ssm layers (reference llama_memory_hybrid)."""
+        return self.attn_layers is not None and self.ssm is not None
+
+    @property
+    def n_attn_layers(self) -> int:
+        return sum(self.attn_layers) if self.attn_layers else self.n_layers
+
+    @property
+    def n_recurrent_layers(self) -> int:
+        return self.n_layers - sum(self.attn_layers) if self.attn_layers else self.n_layers
 
     @property
     def is_encoder(self) -> bool:
@@ -232,13 +251,24 @@ class ModelConfig:
             # cohere-style logit_scale multiplies
             logit_scale = 1.0 / logit_scale
 
+        # per-layer head_count_kv array marks hybrid models: layers with 0
+        # kv heads are recurrent (reference src/llama-model.cpp:1494-1506)
+        attn_layers = None
+        hckv = kv("attention.head_count_kv", n_heads)
+        if isinstance(hckv, (list, tuple)) or (
+            hasattr(hckv, "ndim") and getattr(hckv, "ndim", 0) == 1
+        ):
+            vals = [int(v) for v in hckv]
+            attn_layers = tuple(v > 0 for v in vals)
+            hckv = max(vals) if any(vals) else 1
+
         qpas = kv("attention.query_pre_attn_scalar")
         return cls(
             arch=arch,
             n_layers=int(kv("block_count")),
             n_embd=n_embd,
             n_heads=n_heads,
-            n_kv_heads=1 if mla else int(kv("attention.head_count_kv", n_heads)),
+            n_kv_heads=1 if mla else int(hckv),
             head_dim=(mla.qk_rope_dim + mla.kv_lora_rank) if mla else head_dim,
             n_ff=int(kv("feed_forward_length", 0) or 0),
             vocab_size=vocab_size,
@@ -268,6 +298,8 @@ class ModelConfig:
             ssm=ssm,
             wkv=wkv,
             norm_kind="layer" if arch.startswith("rwkv") else "rms",
+            attn_layers=attn_layers,
+            use_rope=arch != "jamba",  # jamba attention has no rope
         )
 
     def with_(self, **kw) -> "ModelConfig":

@@ -255,9 +255,10 @@ def layer_forward(
             q = rms_norm(q.reshape(b_, t_, -1), layer["attn_q_norm"], cfg.norm_eps).reshape(q.shape)
             k = rms_norm(k.reshape(b_, t_, -1), layer["attn_k_norm"], cfg.norm_eps).reshape(k.shape)
 
-    rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
-    q = apply_rope(q, positions, rope)
-    k = apply_rope(k, positions, rope)
+    if cfg.use_rope:  # jamba attention layers carry no positional encoding
+        rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
+        q = apply_rope(q, positions, rope)
+        k = apply_rope(k, positions, rope)
 
     if kv is not None:
         kv = kv.update(il, k, v, positions)

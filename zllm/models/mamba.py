@@ -37,13 +37,16 @@ class RecurrentState:
         return cls(conv=tuple(leaves[:n]), ssm=tuple(leaves[n:]))
 
     @classmethod
-    def create(cls, cfg, batch: int, dtype=jnp.float32):
+    def create(cls, cfg, batch: int, dtype=jnp.float32, n_layers: int | None = None):
+        """`n_layers` overrides the state count for hybrid models whose
+        recurrent layers are a subset (jamba)."""
         s = cfg.ssm
+        n = cfg.n_layers if n_layers is None else n_layers
         conv = tuple(
-            jnp.zeros((batch, s.d_inner, s.d_conv - 1), dtype) for _ in range(cfg.n_layers)
+            jnp.zeros((batch, s.d_inner, s.d_conv - 1), dtype) for _ in range(n)
         )
         ssm = tuple(
-            jnp.zeros((batch, s.d_inner, s.d_state), jnp.float32) for _ in range(cfg.n_layers)
+            jnp.zeros((batch, s.d_inner, s.d_state), jnp.float32) for _ in range(n)
         )
         return cls(conv=conv, ssm=ssm)
 

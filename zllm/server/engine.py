@@ -159,10 +159,12 @@ class Engine:
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
         self.recurrent = model.cfg.is_recurrent
-        self.paged = kv_layout == "paged" and not self.recurrent
-        if self.recurrent:
-            # recurrent memory is not prefix-addressable and has no
-            # context limit; spec-verify would need state rollback
+        self.hybrid = model.cfg.is_hybrid
+        self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
+        if self.recurrent or self.hybrid:
+            # recurrent memory is not prefix-addressable and (for the
+            # mamba layers) cannot context-shift; spec-verify would need
+            # state rollback
             prefix_reuse = False
             speculative = False
             context_shift = False
@@ -184,7 +186,26 @@ class Engine:
         # live slot of a stalled GENERATING row (attendable slots are
         # strictly < max_len)
         self.context_shift = context_shift if context_shift != "auto" else True
-        if self.recurrent:
+        if self.hybrid:
+            # jamba: KV cache over the attention-layer subset + per-slot
+            # recurrent state for the mamba layers (reference:
+            # llama_memory_hybrid, src/llama-memory-hybrid.cpp)
+            from ..models.hybrid import hybrid_forward, make_hybrid_state
+
+            self.context_shift = False
+            self.kv = KVCache.create(
+                cfg.n_attn_layers, n_slots, max_len + prefill_chunk,
+                cfg.n_kv_heads, cfg.head_dim, kv_dtype,
+            )
+            self.rstate = make_hybrid_state(cfg, n_slots)
+
+            @functools.partial(jax.jit, donate_argnums=(4, 5))
+            def _hstep(params, tokens, positions, lengths, kv, state):
+                return hybrid_forward(params, cfg, tokens, positions, kv, state,
+                                      lengths=lengths, logits_for="all")
+
+            self._step = _hstep
+        elif self.recurrent:
             # per-slot recurrent memory instead of a KV cache (reference:
             # llama_memory_recurrent, src/llama-memory-recurrent.cpp);
             # mixed prefill+decode batching stays safe because the forward
@@ -232,7 +253,7 @@ class Engine:
                 cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
             )
 
-        if not self.recurrent:
+        if not self.recurrent and not self.hybrid:
             @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
             def _step(params, tokens, positions, kv, logits_for="last"):
                 return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
@@ -335,7 +356,7 @@ class Engine:
     def save_slot(self, idx: int, path: str):
         from ..runtime import state as st
 
-        if self.recurrent:
+        if self.recurrent or self.hybrid:
             raise ValueError("slot save/restore is not supported for recurrent models")
 
         def do():
@@ -348,7 +369,7 @@ class Engine:
     def restore_slot(self, idx: int, path: str, tokens: list[int] | None = None):
         from ..runtime import state as st
 
-        if self.recurrent:
+        if self.recurrent or self.hybrid:
             raise ValueError("slot save/restore is not supported for recurrent models")
 
         def do():
@@ -430,6 +451,10 @@ class Engine:
                 from ..models.recurrent import reset_rows
 
                 self.kv = reset_rows(self.kv, [slot.idx])
+            elif self.hybrid:
+                from ..models.recurrent import reset_rows
+
+                self.rstate = reset_rows(self.rstate, [slot.idx])
             slot.req = req
             slot.state = SlotState.PROMPT
             slot.pos = n_reuse
@@ -503,6 +528,8 @@ class Engine:
 
         if self.recurrent:
             self._recurrent_step(prompt_slots[0] if prompt_slots else None, gen_slots)
+        elif self.hybrid:
+            self._hybrid_step(prompt_slots[0] if prompt_slots else None, gen_slots)
         elif prompt_slots:
             self._mixed_step(prompt_slots[0], gen_slots)
         elif self.speculative and any(self._can_spec(s) for s in gen_slots):
@@ -580,6 +607,49 @@ class Engine:
 
         logits, self.kv = self._step(
             self.model.params, jnp.asarray(toks), jnp.asarray(lens), self.kv
+        )
+        sample_rows = []
+        cols = np.zeros((self.n_slots,), np.int32)
+        if ps is not None:
+            ps.cache_tokens.extend(ps.prompt_left[:t])
+            ps.pos += t
+            ps.prompt_left = ps.prompt_left[t:]
+            self.metrics["tokens_prefilled_total"] += t
+            if not ps.prompt_left:
+                cols[ps.idx] = t - 1
+                sample_rows.append(ps)
+                ps.state = SlotState.GENERATING
+        else:
+            self.metrics["decode_steps_total"] += 1
+        for s in gen_slots:
+            s.cache_tokens.append(s.last_token)
+            s.pos += 1
+        sample_rows.extend(gen_slots)
+        if sample_rows:
+            self._sample_and_emit(logits, cols, sample_rows)
+
+    def _hybrid_step(self, ps: _Slot | None, gen_slots):
+        """One step for hybrid (jamba) models: the KV positions drive the
+        attention layers (trash rows write past the horizon like
+        _mixed_step) while per-row `lengths` freeze the mamba state of
+        padded rows like _recurrent_step."""
+        jnp = self._jnp
+        t = min(self.prefill_chunk, len(ps.prompt_left)) if ps is not None else 1
+        toks = np.zeros((self.n_slots, t), dtype=np.int32)
+        pos = np.full((self.n_slots, t), self.max_len, dtype=np.int32)  # trash
+        lens = np.zeros((self.n_slots,), dtype=np.int32)
+        if ps is not None:
+            toks[ps.idx, :t] = ps.prompt_left[:t]
+            pos[ps.idx, :t] = np.arange(ps.pos, ps.pos + t)
+            lens[ps.idx] = t
+        for s in gen_slots:
+            toks[s.idx, 0] = s.last_token
+            pos[s.idx, 0] = s.pos
+            lens[s.idx] = 1
+
+        logits, self.kv, self.rstate = self._step(
+            self.model.params, jnp.asarray(toks), jnp.asarray(pos),
+            jnp.asarray(lens), self.kv, self.rstate,
         )
         sample_rows = []
         cols = np.zeros((self.n_slots,), np.int32)
