@@ -27,6 +27,8 @@ def main():
                     help="n-gram speculative decoding for greedy requests [ZLLM_ARG_SPEC=1]")
     ap.add_argument("--draft-max", action=EnvDefault, type=int, default=6,
                     help="draft tokens per step [ZLLM_ARG_DRAFT_MAX]")
+    ap.add_argument("--model-draft", action=EnvDefault, default="",
+                    help="draft model GGUF for speculative decoding [ZLLM_ARG_MODEL_DRAFT]")
     ap.add_argument("--models-dir", action=EnvDefault, default="",
                     help="router mode: serve every GGUF in this directory [ZLLM_ARG_MODELS_DIR]")
     ap.add_argument("--models-max", action=EnvDefault, type=int, default=2,
@@ -57,9 +59,13 @@ def main():
 
     print(f"loading {args.model} ...", file=sys.stderr)
     m = Model.load(args.model, quantized=not args.dense, dtype=jnp.bfloat16)
+    draft = None
+    if args.model_draft:
+        print(f"loading draft {args.model_draft} ...", file=sys.stderr)
+        draft = Model.load(args.model_draft, quantized=not args.dense, dtype=jnp.bfloat16)
     srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
                      port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
-                     kv_layout=args.kv_layout)
+                     kv_layout=args.kv_layout, draft_model=draft)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

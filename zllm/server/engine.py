@@ -144,7 +144,8 @@ def _common_prefix(a: list[int], b: list[int]) -> int:
 class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
-                 speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous"):
+                 speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous",
+                 draft_model=None):
         import functools
 
         import jax
@@ -174,6 +175,14 @@ class Engine:
         # + examples/lookup); drafts ride as extra batch columns and the
         # verify IS the decode forward — greedy slots only, so accepted
         # output is bit-identical to plain decode
+        # draft-model speculation (reference: common/speculative.cpp + the
+        # per-slot draft contexts in server-context.cpp:651-786): a small
+        # model drafts the block instead of the n-gram lookup; verification
+        # is the same batched target forward, so accepted output stays
+        # bit-identical to plain greedy decode
+        self.draft = draft_model
+        if draft_model is not None and not (self.recurrent or self.hybrid):
+            speculative = True
         self.speculative = speculative
         self.n_draft = min(n_draft, prefill_chunk - 1)
         cfg = model.cfg
@@ -259,6 +268,21 @@ class Engine:
                 return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
 
             self._step = _step
+
+        if self.draft is not None and self.speculative:
+            dcfg = self.draft.cfg
+            self.dkv = KVCache.create(
+                dcfg.n_layers, n_slots, max_len + prefill_chunk,
+                dcfg.n_kv_heads, dcfg.head_dim, kv_dtype,
+            )
+            self._draft_seen = [0] * n_slots
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def _dstep(params, tokens, positions, kv):
+                logits, kv = forward(params, dcfg, tokens, positions, kv, logits_for="all")
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
+
+            self._dstep = _dstep
 
         # device-side per-row logit pick + batched sampler chain
         from ..sampling import batched as _batched
@@ -455,6 +479,8 @@ class Engine:
                 from ..models.recurrent import reset_rows
 
                 self.rstate = reset_rows(self.rstate, [slot.idx])
+            if self.draft is not None and self.speculative:
+                self._draft_seen[slot.idx] = 0  # full catch-up on first spec
             slot.req = req
             slot.state = SlotState.PROMPT
             slot.pos = n_reuse
@@ -680,6 +706,55 @@ class Engine:
             and slot.pos + 2 + self.n_draft < self.max_len
         )
 
+    def _draft_propose_all(self, slots) -> dict[int, list[int]]:
+        """Greedy draft-model proposals for every speculating slot.
+
+        Catch-up: each slot's tokens the draft hasn't consumed yet run
+        through the draft forward in fixed-width chunks (one compile),
+        keeping its KV row in sync (reference: common_speculative_gen_draft
+        re-feeds the accepted prefix).  Proposal: one [n_slots, 1] draft
+        step per drafted token, all speculating slots chained together.
+        Rejected drafts' K/V get overwritten by the next catch-up
+        (write-before-attend, slot==position cache)."""
+        jnp = self._jnp
+        out: dict[int, list[int]] = {}
+        if not slots:
+            return out
+        width = self.prefill_chunk
+        first: dict[int, int] = {}
+        for s in slots:
+            hist = s.cache_tokens + [s.last_token]
+            seen = self._draft_seen[s.idx]
+            while seen < len(hist):
+                n = min(width, len(hist) - seen)
+                toks = np.zeros((self.n_slots, width), dtype=np.int32)
+                pos = np.full((self.n_slots, width), self.max_len, dtype=np.int32)
+                toks[s.idx, :n] = hist[seen : seen + n]
+                pos[s.idx, :n] = np.arange(seen, seen + n)
+                preds, self.dkv = self._dstep(
+                    self.draft.params, jnp.asarray(toks), jnp.asarray(pos), self.dkv
+                )
+                if seen + n == len(hist):
+                    first[s.idx] = int(np.asarray(preds)[s.idx, n - 1])
+                seen += n
+            self._draft_seen[s.idx] = len(hist)
+        for s in slots:
+            out[s.idx] = [first[s.idx]]
+        # chain the remaining drafts for all slots in lock-step
+        for _ in range(self.n_draft - 1):
+            toks = np.zeros((self.n_slots, 1), dtype=np.int32)
+            pos = np.full((self.n_slots, 1), self.max_len, dtype=np.int32)
+            for s in slots:
+                toks[s.idx, 0] = out[s.idx][-1]
+                pos[s.idx, 0] = self._draft_seen[s.idx] + len(out[s.idx]) - 1
+            preds, self.dkv = self._dstep(
+                self.draft.params, jnp.asarray(toks), jnp.asarray(pos), self.dkv
+            )
+            preds = np.asarray(preds)
+            for s in slots:
+                out[s.idx].append(int(preds[s.idx, 0]))
+        return out
+
     def _spec_decode_step(self, gen_slots):
         """[n_slots, 1 + n_draft] decode: column 0 is the normal decode
         token; speculating slots carry n-gram drafts in columns 1.. whose
@@ -693,12 +768,20 @@ class Engine:
         toks = np.zeros((self.n_slots, t), dtype=np.int32)
         pos = np.full((self.n_slots, t), self.max_len, dtype=np.int32)  # trash
         drafts: dict[int, list[int]] = {}
+        proposals = (
+            self._draft_propose_all([s for s in gen_slots if self._can_spec(s)])
+            if self.draft is not None
+            else None
+        )
         for s in gen_slots:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
             if self._can_spec(s):
                 cap = min(self.n_draft, self.max_len - s.pos - 2)
-                d = ngram_propose(s.cache_tokens + [s.last_token], cap)[:cap]
+                if proposals is not None:
+                    d = proposals.get(s.idx, [])[:cap]
+                else:
+                    d = ngram_propose(s.cache_tokens + [s.last_token], cap)[:cap]
                 if d:
                     toks[s.idx, 1 : 1 + len(d)] = d
                     pos[s.idx, 1 : 1 + len(d)] = np.arange(s.pos + 1, s.pos + 1 + len(d))
