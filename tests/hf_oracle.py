@@ -38,6 +38,10 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "qwen3moe": (transformers.Qwen3MoeForCausalLM, transformers.Qwen3MoeConfig),
         "gpt-oss": (transformers.GptOssForCausalLM, transformers.GptOssConfig),
         "jamba": (transformers.JambaForCausalLM, transformers.JambaConfig),
+        "stablelm": (transformers.StableLmForCausalLM, transformers.StableLmConfig),
+        "gptneox": (transformers.GPTNeoXForCausalLM, transformers.GPTNeoXConfig),
+        "starcoder2": (transformers.Starcoder2ForCausalLM, transformers.Starcoder2Config),
+        "command-r": (transformers.CohereForCausalLM, transformers.CohereConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -187,6 +187,62 @@ ARCH_CFGS = {
         rope_scaling=None,
         tie_word_embeddings=False,
     ),
+    "stablelm": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        layer_norm_eps=1e-5,
+        rope_theta=10000.0,
+        partial_rotary_factor=0.25,
+        use_qkv_bias=True,
+        use_parallel_residual=False,
+        tie_word_embeddings=False,
+    ),
+    "gptneox": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=128,
+        layer_norm_eps=1e-5,
+        rotary_pct=0.25,
+        rotary_emb_base=10000.0,
+        use_parallel_residual=True,
+        tie_word_embeddings=False,
+    ),
+    "starcoder2": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        norm_epsilon=1e-5,
+        rope_theta=10000.0,
+        use_bias=True,
+        sliding_window=None,
+        tie_word_embeddings=False,
+    ),
+    "command-r": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        layer_norm_eps=1e-5,
+        rope_theta=10000.0,
+        logit_scale=0.0625,
+        use_qk_norm=False,
+        tie_word_embeddings=True,
+    ),
 }
 
 
@@ -209,6 +265,7 @@ def _oracle(arch, tmpdir):
 @pytest.mark.parametrize("arch", [
     "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
     "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
+    "stablelm", "gptneox", "starcoder2", "command-r",
 ])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
@@ -220,8 +277,13 @@ def test_arch_logit_parity(arch, tmp_path):
 
     sd, toks, want, _ = _oracle(arch, str(tmp_path))
     path = str(tmp_path / f"{arch}.gguf")
-    gguf_arch = "llama" if arch == "mixtral" else arch  # mixtral = llama + experts
-    convert_hf_llama(sd, ARCH_CFGS[arch], path, arch=gguf_arch, gtype=GGMLType.F32)
+    if arch == "gptneox":
+        from zllm.convert.hf import convert_hf_gptneox
+
+        convert_hf_gptneox(sd, ARCH_CFGS[arch], path, gtype=GGMLType.F32)
+    else:
+        gguf_arch = "llama" if arch == "mixtral" else arch  # mixtral = llama + experts
+        convert_hf_llama(sd, ARCH_CFGS[arch], path, arch=gguf_arch, gtype=GGMLType.F32)
 
     m = Model.load(path, quantized=False, dtype=jnp.float32)
     toks = toks.astype(np.int32)

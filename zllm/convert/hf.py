@@ -74,6 +74,13 @@ _ARCH_RULES = {
     "qwen3moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # gpt-oss: attn biases + sinks, alternating SWA, MoE with biases
     "gpt-oss": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # stablelm: LayerNorm(+bias), partial rotary, optional attn biases
+    "stablelm": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # starcoder2: LayerNorm(+bias), biases everywhere, non-gated gelu MLP
+    "starcoder2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # command-r (cohere): shared-norm parallel residual, LayerNorm no bias,
+    # logit_scale, tied embeddings
+    "command-r": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
 }
 
 
@@ -110,9 +117,19 @@ def convert_hf_llama(
     w.add(f"{arch}.attention.head_count_kv", n_kv)
     w.add(f"{arch}.attention.key_length", head_dim)
     w.add(f"{arch}.attention.value_length", head_dim)
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          float(config.get("rms_norm_eps",
+                           config.get("layer_norm_eps", config.get("norm_epsilon", 1e-5)))))
     w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
-    w.add(f"{arch}.rope.dimension_count", head_dim)
+    # stablelm/gptneox partial rotary
+    rope_dim = int(head_dim * float(config.get("partial_rotary_factor", 1.0)))
+    w.add(f"{arch}.rope.dimension_count", rope_dim)
+    if "use_parallel_residual" in config:
+        w.add(f"{arch}.use_parallel_residual", bool(config["use_parallel_residual"]))
+    if "logit_scale" in config:
+        w.add(f"{arch}.logit_scale", float(config["logit_scale"]))
+    if "layer_norm_eps" in config:  # LayerNorm archs
+        w.add(f"{arch}.attention.layer_norm_epsilon", float(config["layer_norm_eps"]))
     w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
     if "attn_logit_softcapping" in config and config["attn_logit_softcapping"]:
         w.add(f"{arch}.attn_logit_softcapping", float(config["attn_logit_softcapping"]))
@@ -177,6 +194,8 @@ def convert_hf_llama(
         o = f"blk.{il}."
         if p + "input_layernorm.weight" in state_dict:  # olmo2 has none
             _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if p + "input_layernorm.bias" in state_dict:  # LayerNorm archs
+            _emit(w, o + "attn_norm.bias", npy(state_dict[p + "input_layernorm.bias"]), GGMLType.F32)
         if rules.get("fused"):
             _emit(w, o + "attn_qkv.weight", npy(state_dict[p + "self_attn.qkv_proj.weight"]), gtype)
             _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
@@ -206,8 +225,11 @@ def convert_hf_llama(
         elif p + "post_feedforward_layernorm.weight" in state_dict:  # olmo2 post-only
             _emit(w, o + "post_attention_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "post_ffw_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
-        else:
+        elif p + "post_attention_layernorm.weight" in state_dict:
+            # command-r's shared-norm parallel residual has no ffn norm
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            if p + "post_attention_layernorm.bias" in state_dict:
+                _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "post_attention_layernorm.bias"]), GGMLType.F32)
         if p + "mlp.router.weight" in state_dict:  # gpt-oss fused experts
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.router.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_gate_inp.bias", npy(state_dict[p + "mlp.router.bias"]), GGMLType.F32)
@@ -243,11 +265,18 @@ def convert_hf_llama(
             _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
             _emit(w, o + "ffn_up_exps.weight", up, gtype)
             _emit(w, o + "ffn_down_exps.weight", down, gtype)
+        elif p + "mlp.c_fc.weight" in state_dict:  # starcoder2 non-gated MLP
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.c_fc.weight"]), gtype)
+            _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
         else:
             _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
     _emit(w, "output_norm.weight", norm(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "model.norm.bias" in state_dict:
+        _emit(w, "output_norm.bias", npy(state_dict["model.norm.bias"]), GGMLType.F32)
     if "lm_head.weight" in state_dict:
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
@@ -646,5 +675,77 @@ def convert_hf_jamba(
     _emit(w, "output_norm.weight", npy(state_dict["model.final_layernorm.weight"]), GGMLType.F32)
     if "lm_head.weight" in state_dict:
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_gptneox(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF GPTNeoXForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    GPTNeoXModel — the fused query_key_value is stored per-head
+    interleaved [h, (q|k|v), d] and is split into separate Q/K/V here)."""
+    npy = _npy
+    arch = "gptneox"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_eps", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", config.get("rotary_emb_base", 10000.0))))
+    w.add(f"{arch}.rope.dimension_count", int(head_dim * float(config.get("rotary_pct", 0.25))))
+    w.add(f"{arch}.use_parallel_residual", bool(config.get("use_parallel_residual", True)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def split_qkv(t):
+        """[3*hidden, ...] per-head interleaved -> (q, k, v)."""
+        x = npy(t)
+        x = x.reshape(n_head, 3, head_dim, *x.shape[1:])
+        return (x[:, 0].reshape(n_embd, *x.shape[3:]),
+                x[:, 1].reshape(n_embd, *x.shape[3:]),
+                x[:, 2].reshape(n_embd, *x.shape[3:]))
+
+    _emit(w, "token_embd.weight", npy(state_dict["gpt_neox.embed_in.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"gpt_neox.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[p + "input_layernorm.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "post_attention_layernorm.bias"]), GGMLType.F32)
+        q, k, v = split_qkv(state_dict[p + "attention.query_key_value.weight"])
+        qb, kb, vb = split_qkv(state_dict[p + "attention.query_key_value.bias"])
+        _emit(w, o + "attn_q.weight", q, gtype)
+        _emit(w, o + "attn_k.weight", k, gtype)
+        _emit(w, o + "attn_v.weight", v, gtype)
+        _emit(w, o + "attn_q.bias", qb, GGMLType.F32)
+        _emit(w, o + "attn_k.bias", kb, GGMLType.F32)
+        _emit(w, o + "attn_v.bias", vb, GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attention.dense.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(state_dict[p + "attention.dense.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.dense_h_to_4h.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.dense_h_to_4h.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.dense_4h_to_h.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.dense_4h_to_h.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["gpt_neox.final_layer_norm.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["gpt_neox.final_layer_norm.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["embed_out.weight"]), gtype)
     w.write()
     return out_path

@@ -107,6 +107,8 @@ class ModelConfig:
     # src/llama-model.cpp:1494-1506)
     attn_layers: tuple | None = None
     use_rope: bool = True  # jamba attention layers carry no rope
+    # "separate" (gptneox ln1/ln2) | "shared" (command-r one norm) | "none"
+    parallel_residual: str = "none"
 
     @property
     def is_recurrent(self) -> bool:
@@ -287,7 +289,14 @@ class ModelConfig:
             sliding_window=int(kv("attention.sliding_window", 0)),
             swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
-            act="swiglu_oai" if arch == "gpt-oss" else ("gelu" if arch.startswith("gemma") else "silu"),
+            act=(
+                "swiglu_oai" if arch == "gpt-oss"
+                else "gelu" if arch.startswith("gemma")
+                # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
+                else "gelu_exact" if arch == "gptneox"
+                else "gelu" if arch == "starcoder2"
+                else "silu"
+            ),
             attn_scale=attn_scale_override
             or ((1.0 / float(qpas) ** 0.5) if qpas else 0.0)
             or float(kv("attention.scale", 0.0)),
@@ -297,9 +306,19 @@ class ModelConfig:
             mla=mla,
             ssm=ssm,
             wkv=wkv,
-            norm_kind="layer" if arch.startswith("rwkv") else "rms",
+            norm_kind=(
+                "layer"
+                if arch in ("gptneox", "starcoder2", "stablelm", "command-r")
+                or arch.startswith("rwkv")
+                else "rms"
+            ),
             attn_layers=attn_layers,
             use_rope=arch != "jamba",  # jamba attention has no rope
+            parallel_residual=(
+                "shared" if arch == "command-r"
+                else "separate" if bool(kv("use_parallel_residual", False))
+                else "none"
+            ),
         )
 
     def with_(self, **kw) -> "ModelConfig":
@@ -323,4 +342,5 @@ _NEOX_ROPE_ARCHES = {
     "gptneox",
     "olmo2",
     "gpt-oss",
+    "starcoder2",
 }

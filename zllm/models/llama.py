@@ -19,9 +19,17 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.attention import attention
-from ..ops.layers import apply_rope, geglu, rms_norm, swiglu
+from ..ops.layers import apply_rope, geglu, layer_norm, rms_norm, swiglu
 from ..ops.linear import linear
 from ..runtime.kvcache import KVCache
+
+
+def block_norm(x, layer: dict, key: str, cfg):
+    """Pre/post-block normalization by cfg.norm_kind (reference build_norm,
+    src/llama-graph.cpp: LLM_NORM vs LLM_NORM_RMS per arch)."""
+    if cfg.norm_kind == "layer":
+        return layer_norm(x, layer[key], layer.get(key + "_b"), cfg.norm_eps)
+    return rms_norm(x, layer[key], cfg.norm_eps)
 
 
 def lora_linear(layer: dict, key: str, x, bias=None):
@@ -222,7 +230,7 @@ def layer_forward(
 
     # olmo2 runs attention on the raw residual stream: no pre-norm tensor
     # exists, normalization happens post-attention (src/models/olmo2.cpp)
-    h = rms_norm(x, layer["attn_norm"], cfg.norm_eps) if "attn_norm" in layer else x
+    h = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
 
@@ -296,29 +304,54 @@ def layer_forward(
         att = rms_norm(att, layer["attn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:  # granite residual_multiplier
         att = att * jnp.asarray(cfg.residual_scale, att.dtype)
+
+    if cfg.parallel_residual != "none":
+        # gptneox/command-r: attention and FFN both read the pre-attention
+        # stream and add into one residual (reference: use_parallel_residual,
+        # src/models/gptneox.cpp; shared-norm variant src/models/command-r.cpp)
+        if cfg.parallel_residual == "shared":
+            h2 = h  # command-r: one norm feeds both branches
+        else:
+            h2 = block_norm(x, layer, "ffn_norm", cfg)
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis)
+        return x + att + ff, kv
     x = x + att
 
     return _ffn_block(layer, cfg, x, tapname, taps, ep_axis), kv
 
 
-def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
-    """Post-attention half of a block: FFN/MoE + residual + cvector."""
-    h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps) if "ffn_norm" in layer else x
+def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis):
+    """FFN/MoE on an already-normalized input."""
     if taps is not None:
         taps[f"{tapname}.ffn_gate.weight"] = h2
     if cfg.moe is not None and "ffn_gate_inp" in layer:
-        ff = moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
+        return moe_ffn(layer, cfg, h2, ep_axis=ep_axis)
+    act = _act(cfg)
+    if "ffn_gateup" in layer:  # load-time fused gate|up
+        gup = lora_linear(layer, "ffn_gateup", h2)
+        half = gup.shape[-1] // 2
+        gu = act(gup[..., :half], gup[..., half:])
+    elif "ffn_gate" in layer:
+        gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
     else:
-        act = _act(cfg)
-        if "ffn_gateup" in layer:  # load-time fused gate|up
-            gup = lora_linear(layer, "ffn_gateup", h2)
-            half = gup.shape[-1] // 2
-            gu = act(gup[..., :half], gup[..., half:])
-        else:
-            gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
-        if taps is not None:
-            taps[f"{tapname}.ffn_down.weight"] = gu
-        ff = lora_linear(layer, "ffn_down", gu)
+        # non-gated MLP (gptneox/starcoder2: up -> gelu -> down,
+        # reference LLM_FFN_GELU non-PAR, src/llama-graph.cpp:1160-1202)
+        up = lora_linear(layer, "ffn_up", h2, layer.get("ffn_up_b"))
+        gu = jax.nn.gelu(
+            up.astype(jnp.float32), approximate=cfg.act != "gelu_exact"
+        ).astype(up.dtype)
+    if taps is not None:
+        taps[f"{tapname}.ffn_down.weight"] = gu
+    ff = lora_linear(layer, "ffn_down", gu)
+    if "ffn_down_b" in layer:
+        ff = ff + layer["ffn_down_b"].astype(ff.dtype)
+    return ff
+
+
+def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
+    """Post-attention half of a block: FFN/MoE + residual + cvector."""
+    h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
+    ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:
@@ -409,7 +442,10 @@ def forward(
             window=window, taps=taps, ep_axis=ep_axis,
         )
 
-    x = rms_norm(x, params["out_norm"], cfg.norm_eps)
+    if cfg.norm_kind == "layer":
+        x = layer_norm(x, params["out_norm"], params.get("out_norm_b"), cfg.norm_eps)
+    else:
+        x = rms_norm(x, params["out_norm"], cfg.norm_eps)
     if taps is not None:
         taps["hidden"] = x  # final hidden states (embeddings/pooling)
     if logits_for == "last":

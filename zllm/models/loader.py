@@ -40,6 +40,7 @@ _LAYER_MAP = {
     "attn_post_norm.weight": "attn_post_norm",
     "post_attention_norm.weight": "attn_post_norm",
     "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_b",
     "ffn_gate.weight": "ffn_gate",
     "ffn_up.weight": "ffn_up",
     "ffn_down.weight": "ffn_down",
@@ -126,7 +127,7 @@ _MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down", "ffn_g
 
 # 1-D / small tensors stay f32; large dense tensors go bf16 by default
 _VECTOR_KEYS = {
-    "attn_norm", "ffn_norm", "attn_q_norm", "attn_k_norm", "attn_post_norm",
+    "attn_norm", "ffn_norm", "ffn_norm_b", "attn_q_norm", "attn_k_norm", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
