@@ -42,6 +42,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "gptneox": (transformers.GPTNeoXForCausalLM, transformers.GPTNeoXConfig),
         "starcoder2": (transformers.Starcoder2ForCausalLM, transformers.Starcoder2Config),
         "command-r": (transformers.CohereForCausalLM, transformers.CohereConfig),
+        "gpt2": (transformers.GPT2LMHeadModel, transformers.GPT2Config),
+        "falcon": (transformers.FalconForCausalLM, transformers.FalconConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -243,6 +243,29 @@ ARCH_CFGS = {
         use_qk_norm=False,
         tie_word_embeddings=True,
     ),
+    "gpt2": dict(
+        vocab_size=151,
+        n_positions=128,
+        n_embd=64,
+        n_layer=2,
+        n_head=4,
+        layer_norm_epsilon=1e-5,
+        tie_word_embeddings=False,
+    ),
+    "falcon": dict(
+        vocab_size=151,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_kv_heads=2,
+        new_decoder_architecture=True,
+        parallel_attn=True,
+        layer_norm_epsilon=1e-5,
+        rope_theta=10000.0,
+        bias=False,
+        alibi=False,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -265,7 +288,7 @@ def _oracle(arch, tmpdir):
 @pytest.mark.parametrize("arch", [
     "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
     "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
-    "stablelm", "gptneox", "starcoder2", "command-r",
+    "stablelm", "gptneox", "starcoder2", "command-r", "gpt2", "falcon",
 ])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
@@ -277,10 +300,10 @@ def test_arch_logit_parity(arch, tmp_path):
 
     sd, toks, want, _ = _oracle(arch, str(tmp_path))
     path = str(tmp_path / f"{arch}.gguf")
-    if arch == "gptneox":
-        from zllm.convert.hf import convert_hf_gptneox
+    if arch in ("gptneox", "gpt2", "falcon"):
+        from zllm.convert import hf as _hf
 
-        convert_hf_gptneox(sd, ARCH_CFGS[arch], path, gtype=GGMLType.F32)
+        getattr(_hf, f"convert_hf_{arch}")(sd, ARCH_CFGS[arch], path, gtype=GGMLType.F32)
     else:
         gguf_arch = "llama" if arch == "mixtral" else arch  # mixtral = llama + experts
         convert_hf_llama(sd, ARCH_CFGS[arch], path, arch=gguf_arch, gtype=GGMLType.F32)

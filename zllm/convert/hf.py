@@ -749,3 +749,141 @@ def convert_hf_gptneox(
     _emit(w, "output.weight", npy(state_dict["embed_out.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_gpt2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF GPT2LMHeadModel -> GGUF (reference: convert_hf_to_gguf.py
+    GPT2Model — Conv1D weights are stored transposed vs nn.Linear and the
+    fused c_attn splits into contiguous Q|K|V blocks; learned wpe becomes
+    position_embd)."""
+    npy = _npy
+    arch = "gpt2"
+    n_layer = int(config.get("n_layer", config.get("num_hidden_layers")))
+    n_embd = int(config.get("n_embd", config.get("hidden_size")))
+    n_head = int(config.get("n_head", config.get("num_attention_heads")))
+    n_ff = int(config.get("n_inner") or 4 * n_embd)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("n_positions", 1024)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def lin(t):  # Conv1D [in, out] -> Linear [out, in]
+        return np.ascontiguousarray(npy(t).T)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    _emit(w, "position_embd.weight", npy(state_dict["transformer.wpe.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "ln_1.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[p + "ln_1.bias"]), GGMLType.F32)
+        qkv = lin(state_dict[p + "attn.c_attn.weight"])  # [3h, h] Q|K|V blocks
+        qkv_b = npy(state_dict[p + "attn.c_attn.bias"])
+        for i, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            _emit(w, o + f"{nm}.weight", qkv[i * n_embd : (i + 1) * n_embd], gtype)
+            _emit(w, o + f"{nm}.bias", qkv_b[i * n_embd : (i + 1) * n_embd], GGMLType.F32)
+        _emit(w, o + "attn_output.weight", lin(state_dict[p + "attn.c_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(state_dict[p + "attn.c_proj.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ln_2.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "ln_2.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", lin(state_dict[p + "mlp.c_fc.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", lin(state_dict[p + "mlp.c_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_falcon(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF FalconForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    FalconModel — the fused query_key_value is grouped per kv head
+    [q*g | k | v] and splits here; new decoder arch carries a second
+    parallel-branch norm ln_mlp)."""
+    npy = _npy
+    arch = "falcon"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    head_dim = n_embd // n_head
+    new_arch = bool(config.get("new_decoder_architecture", False))
+    if new_arch:
+        n_kv = int(config.get("num_kv_heads", n_head))
+    else:
+        n_kv = 1 if config.get("multi_query", True) else n_head
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config.get("ffn_hidden_size") or 4 * n_embd))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.use_parallel_residual", bool(config.get("parallel_attn", True)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def split_qkv(t):
+        """[(q*g | k | v) per kv group, h] -> (q, k, v)."""
+        x = npy(t)
+        g = n_head // n_kv
+        x = x.reshape(n_kv, g + 2, head_dim, x.shape[-1])
+        q = np.ascontiguousarray(x[:, :g].reshape(n_head * head_dim, -1))
+        k = np.ascontiguousarray(x[:, g].reshape(n_kv * head_dim, -1))
+        v = np.ascontiguousarray(x[:, g + 1].reshape(n_kv * head_dim, -1))
+        return q, k, v
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.word_embeddings.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        ln_attn = p + ("ln_attn" if new_arch else "input_layernorm")
+        _emit(w, o + "attn_norm.weight", npy(state_dict[ln_attn + ".weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[ln_attn + ".bias"]), GGMLType.F32)
+        if p + "ln_mlp.weight" in state_dict:
+            _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ln_mlp.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "ln_mlp.bias"]), GGMLType.F32)
+        q, k, v = split_qkv(state_dict[p + "self_attention.query_key_value.weight"])
+        _emit(w, o + "attn_q.weight", q, gtype)
+        _emit(w, o + "attn_k.weight", k, gtype)
+        _emit(w, o + "attn_v.weight", v, gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attention.dense.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.dense_h_to_4h.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.dense_4h_to_h.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

@@ -293,8 +293,8 @@ class ModelConfig:
                 "swiglu_oai" if arch == "gpt-oss"
                 else "gelu" if arch.startswith("gemma")
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
-                else "gelu_exact" if arch == "gptneox"
-                else "gelu" if arch == "starcoder2"
+                else "gelu_exact" if arch in ("gptneox", "falcon")
+                else "gelu" if arch in ("starcoder2", "gpt2")
                 else "silu"
             ),
             attn_scale=attn_scale_override
@@ -308,12 +308,14 @@ class ModelConfig:
             wkv=wkv,
             norm_kind=(
                 "layer"
-                if arch in ("gptneox", "starcoder2", "stablelm", "command-r")
+                if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
+                            "gpt2", "falcon")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
             attn_layers=attn_layers,
-            use_rope=arch != "jamba",  # jamba attention has no rope
+            # jamba attention has no rope; gpt2 uses learned position embds
+            use_rope=arch not in ("jamba", "gpt2"),
             parallel_residual=(
                 "shared" if arch == "command-r"
                 else "separate" if bool(kv("use_parallel_residual", False))
@@ -343,4 +345,5 @@ _NEOX_ROPE_ARCHES = {
     "olmo2",
     "gpt-oss",
     "starcoder2",
+    "falcon",
 }

@@ -43,12 +43,16 @@ def lora_linear(layer: dict, key: str, x, bias=None):
     return y
 
 
-def embed(params, cfg, tokens: jax.Array) -> jax.Array:
+def embed(params, cfg, tokens: jax.Array, positions: jax.Array | None = None) -> jax.Array:
     x = params["tok_emb"][tokens]
     if cfg.arch.startswith("gemma"):
         x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
     if cfg.emb_scale != 1.0:  # granite embedding_multiplier
         x = x * jnp.asarray(cfg.emb_scale, x.dtype)
+    if positions is not None and "pos_emb" in params:
+        # learned absolute position embeddings (gpt2 wpe; reference:
+        # src/models/gpt2.cpp build_inp_pos + position_embd)
+        x = x + params["pos_emb"][jnp.clip(positions, 0, params["pos_emb"].shape[0] - 1)]
     return x
 
 
@@ -306,13 +310,13 @@ def layer_forward(
         att = att * jnp.asarray(cfg.residual_scale, att.dtype)
 
     if cfg.parallel_residual != "none":
-        # gptneox/command-r: attention and FFN both read the pre-attention
-        # stream and add into one residual (reference: use_parallel_residual,
-        # src/models/gptneox.cpp; shared-norm variant src/models/command-r.cpp)
-        if cfg.parallel_residual == "shared":
-            h2 = h  # command-r: one norm feeds both branches
-        else:
-            h2 = block_norm(x, layer, "ffn_norm", cfg)
+        # gptneox/falcon/command-r: attention and FFN both read the
+        # pre-attention stream and add into one residual (reference:
+        # use_parallel_residual, src/models/gptneox.cpp; falcon ln_mlp
+        # src/models/falcon.cpp; shared-norm src/models/command-r.cpp).
+        # A separate ffn norm is used when the layer carries one,
+        # otherwise the attention norm output feeds both branches.
+        h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else h
         ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis)
         return x + att + ff, kv
     x = x + att
@@ -433,7 +437,7 @@ def forward(
     keyed by GGUF tensor name — the analogue of the reference's eval
     callback (ggml_backend_sched_eval_callback, used by imatrix); the
     caller must return/consume them inside the same trace."""
-    x = embed(params, cfg, tokens)
+    x = embed(params, cfg, tokens, positions)
 
     for il, layer in enumerate(params["layers"]):
         window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
