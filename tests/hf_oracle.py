@@ -44,6 +44,10 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "command-r": (transformers.CohereForCausalLM, transformers.CohereConfig),
         "gpt2": (transformers.GPT2LMHeadModel, transformers.GPT2Config),
         "falcon": (transformers.FalconForCausalLM, transformers.FalconConfig),
+        "nemotron": (transformers.NemotronForCausalLM, transformers.NemotronConfig),
+        "olmo": (transformers.OlmoForCausalLM, transformers.OlmoConfig),
+        "glm4": (transformers.Glm4ForCausalLM, transformers.Glm4Config),
+        "smollm3": (transformers.SmolLM3ForCausalLM, transformers.SmolLM3Config),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -266,6 +266,63 @@ ARCH_CFGS = {
         alibi=False,
         tie_word_embeddings=False,
     ),
+    "nemotron": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        norm_eps=1e-5,
+        rope_theta=10000.0,
+        partial_rotary_factor=0.5,
+        tie_word_embeddings=False,
+    ),
+    "olmo": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        layer_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    ),
+    "glm4": dict(
+        vocab_size=151,
+        pad_token_id=0,
+        eos_token_id=2,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        partial_rotary_factor=0.5,
+        attention_bias=True,
+        tie_word_embeddings=False,
+    ),
+    "smollm3": dict(
+        vocab_size=151,
+        pad_token_id=0,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        no_rope_layers=[1, 1, 1, 0],
+        no_rope_layer_interval=4,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -289,6 +346,7 @@ def _oracle(arch, tmpdir):
     "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
     "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
     "stablelm", "gptneox", "starcoder2", "command-r", "gpt2", "falcon",
+    "nemotron", "olmo", "glm4", "smollm3",
 ])
 def test_arch_logit_parity(arch, tmp_path):
     import jax

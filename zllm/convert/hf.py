@@ -81,6 +81,15 @@ _ARCH_RULES = {
     # command-r (cohere): shared-norm parallel residual, LayerNorm no bias,
     # logit_scale, tied embeddings
     "command-r": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # nemotron: LayerNorm1P (weight stored minus one), partial rotary,
+    # relu^2 non-gated MLP
+    "nemotron": dict(permute_qk=False, qkv_bias=False, norm_plus_one=True),
+    # olmo (v1): non-parametric LayerNorm -> emit all-ones norm weights
+    "olmo": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False, ones_norms=True),
+    # glm4: double sandwich norms, fused gate_up, attn biases, partial rotary
+    "glm4": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # smollm3: llama layout + NoPE every 4th layer (handled by nope_step)
+    "smollm3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -119,7 +128,8 @@ def convert_hf_llama(
     w.add(f"{arch}.attention.value_length", head_dim)
     w.add(f"{arch}.attention.layer_norm_rms_epsilon",
           float(config.get("rms_norm_eps",
-                           config.get("layer_norm_eps", config.get("norm_epsilon", 1e-5)))))
+                           config.get("layer_norm_eps",
+                                      config.get("norm_epsilon", config.get("norm_eps", 1e-5))))))
     w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
     # stablelm/gptneox partial rotary
     rope_dim = int(head_dim * float(config.get("partial_rotary_factor", 1.0)))
@@ -194,8 +204,15 @@ def convert_hf_llama(
         o = f"blk.{il}."
         if p + "input_layernorm.weight" in state_dict:  # olmo2 has none
             _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        elif rules.get("ones_norms"):  # olmo v1: non-parametric LayerNorm
+            _emit(w, o + "attn_norm.weight", np.ones(n_embd, np.float32), GGMLType.F32)
+            _emit(w, o + "ffn_norm.weight", np.ones(n_embd, np.float32), GGMLType.F32)
         if p + "input_layernorm.bias" in state_dict:  # LayerNorm archs
             _emit(w, o + "attn_norm.bias", npy(state_dict[p + "input_layernorm.bias"]), GGMLType.F32)
+        if p + "post_self_attn_layernorm.weight" in state_dict:  # glm4 sandwich
+            _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_self_attn_layernorm.weight"]), GGMLType.F32)
+        if p + "post_mlp_layernorm.weight" in state_dict:
+            _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_mlp_layernorm.weight"]), GGMLType.F32)
         if rules.get("fused"):
             _emit(w, o + "attn_qkv.weight", npy(state_dict[p + "self_attn.qkv_proj.weight"]), gtype)
             _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
@@ -270,11 +287,23 @@ def convert_hf_llama(
             _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+        elif p + "mlp.gate_up_proj.weight" in state_dict:  # glm4 fused gate|up
+            gu = npy(state_dict[p + "mlp.gate_up_proj.weight"])
+            half = gu.shape[0] // 2
+            _emit(w, o + "ffn_gate.weight", np.ascontiguousarray(gu[:half]), gtype)
+            _emit(w, o + "ffn_up.weight", np.ascontiguousarray(gu[half:]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+        elif p + "mlp.gate_proj.weight" not in state_dict:  # nemotron relu^2 MLP
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
         else:
             _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
-    _emit(w, "output_norm.weight", norm(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "model.norm.weight" in state_dict:
+        _emit(w, "output_norm.weight", norm(state_dict["model.norm.weight"]), GGMLType.F32)
+    elif rules.get("ones_norms"):
+        _emit(w, "output_norm.weight", np.ones(n_embd, np.float32), GGMLType.F32)
     if "model.norm.bias" in state_dict:
         _emit(w, "output_norm.bias", npy(state_dict["model.norm.bias"]), GGMLType.F32)
     if "lm_head.weight" in state_dict:

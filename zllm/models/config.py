@@ -109,6 +109,9 @@ class ModelConfig:
     use_rope: bool = True  # jamba attention layers carry no rope
     # "separate" (gptneox ln1/ln2) | "shared" (command-r one norm) | "none"
     parallel_residual: str = "none"
+    # every nope_step-th layer skips rope (smollm3 NoPE; reference
+    # hparams.n_no_rope_layer_step); 0 = rope everywhere
+    nope_step: int = 0
 
     @property
     def is_recurrent(self) -> bool:
@@ -295,6 +298,7 @@ class ModelConfig:
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon")
                 else "gelu" if arch in ("starcoder2", "gpt2")
+                else "relu2" if arch == "nemotron"
                 else "silu"
             ),
             attn_scale=attn_scale_override
@@ -309,7 +313,7 @@ class ModelConfig:
             norm_kind=(
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
-                            "gpt2", "falcon")
+                            "gpt2", "falcon", "nemotron", "olmo")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
@@ -321,6 +325,7 @@ class ModelConfig:
                 else "separate" if bool(kv("use_parallel_residual", False))
                 else "none"
             ),
+            nope_step=4 if arch == "smollm3" else 0,
         )
 
     def with_(self, **kw) -> "ModelConfig":
@@ -346,4 +351,7 @@ _NEOX_ROPE_ARCHES = {
     "gpt-oss",
     "starcoder2",
     "falcon",
+    "nemotron",
+    "olmo",
+    "smollm3",
 }

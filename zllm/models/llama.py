@@ -267,7 +267,13 @@ def layer_forward(
             q = rms_norm(q.reshape(b_, t_, -1), layer["attn_q_norm"], cfg.norm_eps).reshape(q.shape)
             k = rms_norm(k.reshape(b_, t_, -1), layer["attn_k_norm"], cfg.norm_eps).reshape(k.shape)
 
-    if cfg.use_rope:  # jamba attention layers carry no positional encoding
+    # jamba/gpt2 carry no rope at all; smollm3 skips every nope_step-th
+    # layer (NoPE; reference hparams.n_no_rope_layer_step).  The per-layer
+    # check needs a concrete index (PP stage scans pass a traced il; no
+    # nope_step arch uses PP yet).
+    if cfg.nope_step and isinstance(il, int) and (il + 1) % cfg.nope_step == 0:
+        pass
+    elif cfg.use_rope:
         rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)
@@ -338,12 +344,14 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis):
     elif "ffn_gate" in layer:
         gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
     else:
-        # non-gated MLP (gptneox/starcoder2: up -> gelu -> down,
-        # reference LLM_FFN_GELU non-PAR, src/llama-graph.cpp:1160-1202)
+        # non-gated MLP (gptneox/starcoder2: up -> gelu -> down; nemotron:
+        # relu^2; reference LLM_FFN_GELU/RELU_SQR, src/llama-graph.cpp:1160)
         up = lora_linear(layer, "ffn_up", h2, layer.get("ffn_up_b"))
-        gu = jax.nn.gelu(
-            up.astype(jnp.float32), approximate=cfg.act != "gelu_exact"
-        ).astype(up.dtype)
+        uf = up.astype(jnp.float32)
+        if cfg.act == "relu2":
+            gu = jnp.square(jax.nn.relu(uf)).astype(up.dtype)
+        else:
+            gu = jax.nn.gelu(uf, approximate=cfg.act != "gelu_exact").astype(up.dtype)
     if taps is not None:
         taps[f"{tapname}.ffn_down.weight"] = gu
     ff = lora_linear(layer, "ffn_down", gu)
