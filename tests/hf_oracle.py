@@ -48,6 +48,9 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "olmo": (transformers.OlmoForCausalLM, transformers.OlmoConfig),
         "glm4": (transformers.Glm4ForCausalLM, transformers.Glm4Config),
         "smollm3": (transformers.SmolLM3ForCausalLM, transformers.SmolLM3Config),
+        "mpt": (transformers.MptForCausalLM, transformers.MptConfig),
+        "seed-oss": (transformers.SeedOssForCausalLM, transformers.SeedOssConfig),
+        "olmo3": (transformers.Olmo3ForCausalLM, transformers.Olmo3Config),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

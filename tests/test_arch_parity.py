@@ -323,6 +323,44 @@ ARCH_CFGS = {
         no_rope_layer_interval=4,
         tie_word_embeddings=False,
     ),
+    "mpt": dict(
+        vocab_size=151,
+        d_model=64,
+        n_heads=4,
+        n_layers=2,
+        expansion_ratio=2,
+        max_seq_len=128,
+        layer_norm_epsilon=1e-5,
+        attn_config=dict(alibi=True, alibi_bias_max=8),
+        tie_word_embeddings=False,
+    ),
+    "seed-oss": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        attention_bias=True,
+        tie_word_embeddings=False,
+    ),
+    "olmo3": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        sliding_window=8,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -346,7 +384,7 @@ def _oracle(arch, tmpdir):
     "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
     "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
     "stablelm", "gptneox", "starcoder2", "command-r", "gpt2", "falcon",
-    "nemotron", "olmo", "glm4", "smollm3",
+    "nemotron", "olmo", "glm4", "smollm3", "mpt", "seed-oss", "olmo3",
 ])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
@@ -358,7 +396,7 @@ def test_arch_logit_parity(arch, tmp_path):
 
     sd, toks, want, _ = _oracle(arch, str(tmp_path))
     path = str(tmp_path / f"{arch}.gguf")
-    if arch in ("gptneox", "gpt2", "falcon"):
+    if arch in ("gptneox", "gpt2", "falcon", "mpt"):
         from zllm.convert import hf as _hf
 
         getattr(_hf, f"convert_hf_{arch}")(sd, ARCH_CFGS[arch], path, gtype=GGMLType.F32)

@@ -90,6 +90,10 @@ _ARCH_RULES = {
     "glm4": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # smollm3: llama layout + NoPE every 4th layer (handled by nope_step)
     "smollm3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # seed-oss: llama layout + attn biases
+    "seed-oss": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # olmo3: olmo2 post-only norms + QK norm + sliding-window pattern
+    "olmo3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -913,6 +917,66 @@ def convert_hf_falcon(
         _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.dense_4h_to_h.weight"]), gtype)
     _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
     _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_mpt(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF MptForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    MPTModel — fused Wqkv splits into contiguous Q|K|V; ALiBi max bias
+    goes to attention.max_alibi_bias; weight-only LayerNorm)."""
+    npy = _npy
+    arch = "mpt"
+    n_layer = int(config.get("n_layers", config.get("num_hidden_layers")))
+    n_embd = int(config.get("d_model", config.get("hidden_size")))
+    n_head = int(config.get("n_heads", config.get("num_attention_heads")))
+    attn_cfg = config.get("attn_config") or {}
+    if hasattr(attn_cfg, "to_dict"):
+        attn_cfg = attn_cfg.to_dict()
+    n_ff = int(config.get("expansion_ratio", 4)) * n_embd
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_seq_len", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", int(attn_cfg.get("kv_n_heads", n_head)))
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    if attn_cfg.get("alibi", True):
+        w.add(f"{arch}.attention.max_alibi_bias", float(attn_cfg.get("alibi_bias_max", 8.0)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    kv_heads = int(attn_cfg.get("kv_n_heads", n_head))
+    qd = n_embd
+    kvd = kv_heads * (n_embd // n_head)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"transformer.blocks.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "norm_1.weight"]), GGMLType.F32)
+        qkv = npy(state_dict[p + "attn.Wqkv.weight"])  # [qd+2*kvd, h] Q|K|V blocks
+        _emit(w, o + "attn_q.weight", qkv[:qd], gtype)
+        _emit(w, o + "attn_k.weight", qkv[qd : qd + kvd], gtype)
+        _emit(w, o + "attn_v.weight", qkv[qd + kvd :], gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attn.out_proj.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "norm_2.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "ffn.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "ffn.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.norm_f.weight"]), GGMLType.F32)
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path

@@ -112,6 +112,9 @@ class ModelConfig:
     # every nope_step-th layer skips rope (smollm3 NoPE; reference
     # hparams.n_no_rope_layer_step); 0 = rope everywhere
     nope_step: int = 0
+    # ALiBi (mpt): max bias over the head range; 0 = no alibi
+    # (reference: hparams.f_max_alibi_bias)
+    alibi_bias_max: float = 0.0
 
     @property
     def is_recurrent(self) -> bool:
@@ -290,13 +293,13 @@ class ModelConfig:
             emb_scale=float(kv("embedding_scale", 1.0)),
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
-            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2}.get(arch, 1),
+            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2, "olmo3": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             act=(
                 "swiglu_oai" if arch == "gpt-oss"
                 else "gelu" if arch.startswith("gemma")
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
-                else "gelu_exact" if arch in ("gptneox", "falcon")
+                else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
                 else "gelu" if arch in ("starcoder2", "gpt2")
                 else "relu2" if arch == "nemotron"
                 else "silu"
@@ -313,19 +316,21 @@ class ModelConfig:
             norm_kind=(
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
-                            "gpt2", "falcon", "nemotron", "olmo")
+                            "gpt2", "falcon", "nemotron", "olmo", "mpt")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
             attn_layers=attn_layers,
-            # jamba attention has no rope; gpt2 uses learned position embds
-            use_rope=arch not in ("jamba", "gpt2"),
+            # jamba attention has no rope; gpt2 uses learned position
+            # embeddings; mpt uses ALiBi
+            use_rope=arch not in ("jamba", "gpt2", "mpt"),
             parallel_residual=(
                 "shared" if arch == "command-r"
                 else "separate" if bool(kv("use_parallel_residual", False))
                 else "none"
             ),
             nope_step=4 if arch == "smollm3" else 0,
+            alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
         )
 
     def with_(self, **kw) -> "ModelConfig":
@@ -354,4 +359,6 @@ _NEOX_ROPE_ARCHES = {
     "nemotron",
     "olmo",
     "smollm3",
+    "seed-oss",
+    "olmo3",
 }

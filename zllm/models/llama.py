@@ -24,6 +24,22 @@ from ..ops.linear import linear
 from ..runtime.kvcache import KVCache
 
 
+def _alibi_slopes(n_heads: int, max_bias: float = 8.0):
+    """Per-head ALiBi slopes (reference ggml-cpu/ops.cpp soft_max slopes;
+    HF build_mpt_alibi_tensor): powers of 2^(-max_bias*i/n) over the next
+    power-of-two head count, odd entries first when H is not a power."""
+    import math
+
+    import numpy as np
+
+    n2 = 2 ** math.ceil(math.log2(n_heads))
+    base = np.arange(1, n2 + 1, dtype=np.float64) * max_bias / n2
+    slopes = 1.0 / np.exp2(base)
+    if n2 != n_heads:
+        slopes = np.concatenate([slopes[1::2], slopes[0::2]])[:n_heads]
+    return slopes.astype(np.float32)
+
+
 def block_norm(x, layer: dict, key: str, cfg):
     """Pre/post-block normalization by cfg.norm_kind (reference build_norm,
     src/llama-graph.cpp: LLM_NORM vs LLM_NORM_RMS per arch)."""
@@ -285,7 +301,18 @@ def layer_forward(
         k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
     ring = kv.ring_size(il) if (kv is not None and hasattr(kv, "ring_size")) else 0
-    if ring:
+    if cfg.alibi_bias_max > 0:
+        # ALiBi attention (mpt; reference: max_alibi_bias ->
+        # ggml_soft_max_ext slopes) — materialized-scores path
+        from ..ops.layers import attention_ref
+        from ..runtime.kvcache import causal_mask
+
+        slopes = jnp.asarray(_alibi_slopes(q.shape[2], cfg.alibi_bias_max))
+        mask = causal_mask(positions, k_all.shape[2], window)
+        att = attention_ref(q, k_all, v_all, mask, scale,
+                            logit_softcap=cfg.attn_logit_softcap,
+                            alibi_slopes=slopes)
+    elif ring:
         # pruned SWA ring cache: slot->position mapping needs its own mask
         # (KVCacheSWA; reference llama-kv-cache-iswa); windows are small,
         # so the materialized-scores path is the right one

@@ -124,6 +124,7 @@ def attention_ref(
     scale: float,
     logit_softcap: float = 0.0,
     sinks: jax.Array | None = None,  # [Hq] attention-sink logits
+    alibi_slopes: jax.Array | None = None,  # [Hq] ALiBi head slopes
 ) -> jax.Array:
     """Reference attention (jnp softmax path — the Pallas flash kernel in
     zllm/ops/attention.py is the fast path; contract mirrors reference
@@ -135,6 +136,15 @@ def attention_ref(
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     logits = jnp.einsum("bthgd,bhsd->bhgts", qf, kf) * scale
+    if alibi_slopes is not None:
+        # ALiBi (reference ggml_soft_max_ext max_bias path): slope * key
+        # position — equivalent to slope*(j-i) since softmax is shift-
+        # invariant per query row (the MPT formulation)
+        s_len = kf.shape[2]
+        bias = alibi_slopes.reshape(1, hkv, group, 1, 1).astype(jnp.float32) * jnp.arange(
+            s_len, dtype=jnp.float32
+        )
+        logits = logits + bias
     if logit_softcap > 0:
         logits = jnp.tanh(logits / logit_softcap) * logit_softcap
     if mask.ndim == 4:  # [B, 1, T, S] -> [B, T, S]
