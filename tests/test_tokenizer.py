@@ -172,3 +172,40 @@ def test_rwkv_trie_tokenizer():
     assert tok.encode("\n") == [10]
     # decode round-trips bytes
     assert tok.decode(tok.encode("hello world")) == "hello world"
+
+
+def test_plamo2_viterbi_tokenizer():
+    """PLaMo2 suffix-DP tokenizer (reference llm_tokenizer_plamo2,
+    llama-vocab.cpp:1242-1507): score-optimal segmentation with UTF-8
+    byte fallback, ties to the longer piece."""
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    words = ["<unk>", "<s>", "</s>"]
+    byte_toks = [f"<0x{b:02X}>" for b in range(256)]
+    # scores: "hello"=-1, "hell"=-0.5, "he"=-0.2, "llo"=-0.1, "o"=-4
+    vocab_words = [("hello", -1.0), ("hell", -0.5), ("he", -0.2),
+                   ("llo", -0.1), ("o", -4.0), (" world", -0.3)]
+    tokens = words + byte_toks + [w for w, _ in vocab_words]
+    scores = [0.0] * (3 + 256) + [s for _, s in vocab_words]
+    types = ([int(TokenType.UNKNOWN)] + [int(TokenType.CONTROL)] * 2
+             + [int(TokenType.BYTE)] * 256 + [int(TokenType.NORMAL)] * len(vocab_words))
+    v = Vocab(model="plamo2", pre="default", tokens=tokens, scores=scores,
+              types=types, bos_id=1, eos_id=2, unk_id=0, add_bos=False,
+              add_space_prefix=False)
+    tok = Tokenizer(v)
+    base = 3 + 256
+    hello, hell, he, llo, o, world = range(base, base + 6)
+
+    # "hello": whole-word -1.0 beats he+llo (-0.3) and hell+o (-4.5)?
+    # DP minimizes -(sum scores): hello -> 1.0; he+llo -> 0.3 (better!)
+    assert tok.encode("hello") == [he, llo]
+    assert tok.encode("hello world") == [he, llo, world]
+    # unknown chars fall back to UTF-8 byte tokens
+    ids = tok.encode("héllo")
+    assert ids[0] == he or ids[0] == 3 + ord("h")
+    assert tok.decode(ids) == "héllo"
+    # multi-byte fallback round-trips
+    assert tok.decode(tok.encode("日本")) == "日本"
+    # BOM is skipped
+    assert tok.encode("﻿hello") == tok.encode("hello")

@@ -33,6 +33,10 @@ class Tokenizer:
             from .rwkv import RwkvTokenizer
 
             self.inner = RwkvTokenizer(vocab)
+        elif vocab.model == "plamo2":
+            from .plamo2 import Plamo2Tokenizer
+
+            self.inner = Plamo2Tokenizer(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r} not supported yet")
         self._specials = vocab.special_tokens()
