@@ -333,3 +333,42 @@ def test_args_env_and_preset(tmp_path, monkeypatch):
     add_common_args(ap, server=True)
     args = parse_with_presets(ap, ["--preset", f"{preset}:serve"])
     assert int(args.slots) == 2
+
+
+def test_winogrande_and_multiple_choice(tmp_path):
+    """Winogrande CSV parsing + scoring and generic multiple-choice
+    (reference: perplexity.cpp winogrande_score / multiple_choice_score).
+    With identical choices the tie goes to the first, so answer=1 /
+    label=0 tasks must score 100%."""
+    import jax.numpy as jnp
+
+    from tools.perplexity import load_winogrande_csv, multiple_choice, winogrande
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+    from zllm.tokenizer import Tokenizer
+    from zllm.tokenizer.vocab import TokenType, Vocab
+
+    p = str(tmp_path / "m.gguf")
+    make_llama_gguf(p, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=256, gtype=GGMLType.F32)
+    m = Model.load(p, quantized=False, dtype=jnp.float32)
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(253)]
+    types = [int(TokenType.UNKNOWN)] + [int(TokenType.CONTROL)] * 2 + [int(TokenType.BYTE)] * 253
+    m.tokenizer = Tokenizer(Vocab(model="llama", pre="default", tokens=tokens,
+                                  scores=[0.0] * 256, types=types, bos_id=1, eos_id=2,
+                                  unk_id=0, add_bos=True, add_space_prefix=False))
+
+    csv_text = (
+        "idx,sentence,choice1,choice2,answer\n"
+        '0,"Sam beat Joe, so _ won the game.",Sam,Sam,1\n'
+        "1,Al was faster than Bo so _ came first.,Al,Al,1\n"
+    )
+    tasks = load_winogrande_csv(csv_text)
+    assert len(tasks) == 2 and tasks[0][3] == 1
+    acc, n = winogrande(m, tasks)
+    assert n == 2 and acc == 1.0
+
+    mc = [{"question": "Q: pick.", "choices": ["abc", "abc", "abc"], "label": 0}]
+    acc, n = multiple_choice(m, mc)
+    assert n == 1 and acc == 1.0

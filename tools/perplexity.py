@@ -163,6 +163,89 @@ def hellaswag(model, tasks: list[dict], batch: int = 4):
     return n_correct / max(len(tasks), 1), len(tasks)
 
 
+def _continuation_ll(model, prefix_ids: list[int], cont_ids: list[int]):
+    """Length-normalized log-likelihood of `cont_ids` given `prefix_ids`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zllm.models.llama import forward
+
+    cfg = model.cfg
+    key = "_cll_fn"
+    fn = getattr(model, key, None)
+    if fn is None:
+        @jax.jit
+        def fn(params, toks, positions):
+            logits, _ = forward(params, cfg, toks, positions, None)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        setattr(model, key, fn)
+    ids = (prefix_ids + cont_ids)[:1024]
+    toks = np.asarray(ids, np.int32)[None]
+    pos = np.arange(len(ids), dtype=np.int32)[None]
+    lp = np.asarray(fn(model.params, jnp.asarray(toks), jnp.asarray(pos)))[0]
+    start = len(prefix_ids)
+    ll = sum(float(lp[t - 1, ids[t]]) for t in range(start, len(ids)))
+    return ll / max(len(ids) - start, 1)
+
+
+def winogrande(model, tasks: list[tuple[str, str, str, int]]):
+    """Winogrande scoring (reference: perplexity.cpp winogrande_score,
+    CSV rows `idx,sentence-with-_,choice1,choice2,answer`): substitute
+    each choice for the `_`, score the trailing part's normalized
+    log-likelihood, higher wins.  Returns (accuracy, n)."""
+    tok = model.tokenizer
+    n_correct = 0
+    for sentence, c1, c2, answer in tasks:
+        cut = sentence.index("_")
+        ending = sentence[cut + 1 :]
+        scores = []
+        for choice in (c1, c2):
+            prefix = tok.encode(sentence[:cut] + choice, add_special=True)
+            cont = tok.encode(ending)
+            scores.append(_continuation_ll(model, prefix, cont))
+        pick = 1 if scores[0] >= scores[1] else 2
+        n_correct += int(pick == int(answer))
+    return n_correct / max(len(tasks), 1), len(tasks)
+
+
+def load_winogrande_csv(text: str):
+    """Parse the llama.cpp winogrande eval CSV (reference:
+    load_winogrande_from_csv; commas inside quoted sentences honored)."""
+    import csv
+    import io
+
+    out = []
+    for row in csv.reader(io.StringIO(text)):
+        if len(row) < 5 or row[0].strip().lower() in ("", "idx", "index"):
+            continue
+        sentence, c1, c2, ans = row[1], row[2], row[3], row[4]
+        if "_" in sentence:
+            out.append((sentence, c1, c2, int(ans)))
+    return out
+
+
+def multiple_choice(model, tasks: list[dict]):
+    """Generic multiple-choice scoring (reference: perplexity.cpp
+    multiple_choice_score — ARC/TruthfulQA-style): each task is
+    {"question": str, "choices": [str, ...], "label": int}; the choice
+    with the highest normalized continuation log-likelihood wins."""
+    import numpy as np
+
+    tok = model.tokenizer
+    n_correct = 0
+    for task in tasks:
+        prefix = tok.encode(task["question"], add_special=True)
+        scores = [
+            _continuation_ll(model, prefix, tok.encode(" " + c.lstrip()))
+            for c in task["choices"]
+        ]
+        if int(np.argmax(scores)) == int(task["label"]):
+            n_correct += 1
+    return n_correct / max(len(tasks), 1), len(tasks)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model")
@@ -175,6 +258,10 @@ def main():
     ap.add_argument("--save-logits", default="", help="save this model's logits as the KL base")
     ap.add_argument("--hellaswag", action="store_true",
                     help="treat corpus as HellaSwag JSONL (context/endings/label)")
+    ap.add_argument("--winogrande", action="store_true",
+                    help="treat corpus as winogrande CSV (idx,sentence,c1,c2,answer)")
+    ap.add_argument("--multiple-choice", action="store_true",
+                    help="treat corpus as JSONL (question/choices/label)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -192,6 +279,17 @@ def main():
         tasks = [json.loads(l) for l in text.splitlines() if l.strip()]
         acc, n = hellaswag(m, tasks, batch=args.batch)
         print(f"hellaswag accuracy = {100*acc:.2f}% ({n} tasks)")
+        return
+    if args.winogrande:
+        acc, n = winogrande(m, load_winogrande_csv(text))
+        print(f"winogrande accuracy = {100*acc:.2f}% ({n} tasks)")
+        return
+    if args.multiple_choice:
+        import json
+
+        tasks = [json.loads(l) for l in text.splitlines() if l.strip()]
+        acc, n = multiple_choice(m, tasks)
+        print(f"multiple-choice accuracy = {100*acc:.2f}% ({n} tasks)")
         return
     ids = m.tokenizer.encode(text, add_special=True)
     print(f"{len(ids)} tokens", file=sys.stderr)
