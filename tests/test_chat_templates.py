@@ -181,3 +181,43 @@ def test_detect_named_and_arch_fallbacks():
     assert detect_format(_FakeModel(arch="qwen2")) == "chatml"
     assert detect_format(_FakeModel(arch="rwkv6")) == "rwkv-world"
     assert detect_format(_FakeModel(arch="llama")) == "llama3"
+
+
+CHATML_JINJA = (
+    "{% for message in messages %}"
+    "{{'<|im_start|>' + message['role'] + '\n' + message['content'] + '<|im_end|>' + '\n'}}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+)
+
+
+def test_jinja_rendering_matches_builtin():
+    """--jinja mode evaluates the embedded template with a real engine
+    (reference: common/jinja minja evaluation); for a known chatml
+    template the output must equal the builtin formatter's."""
+    m = _FakeModel(template=CHATML_JINJA)
+    m.tokenizer = None
+    got = apply_chat_template(m, MSGS, jinja=True)
+    want = apply_chat_template(m, MSGS, fmt="chatml")
+    assert got == want
+
+
+def test_jinja_bos_token_and_exception_fallback():
+    from zllm.server.chat import render_jinja
+
+    class _Tok:
+        class vocab:
+            tokens = ["<unk>", "<s>", "</s>"]
+            bos_id = 1
+            eos_id = 2
+
+    m = _FakeModel(template="{{ bos_token }}{% for m in messages %}{{ m['content'] }}{% endfor %}{{ eos_token }}")
+    m.tokenizer = _Tok()
+    out = render_jinja(m, [{"role": "user", "content": "x"}])
+    assert out == "<s>x</s>"
+
+    # raise_exception inside the template -> apply falls back to builtin
+    m2 = _FakeModel(template="{{ raise_exception('nope') }}", arch="qwen2")
+    m2.tokenizer = None
+    got = apply_chat_template(m2, MSGS, jinja=True)
+    assert "<|im_start|>" in got  # chatml arch fallback

@@ -29,6 +29,9 @@ def main():
                     help="draft tokens per step [ZLLM_ARG_DRAFT_MAX]")
     ap.add_argument("--model-draft", action=EnvDefault, default="",
                     help="draft model GGUF for speculative decoding [ZLLM_ARG_MODEL_DRAFT]")
+    ap.add_argument("--jinja", action="store_true",
+                    default=os.environ.get("ZLLM_ARG_JINJA", "") == "1",
+                    help="render the GGUF's embedded jinja chat template [ZLLM_ARG_JINJA=1]")
     ap.add_argument("--models-dir", action=EnvDefault, default="",
                     help="router mode: serve every GGUF in this directory [ZLLM_ARG_MODELS_DIR]")
     ap.add_argument("--models-max", action=EnvDefault, type=int, default=2,
@@ -65,7 +68,7 @@ def main():
         draft = Model.load(args.model_draft, quantized=not args.dense, dtype=jnp.bfloat16)
     srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
                      port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
-                     kv_layout=args.kv_layout, draft_model=draft)
+                     kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -666,7 +666,51 @@ def detect_format(model) -> str:
     return "chatml"
 
 
-def apply_chat_template(model, messages: list[dict], fmt: str | None = None, add_assistant: bool = True) -> str:
+def render_jinja(model, messages: list[dict], add_assistant: bool = True,
+                 tools: list | None = None) -> str:
+    """Evaluate the GGUF's embedded tokenizer.chat_template with a real
+    (sandboxed) Jinja engine — the analogue of the reference's --jinja
+    mode (common/jinja/ minja evaluation vs llama-chat.cpp's builtin
+    formatters).  Raises on a missing/broken template; callers fall back
+    to the builtin registry."""
+    import json as _json
+    from datetime import datetime
+
+    from jinja2 import sandbox
+
+    src = getattr(model, "chat_template", "") or ""
+    if not src.strip():
+        raise ValueError("model has no embedded chat template")
+    env = sandbox.ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+    env.filters["tojson"] = lambda x, **kw: _json.dumps(x, ensure_ascii=False, **kw)
+
+    def raise_exception(msg):
+        raise ValueError(msg)
+
+    env.globals["raise_exception"] = raise_exception
+    env.globals["strftime_now"] = lambda f: datetime.now().strftime(f)
+    tok = getattr(model, "tokenizer", None)
+    v = tok.vocab if tok is not None else None
+
+    def _tok_text(tid):
+        return v.tokens[tid] if v is not None and 0 <= tid < len(v.tokens) else ""
+
+    return env.from_string(src).render(
+        messages=messages,
+        add_generation_prompt=add_assistant,
+        bos_token=_tok_text(v.bos_id) if v else "",
+        eos_token=_tok_text(v.eos_id) if v else "",
+        tools=tools,
+    )
+
+
+def apply_chat_template(model, messages: list[dict], fmt: str | None = None,
+                        add_assistant: bool = True, jinja: bool = False) -> str:
+    if jinja:
+        try:
+            return render_jinja(model, messages, add_assistant)
+        except Exception:  # noqa: BLE001 — broken template: builtin fallback
+            pass
     fmt = fmt or detect_format(model)
     formatter = FORMATS.get(fmt)
     if formatter is None:

@@ -26,8 +26,9 @@ def _sse(obj) -> bytes:
 class ZllmServer:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080,
                  slot_save_path: str = "", speculative: bool = False, n_draft: int = 6,
-                 kv_layout: str = "contiguous", draft_model=None):
+                 kv_layout: str = "contiguous", draft_model=None, jinja: bool = False):
         self.model = model
+        self.jinja = jinja
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len,
                              speculative=speculative, n_draft=n_draft, kv_layout=kv_layout,
                              draft_model=draft_model)
@@ -249,7 +250,9 @@ class ZllmServer:
                         self._json(200, {"content": text})
                     elif self.path == "/apply-template":
                         text = apply_chat_template(
-                            server.model, body.get("messages", []), add_assistant=bool(body.get("add_generation_prompt", True))
+                            server.model, body.get("messages", []),
+                            add_assistant=bool(body.get("add_generation_prompt", True)),
+                            jinja=server.jinja or bool(body.get("jinja", False)),
                         )
                         self._json(200, {"prompt": text})
                     elif self.path == "/infill":
@@ -356,7 +359,7 @@ class ZllmServer:
                         )
                     msgs.append({"role": m.get("role", "user"), "content": content})
                 tok = server.model.tokenizer
-                text = apply_chat_template(server.model, msgs)
+                text = apply_chat_template(server.model, msgs, jinja=server.jinja)
                 ids = tok.encode(text, add_special=True, parse_special=True)
                 if len(ids) >= 2 and ids[0] == tok.bos_id and ids[1] == tok.bos_id:
                     ids = ids[1:]
@@ -458,7 +461,7 @@ class ZllmServer:
                         grammar_obj = make_tool_grammar(
                             tools, tok, only=only, lazy=not forced
                         )
-                    text = apply_chat_template(server.model, msgs)
+                    text = apply_chat_template(server.model, msgs, jinja=server.jinja)
                 else:
                     text = body.get("prompt", "")
                 if isinstance(text, list):
