@@ -372,3 +372,36 @@ def test_winogrande_and_multiple_choice(tmp_path):
     mc = [{"question": "Q: pick.", "choices": ["abc", "abc", "abc"], "label": 0}]
     acc, n = multiple_choice(m, mc)
     assert n == 1 and acc == 1.0
+
+
+def test_cli_prompt_cache_and_reverse_prompt(tmp_path):
+    """--prompt-cache session reuse must not change greedy output, and
+    -r stops at the reverse prompt (reference: tools/completion
+    --prompt-cache + antiprompts)."""
+    import subprocess
+    import sys as _sys
+
+    from conftest import subprocess_env
+    from zllm.gguf.constants import GGMLType
+    from zllm.testing import make_llama_gguf
+
+    p = str(tmp_path / "m.gguf")
+    make_llama_gguf(p, n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                    n_ff=128, vocab_size=260, gtype=GGMLType.Q8_0, with_tokenizer=True)
+    cache = str(tmp_path / "sess.npz")
+    prompt = "The quick brown fox jumps over the lazy dog"
+
+    def run(*extra):
+        r = subprocess.run(
+            [_sys.executable, os.path.join(REPO, "tools", "cli.py"), p,
+             "-p", prompt, "--greedy", "-n", "5", *extra],
+            capture_output=True, text=True, timeout=600, env=subprocess_env(),
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        return r.stdout, r.stderr
+
+    out1, _ = run("--prompt-cache", cache)
+    assert os.path.exists(cache)
+    out2, err2 = run("--prompt-cache", cache)
+    assert "reused" in err2
+    assert out1 == out2  # cache reuse is output-invariant

@@ -20,7 +20,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model")
     ap.add_argument("-p", "--prompt", default=None)
+    ap.add_argument("-f", "--file", default=None, help="read the prompt from a file")
     ap.add_argument("-n", "--n-predict", type=int, default=64)
+    ap.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                    help="stop generation at this string (repeatable; reference antiprompts)")
+    ap.add_argument("--prompt-cache", default="", metavar="FILE",
+                    help="session file: reuse the cached prompt's KV on a shared "
+                         "prefix and save the updated session after generation "
+                         "(reference: tools/completion --prompt-cache)")
     ap.add_argument("-c", "--ctx", type=int, default=2048)
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("--temp", type=float, default=0.8)
@@ -70,8 +77,34 @@ def main():
 
     def run_once(prompt: str):
         ids = m.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        start = 0
+        if args.prompt_cache and os.path.exists(args.prompt_cache):
+            from zllm.runtime.state import load_session
+
+            try:
+                kv, cached, n_past = load_session(args.prompt_cache, m, gen.kv)
+                # longest shared prefix is reusable: the slot==position
+                # cache re-writes every later position before any query
+                # attends it (write-before-attend), so a stale tail is safe
+                ncp = 0
+                limit = min(n_past, len(ids) - 1)
+                while ncp < limit and cached[ncp] == ids[ncp]:
+                    ncp += 1
+                if ncp >= 16:  # not worth it below this
+                    gen.kv = kv
+                    start = ncp
+                    print(f"[prompt cache: reused {ncp} tokens]", file=sys.stderr)
+            except ValueError as e:
+                print(f"[prompt cache ignored: {e}]", file=sys.stderr)
         with perfmod.trace(args.profile):
-            res = gen.generate(ids, max_new=args.n_predict, sampler=sampler_factory(), eos_id=m.tokenizer.eos_id)
+            res = gen.generate(ids, max_new=args.n_predict, sampler=sampler_factory(),
+                               eos_id=m.tokenizer.eos_id, start=start,
+                               stop_strings=tuple(args.reverse_prompt))
+        if args.prompt_cache:
+            from zllm.runtime.state import save_session
+
+            hist = ids + res.tokens[:-1]
+            save_session(args.prompt_cache, m, gen.kv, hist, len(hist))
         perfc.t_prefill_ms += res.t_prefill * 1e3
         perfc.n_prefill += res.n_prefill
         perfc.t_decode_ms += res.t_decode * 1e3
@@ -96,9 +129,13 @@ def main():
             gen.reset()
             run_once(line)
     else:
-        if args.prompt is None:
-            raise SystemExit("need -p PROMPT or -i")
-        run_once(args.prompt)
+        prompt = args.prompt
+        if prompt is None and args.file:
+            with open(args.file, encoding="utf-8") as fh:
+                prompt = fh.read()
+        if prompt is None:
+            raise SystemExit("need -p PROMPT, -f FILE or -i")
+        run_once(prompt)
     if args.perf:
         perfc.report()
     if args.profile:

@@ -54,15 +54,17 @@ class Generator:
             cfg.n_layers, self.batch, self.max_len, cfg.n_kv_heads, cfg.head_dim, self.kv.k[0].dtype
         )
 
-    def prefill(self, prompt_tokens: list[int]) -> jax.Array:
-        """Feed the prompt in fixed-size chunks; returns last-token logits."""
+    def prefill(self, prompt_tokens: list[int], start: int = 0) -> jax.Array:
+        """Feed the prompt in fixed-size chunks; returns last-token logits.
+        `start` skips tokens whose KV is already cached (prompt-cache
+        reuse; reference: session-file prefix skip in tools/completion)."""
         import time
 
         toks = np.asarray(prompt_tokens, dtype=np.int32)
         n = len(toks)
         logits = None
         t0 = time.perf_counter()
-        pos = 0
+        pos = start
         while pos < n:
             chunk = min(self.prefill_chunk, n - pos)
             # pad to the chunk size to keep a single compiled shape
@@ -127,27 +129,49 @@ class Generator:
         self._cur_pos += n_steps
         return [int(first_token)] + np.asarray(toks[:, 0]).tolist()
 
-    def generate(self, prompt_tokens: list[int], max_new: int = 32, sampler=None, eos_id: int = -1) -> GenerateResult:
+    def generate(self, prompt_tokens: list[int], max_new: int = 32, sampler=None,
+                 eos_id: int = -1, start: int = 0,
+                 stop_strings: tuple = ()) -> GenerateResult:
         import time
 
-        logits = self.prefill(prompt_tokens)
+        logits = self.prefill(prompt_tokens, start=start)
         self._cur_pos = len(prompt_tokens)
         first = int(jnp.argmax(logits)) if sampler is None else int(sampler(logits))
         t0 = time.perf_counter()
         toks = [first]
         pos = self._cur_pos
+        inc = None
+        text_acc = ""
+        if stop_strings and self.model.tokenizer is not None:
+            from ..tokenizer import IncrementalDecoder
+
+            inc = IncrementalDecoder(self.model.tokenizer)
+            text_acc += inc.push(first)
+        stop_at = -1
         for _ in range(max_new - 1):
             if toks[-1] == eos_id:
                 break
+            if inc is not None:
+                hit = min((i for i in (text_acc.find(s) for s in stop_strings) if i >= 0),
+                          default=-1)
+                if hit >= 0:
+                    stop_at = hit
+                    break
             tok = np.full((self.batch, 1), toks[-1], dtype=np.int32)
             positions = np.full((self.batch, 1), pos, dtype=np.int32)
             lg, self.kv = self._step(jnp.asarray(tok), jnp.asarray(positions), self.kv, logits_for="last")
             row = lg[0, -1]
             toks.append(int(jnp.argmax(row)) if sampler is None else int(sampler(row)))
             pos += 1
+            if inc is not None:
+                text_acc += inc.push(toks[-1])
         t_decode = time.perf_counter() - t0
-        text = self.model.tokenizer.decode(toks) if self.model.tokenizer else ""
+        self._cur_pos = len(prompt_tokens) + len(toks) - 1
+        if stop_at >= 0:
+            text = text_acc[:stop_at]
+        else:
+            text = self.model.tokenizer.decode(toks) if self.model.tokenizer else ""
         return GenerateResult(
-            tokens=toks, text=text, n_prefill=len(prompt_tokens),
+            tokens=toks, text=text, n_prefill=len(prompt_tokens) - start,
             t_prefill=getattr(self, "t_prefill", 0.0), t_decode=t_decode,
         )
