@@ -26,6 +26,27 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec ~819 GB/s)
 SHAPE = dict(n_layers=22, n_embd=2048, n_heads=32, n_kv_heads=4, n_ff=5632, vocab_size=32000)
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """The TPU tunnel in this image can wedge so hard that even
+    jax.devices() blocks forever (observed round 2); probing in a
+    subprocess keeps the bench (and the driver that runs it) from
+    hanging."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128,128)); print(float((x@x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -146,4 +167,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if not _probe_device():
+        print("device probe failed: TPU tunnel unresponsive — aborting "
+              "instead of hanging", file=sys.stderr)
+        sys.exit(3)
     main()
