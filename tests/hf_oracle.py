@@ -51,6 +51,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "mpt": (transformers.MptForCausalLM, transformers.MptConfig),
         "seed-oss": (transformers.SeedOssForCausalLM, transformers.SeedOssConfig),
         "olmo3": (transformers.Olmo3ForCausalLM, transformers.Olmo3Config),
+        "phi2": (transformers.PhiForCausalLM, transformers.PhiConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

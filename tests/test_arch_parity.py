@@ -361,6 +361,19 @@ ARCH_CFGS = {
         sliding_window=8,
         tie_word_embeddings=False,
     ),
+    "phi2": dict(
+        vocab_size=151,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=128,
+        layer_norm_eps=1e-5,
+        rope_theta=10000.0,
+        partial_rotary_factor=0.5,
+        tie_word_embeddings=False,
+    ),
 }
 
 
@@ -384,7 +397,7 @@ def _oracle(arch, tmpdir):
     "qwen2", "gemma2", "mixtral", "qwen3", "phi3", "gemma3",
     "olmo2", "granite", "qwen2moe", "qwen3moe", "gpt-oss",
     "stablelm", "gptneox", "starcoder2", "command-r", "gpt2", "falcon",
-    "nemotron", "olmo", "glm4", "smollm3", "mpt", "seed-oss", "olmo3",
+    "nemotron", "olmo", "glm4", "smollm3", "mpt", "seed-oss", "olmo3", "phi2",
 ])
 def test_arch_logit_parity(arch, tmp_path):
     import jax
@@ -396,7 +409,7 @@ def test_arch_logit_parity(arch, tmp_path):
 
     sd, toks, want, _ = _oracle(arch, str(tmp_path))
     path = str(tmp_path / f"{arch}.gguf")
-    if arch in ("gptneox", "gpt2", "falcon", "mpt"):
+    if arch in ("gptneox", "gpt2", "falcon", "mpt", "phi2"):
         from zllm.convert import hf as _hf
 
         getattr(_hf, f"convert_hf_{arch}")(sd, ARCH_CFGS[arch], path, gtype=GGMLType.F32)

@@ -980,3 +980,60 @@ def convert_hf_mpt(
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_phi2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF PhiForCausalLM (phi-1/1.5/2) -> GGUF (reference:
+    convert_hf_to_gguf.py Phi2Model — shared-norm parallel residual,
+    partial rotary, biased lm_head)."""
+    npy = _npy
+    arch = "phi2"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", int(config.get("num_key_value_heads", n_head)))
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_eps", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count",
+          int(head_dim * float(config.get("partial_rotary_factor", 0.5))))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[p + "input_layernorm.bias"]), GGMLType.F32)
+        for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                       ("v_proj", "attn_v"), ("dense", "attn_output")):
+            _emit(w, o + f"{gg}.weight", npy(state_dict[p + f"self_attn.{hf}.weight"]), gtype)
+            _emit(w, o + f"{gg}.bias", npy(state_dict[p + f"self_attn.{hf}.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.fc1.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.fc1.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.fc2.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.fc2.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["model.final_layernorm.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["model.final_layernorm.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    _emit(w, "output.bias", npy(state_dict["lm_head.bias"]), GGMLType.F32)
+    w.write()
+    return out_path

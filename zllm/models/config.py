@@ -300,7 +300,7 @@ class ModelConfig:
                 else "gelu" if arch.startswith("gemma")
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
-                else "gelu" if arch in ("starcoder2", "gpt2")
+                else "gelu" if arch in ("starcoder2", "gpt2", "phi2")
                 else "relu2" if arch == "nemotron"
                 else "silu"
             ),
@@ -316,7 +316,8 @@ class ModelConfig:
             norm_kind=(
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
-                            "gpt2", "falcon", "nemotron", "olmo", "mpt")
+                            "gpt2", "falcon", "nemotron", "olmo", "mpt",
+                            "phi2")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
@@ -325,7 +326,7 @@ class ModelConfig:
             # embeddings; mpt uses ALiBi
             use_rope=arch not in ("jamba", "gpt2", "mpt"),
             parallel_residual=(
-                "shared" if arch == "command-r"
+                "shared" if arch in ("command-r", "phi2")
                 else "separate" if bool(kv("use_parallel_residual", False))
                 else "none"
             ),
@@ -361,4 +362,5 @@ _NEOX_ROPE_ARCHES = {
     "smollm3",
     "seed-oss",
     "olmo3",
+    "phi2",
 }

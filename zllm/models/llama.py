@@ -492,6 +492,8 @@ def forward(
     logits = linear(x, params["output"]).astype(jnp.float32)
     if logits.shape[-1] != cfg.vocab_size:  # vocab head padded for tiling
         logits = logits[..., : cfg.vocab_size]
+    if "output_b" in params:  # phi2 lm_head bias
+        logits = logits + params["output_b"][: cfg.vocab_size]
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:

@@ -193,6 +193,8 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             params["out_norm_b"] = _load_dense(f, name, jnp.float32)
         elif name == "output.weight":
             params["output"] = _load_matmul(f, name, quantized, dtype)
+        elif name == "output.bias":  # phi2 lm_head bias
+            params["output_b"] = _load_dense(f, name, jnp.float32)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = _load_dense(f, name, jnp.float32)
         # bert-family encoder extras (reference LLM_TENSOR_* names,
