@@ -52,6 +52,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "seed-oss": (transformers.SeedOssForCausalLM, transformers.SeedOssConfig),
         "olmo3": (transformers.Olmo3ForCausalLM, transformers.Olmo3Config),
         "phi2": (transformers.PhiForCausalLM, transformers.PhiConfig),
+        "lfm2": (transformers.Lfm2ForCausalLM, transformers.Lfm2Config),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -1037,3 +1037,66 @@ def convert_hf_phi2(
     _emit(w, "output.bias", npy(state_dict["lm_head.bias"]), GGMLType.F32)
     w.write()
     return out_path
+
+
+def convert_hf_lfm2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF Lfm2ForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    LFM2Model — per-layer head_count_kv vector marks attention layers,
+    conv layers carry shortconv tensors; embedding_norm ships under the
+    token_embd_norm name like the reference)."""
+    npy = _npy
+    arch = "lfm2"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    layer_types = config.get("layer_types") or ["full_attention"] * n_layer
+    kv_vec = [n_kv if lt == "full_attention" else 0 for lt in layer_types]
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", kv_vec)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 1000000.0)))
+    w.add(f"{arch}.shortconv.l_cache", int(config.get("conv_L_cache", 3)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "operator_norm.weight"]), GGMLType.F32)
+        if p + "conv.in_proj.weight" in state_dict:
+            conv = npy(state_dict[p + "conv.conv.weight"])  # [d, 1, L]
+            _emit(w, o + "shortconv.conv.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+            _emit(w, o + "shortconv.in_proj.weight", npy(state_dict[p + "conv.in_proj.weight"]), gtype)
+            _emit(w, o + "shortconv.out_proj.weight", npy(state_dict[p + "conv.out_proj.weight"]), gtype)
+        else:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("out_proj", "attn_output")):
+                _emit(w, o + f"{gg}.weight", npy(state_dict[p + f"self_attn.{hf}.weight"]), gtype)
+            _emit(w, o + "attn_q_norm.weight", npy(state_dict[p + "self_attn.q_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_k_norm.weight", npy(state_dict[p + "self_attn.k_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ffn_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "feed_forward.w1.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "feed_forward.w2.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "feed_forward.w3.weight"]), gtype)
+    _emit(w, "token_embd_norm.weight", npy(state_dict["model.embedding_norm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

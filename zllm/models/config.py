@@ -115,6 +115,9 @@ class ModelConfig:
     # ALiBi (mpt): max bias over the head range; 0 = no alibi
     # (reference: hparams.f_max_alibi_bias)
     alibi_bias_max: float = 0.0
+    # lfm2 short-conv kernel length (reference: %s.shortconv.l_cache);
+    # 0 = arch has no shortconv layers
+    shortconv_l: int = 0
 
     @property
     def is_recurrent(self) -> bool:
@@ -123,9 +126,12 @@ class ModelConfig:
 
     @property
     def is_hybrid(self) -> bool:
-        """Hybrid memory (jamba): KV cache for attention layers +
-        recurrent state for ssm layers (reference llama_memory_hybrid)."""
-        return self.attn_layers is not None and self.ssm is not None
+        """Hybrid memory (jamba/lfm2): KV cache for attention layers +
+        recurrent state for the mixer layers (reference
+        llama_memory_hybrid)."""
+        return self.attn_layers is not None and (
+            self.ssm is not None or self.shortconv_l > 0
+        )
 
     @property
     def n_attn_layers(self) -> int:
@@ -332,6 +338,7 @@ class ModelConfig:
             ),
             nope_step=4 if arch == "smollm3" else 0,
             alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
+            shortconv_l=int(kv("shortconv.l_cache", 0) or 0),
         )
 
     def with_(self, **kw) -> "ModelConfig":
@@ -363,4 +370,5 @@ _NEOX_ROPE_ARCHES = {
     "seed-oss",
     "olmo3",
     "phi2",
+    "lfm2",
 }

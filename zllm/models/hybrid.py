@@ -19,7 +19,15 @@ from .mamba import RecurrentState, mamba_layer
 
 
 def make_hybrid_state(cfg, batch: int, dtype=jnp.float32) -> RecurrentState:
-    """Recurrent memory sized to the mamba-layer subset."""
+    """Recurrent memory sized to the recurrent-layer subset: mamba
+    conv+ssm states (jamba) or shortconv tails (lfm2, ssm slots empty)."""
+    if cfg.shortconv_l > 0:
+        n = cfg.n_recurrent_layers
+        conv = tuple(
+            jnp.zeros((batch, cfg.n_embd, cfg.shortconv_l - 1), dtype) for _ in range(n)
+        )
+        ssm = tuple(jnp.zeros((batch, 1, 0), jnp.float32) for _ in range(n))
+        return RecurrentState(conv=conv, ssm=ssm)
     return RecurrentState.create(cfg, batch, dtype, n_layers=cfg.n_recurrent_layers)
 
 
@@ -43,10 +51,16 @@ def hybrid_forward(
         state = make_hybrid_state(cfg, tokens.shape[0], x.dtype)
     ai = ri = 0
     for il, layer in enumerate(params["layers"]):
-        if "ssm_in" in layer:
+        if "ssm_in" in layer or "shortconv_in" in layer:
             h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-            y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
-            state = state.with_layer(ri, conv, ssm)
+            if "shortconv_in" in layer:  # lfm2 conv mixer
+                from .lfm2 import shortconv_layer
+
+                y, conv = shortconv_layer(layer, cfg, h, state.conv[ri], lengths)
+                state = state.with_layer(ri, conv, state.ssm[ri])
+            else:  # jamba mamba mixer
+                y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
+                state = state.with_layer(ri, conv, ssm)
             ri += 1
             x = x + y
             x = _ffn_block(layer, cfg, x, f"blk.{il}", taps, ep_axis)

@@ -70,6 +70,10 @@ _LAYER_MAP = {
     "ssm_d": "ssm_d",
     "ssm_out.weight": "ssm_out",
     "ssm_dt_norm.weight": "ssm_dt_norm",
+    # lfm2 short-conv mixer (reference: src/llama-arch.cpp LLM_TENSOR_SHORTCONV_*)
+    "shortconv.conv.weight": "shortconv_conv",
+    "shortconv.in_proj.weight": "shortconv_in",
+    "shortconv.out_proj.weight": "shortconv_out",
     "ssm_b_norm.weight": "ssm_b_norm",
     "ssm_c_norm.weight": "ssm_c_norm",
     # deepseek2 MLA projections (reference: src/llama-arch.cpp:374-400,
@@ -131,7 +135,7 @@ _VECTOR_KEYS = {
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
-    "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b",
+    "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b", "shortconv_conv",
     "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm",
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
     "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
@@ -266,6 +270,10 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             log.warning("unmapped tensor %s", name)
         handled.add(name)
 
+    if cfg.arch.startswith("lfm2") and "out_norm" not in params and "tok_norm" in params:
+        # lfm2's output norm ships under the token_embd_norm name
+        # (reference: LLM_TENSOR_OUTPUT_NORM_LFM2 -> "token_embd_norm")
+        params["out_norm"] = params.pop("tok_norm")
     if "output" not in params and not cfg.is_encoder:
         # tied embedding (e.g. gemma, tinyllama variants)
         params["output"] = jnp.asarray(np.asarray(params["tok_emb"], dtype=np.float32).T, dtype=dtype)
