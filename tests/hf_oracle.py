@@ -22,6 +22,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
     torch.manual_seed(0)
     if arch == "bert":
         return main_bert(out_path, cfg)
+    if arch == "t5":
+        return main_t5(out_path, cfg)
     cls = {
         "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
         "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
@@ -69,6 +71,34 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
 
     out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
     out["toks"] = toks
+    out["logits"] = logits
+    out["greedy"] = greedy
+    np.savez(out_path, **out)
+
+
+def main_t5(out_path: str, cfg: dict):
+    """T5ForConditionalGeneration: enc+dec logits and greedy generate."""
+    import numpy as np
+    import torch
+    import transformers
+
+    torch.set_num_threads(2)
+    hf = transformers.T5ForConditionalGeneration(
+        transformers.T5Config(**cfg)
+    ).eval()
+
+    rng = np.random.default_rng(3)
+    enc = rng.integers(2, cfg["vocab_size"], size=(2, 9)).astype(np.int64)
+    dec = rng.integers(2, cfg["vocab_size"], size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        logits = hf(input_ids=torch.tensor(enc),
+                    decoder_input_ids=torch.tensor(dec)).logits.numpy()
+        greedy = hf.generate(torch.tensor(enc[:1]), max_new_tokens=6,
+                             do_sample=False, num_beams=1)[0].numpy()
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["enc_toks"] = enc
+    out["dec_toks"] = dec
     out["logits"] = logits
     out["greedy"] = greedy
     np.savez(out_path, **out)

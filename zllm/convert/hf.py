@@ -1100,3 +1100,89 @@ def convert_hf_lfm2(
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_t5(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF T5ForConditionalGeneration -> GGUF (reference:
+    convert_hf_to_gguf.py T5Model; tensor names LLM_TENSOR_ENC_*/DEC_*,
+    src/llama-arch.cpp:409-435)."""
+    npy = _npy
+    arch = "t5"
+    d_model = int(config["d_model"])
+    n_enc = int(config.get("num_layers", 6))
+    n_dec = int(config.get("num_decoder_layers", n_enc))
+    n_head = int(config["num_heads"])
+    d_kv = int(config.get("d_kv", d_model // n_head))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_enc)
+    w.add(f"{arch}.decoder_block_count", n_dec)
+    w.add(f"{arch}.context_length", 512)
+    w.add(f"{arch}.embedding_length", d_model)
+    w.add(f"{arch}.feed_forward_length", int(config["d_ff"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.key_length", d_kv)
+    w.add(f"{arch}.attention.value_length", d_kv)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-6)))
+    w.add(f"{arch}.attention.relative_buckets_count",
+          int(config.get("relative_attention_num_buckets", 32)))
+    w.add(f"{arch}.attention.relative_max_distance",
+          int(config.get("relative_attention_max_distance", 128)))
+    w.add(f"{arch}.decoder_start_token_id", int(config.get("decoder_start_token_id", 0)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if config.get("tie_word_embeddings", True):
+        w.add(f"{arch}.logit_scale", float(d_model) ** -0.5)
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["shared.weight"]), gtype)
+
+    def ffn(src, dst):
+        if src + ".wi_0.weight" in state_dict:  # v1.1 gated gelu
+            _emit(w, dst + "ffn_gate.weight", npy(state_dict[src + ".wi_0.weight"]), gtype)
+            _emit(w, dst + "ffn_up.weight", npy(state_dict[src + ".wi_1.weight"]), gtype)
+        else:  # v1.0 relu
+            _emit(w, dst + "ffn_up.weight", npy(state_dict[src + ".wi.weight"]), gtype)
+        _emit(w, dst + "ffn_down.weight", npy(state_dict[src + ".wo.weight"]), gtype)
+
+    for il in range(n_enc):
+        p = f"encoder.block.{il}."
+        o = f"enc.blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "layer.0.layer_norm.weight"]), GGMLType.F32)
+        for hf in "qkvo":
+            _emit(w, o + f"attn_{hf}.weight", npy(state_dict[p + f"layer.0.SelfAttention.{hf}.weight"]), gtype)
+        if il == 0:
+            _emit(w, o + "attn_rel_b.weight",
+                  npy(state_dict[p + "layer.0.SelfAttention.relative_attention_bias.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "layer.1.layer_norm.weight"]), GGMLType.F32)
+        ffn(p + "layer.1.DenseReluDense", o)
+    _emit(w, "enc.output_norm.weight", npy(state_dict["encoder.final_layer_norm.weight"]), GGMLType.F32)
+
+    for il in range(n_dec):
+        p = f"decoder.block.{il}."
+        o = f"dec.blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "layer.0.layer_norm.weight"]), GGMLType.F32)
+        for hf in "qkvo":
+            _emit(w, o + f"attn_{hf}.weight", npy(state_dict[p + f"layer.0.SelfAttention.{hf}.weight"]), gtype)
+        if il == 0:
+            _emit(w, o + "attn_rel_b.weight",
+                  npy(state_dict[p + "layer.0.SelfAttention.relative_attention_bias.weight"]), GGMLType.F32)
+        _emit(w, o + "cross_attn_norm.weight", npy(state_dict[p + "layer.1.layer_norm.weight"]), GGMLType.F32)
+        for hf in "qkvo":
+            _emit(w, o + f"cross_attn_{hf}.weight", npy(state_dict[p + f"layer.1.EncDecAttention.{hf}.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "layer.2.layer_norm.weight"]), GGMLType.F32)
+        ffn(p + "layer.2.DenseReluDense", o)
+    _emit(w, "dec.output_norm.weight", npy(state_dict["decoder.final_layer_norm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

@@ -118,6 +118,11 @@ class ModelConfig:
     # lfm2 short-conv kernel length (reference: %s.shortconv.l_cache);
     # 0 = arch has no shortconv layers
     shortconv_l: int = 0
+    # t5 encoder-decoder: relative position buckets + decoder start token
+    # (reference: %s.attention.relative_buckets_count, %s.decoder_start_token_id)
+    rel_buckets: int = 0
+    rel_max_dist: int = 128
+    dec_start_token: int = -1
 
     @property
     def is_recurrent(self) -> bool:
@@ -140,6 +145,11 @@ class ModelConfig:
     @property
     def n_recurrent_layers(self) -> int:
         return self.n_layers - sum(self.attn_layers) if self.attn_layers else self.n_layers
+
+    @property
+    def is_encoder_decoder(self) -> bool:
+        """T5 family: llama_encode + cross-attention decode."""
+        return self.arch in ("t5", "t5encoder")
 
     @property
     def is_encoder(self) -> bool:
@@ -339,6 +349,10 @@ class ModelConfig:
             nope_step=4 if arch == "smollm3" else 0,
             alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
             shortconv_l=int(kv("shortconv.l_cache", 0) or 0),
+            rel_buckets=int(kv("attention.relative_buckets_count", 0) or 0),
+            rel_max_dist=int(kv("attention.relative_max_distance", 128) or 128),
+            dec_start_token=int(kv("decoder_start_token_id", -1)
+                                if kv("decoder_start_token_id") is not None else -1),
         )
 
     def with_(self, **kw) -> "ModelConfig":

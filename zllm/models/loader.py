@@ -152,6 +152,27 @@ _FLATTEN_KEYS = {
 # per-head 3-D MLA projections: dense arrays, einsum-consumed
 _DENSE3D_KEYS = {"wk_b", "wv_b"}
 
+# t5 encoder/decoder block tensors (reference: LLM_TENSOR_ENC_*/DEC_*,
+# src/llama-arch.cpp:409-435)
+_T5_MAP = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "wq",
+    "attn_k.weight": "wk",
+    "attn_v.weight": "wv",
+    "attn_o.weight": "wo",
+    "attn_rel_b.weight": "rel_b",
+    "cross_attn_norm.weight": "cross_attn_norm",
+    "cross_attn_q.weight": "cross_wq",
+    "cross_attn_k.weight": "cross_wk",
+    "cross_attn_v.weight": "cross_wv",
+    "cross_attn_o.weight": "cross_wo",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+}
+_T5_VEC = {"attn_norm", "cross_attn_norm", "ffn_norm", "rel_b"}
+
 
 def _load_dense(f: GGUFFile, name: str, dtype):
     meta = f.tensors[name]
@@ -219,6 +240,27 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             params["cls_out_w"] = _load_matmul(f, name, quantized, dtype)
         elif name == "cls.output.bias":
             params["cls_out_b"] = _load_dense(f, name, jnp.float32)
+        elif name.startswith(("enc.", "dec.")):
+            # t5 encoder/decoder stacks
+            stack, rest = name.split(".", 1)
+            lkey = f"{stack}_layers"
+            if rest == "output_norm.weight":
+                params[f"{stack}_out_norm"] = _load_dense(f, name, jnp.float32)
+                handled.add(name)
+                continue
+            _, il_s, suffix = rest.split(".", 2)
+            il = int(il_s)
+            key = _T5_MAP.get(suffix)
+            if key is None:
+                log.warning("unmapped tensor %s", name)
+                continue
+            layers = params.setdefault(lkey, [])
+            while len(layers) <= il:
+                layers.append({})
+            if key in _T5_VEC:
+                layers[il][key] = _load_dense(f, name, jnp.float32)
+            else:
+                layers[il][key] = _load_matmul(f, name, quantized, dtype)
         elif name.startswith("blk."):
             _, il_s, suffix = name.split(".", 2)
             il = int(il_s)

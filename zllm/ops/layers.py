@@ -125,6 +125,7 @@ def attention_ref(
     logit_softcap: float = 0.0,
     sinks: jax.Array | None = None,  # [Hq] attention-sink logits
     alibi_slopes: jax.Array | None = None,  # [Hq] ALiBi head slopes
+    bias: jax.Array | None = None,  # [Hq, T, S] additive logit bias (t5 rel-pos)
 ) -> jax.Array:
     """Reference attention (jnp softmax path — the Pallas flash kernel in
     zllm/ops/attention.py is the fast path; contract mirrors reference
@@ -136,6 +137,8 @@ def attention_ref(
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     logits = jnp.einsum("bthgd,bhsd->bhgts", qf, kf) * scale
+    if bias is not None:  # t5-style relative position bias
+        logits = logits + bias.reshape(1, hkv, group, *bias.shape[-2:]).astype(jnp.float32)
     if alibi_slopes is not None:
         # ALiBi (reference ggml_soft_max_ext max_bias path): slope * key
         # position — equivalent to slope*(j-i) since softmax is shift-
