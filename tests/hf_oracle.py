@@ -33,6 +33,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "qwen3": (transformers.Qwen3ForCausalLM, transformers.Qwen3Config),
         "phi3": (transformers.Phi3ForCausalLM, transformers.Phi3Config),
         "deepseek2": (transformers.DeepseekV2ForCausalLM, transformers.DeepseekV2Config),
+        "deepseek3": (transformers.DeepseekV3ForCausalLM, transformers.DeepseekV3Config),
         "gemma3": (transformers.Gemma3ForCausalLM, transformers.Gemma3TextConfig),
         "olmo2": (transformers.Olmo2ForCausalLM, transformers.Olmo2Config),
         "granite": (transformers.GraniteForCausalLM, transformers.GraniteConfig),

@@ -436,6 +436,9 @@ def convert_hf_deepseek2(
               2 if config.get("scoring_func") == "sigmoid" else 1)
         w.add(f"{arch}.leading_dense_block_count", int(config.get("first_k_dense_replace", 0)))
         w.add(f"{arch}.norm_topk_prob", bool(config.get("norm_topk_prob", False)))
+        if int(config.get("n_group", 1) or 1) > 1:  # deepseek3 group routing
+            w.add(f"{arch}.expert_group_count", int(config["n_group"]))
+            w.add(f"{arch}.expert_group_used_count", int(config.get("topk_group", 1)))
     for key, val in (tokenizer_kv or {}).items():
         w.add(key, val)
 

@@ -25,6 +25,9 @@ class MoeConfig:
     norm_topk_prob: bool = True
     scale: float = 1.0  # routed-expert weight scale (deepseek2)
     n_dense_lead: int = 0  # leading dense (non-MoE) layers (deepseek2)
+    # deepseek3 group-limited routing (reference: llama-graph.cpp:1075-1100)
+    n_expert_groups: int = 1
+    n_group_used: int = 1
 
 
 @dataclass(frozen=True)
@@ -220,9 +223,14 @@ class ModelConfig:
                 n_shared_experts=int(kv("expert_shared_count", 0)),
                 gate_func={1: "softmax", 2: "sigmoid", 3: "softmax_weight"}.get(
                     int(kv("expert_gating_func", 3 if arch == "gpt-oss" else 1)), "softmax"),
-                norm_topk_prob=bool(kv("norm_topk_prob", arch in ("llama", "mixtral", "qwen3moe"))),
+                # llama.cpp GGUFs carry this as expert_weights_norm
+                norm_topk_prob=bool(kv("expert_weights_norm",
+                                       kv("norm_topk_prob",
+                                          arch in ("llama", "mixtral", "qwen3moe")))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
+                n_expert_groups=int(kv("expert_group_count", 1) or 1),
+                n_group_used=int(kv("expert_group_used_count", 1) or 1),
             )
 
         # deepseek2 multi-head latent attention: the cache is MQA over

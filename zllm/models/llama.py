@@ -153,10 +153,24 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
         # deepseek3-style selection bias: biased scores pick the experts,
         # the un-biased probs weight them (build_moe_ffn exp_probs_b)
         sel = probs + layer["ffn_exp_probs_b"].astype(probs.dtype)
+    else:
+        sel = probs
+    if moe.n_expert_groups > 1:
+        # group-limited routing (deepseek3; reference
+        # llama-graph.cpp:1075-1100): groups ranked by the sum of their
+        # top-2 selection scores; experts outside the kept groups masked
+        g = moe.n_expert_groups
+        epg = sel.shape[-1] // g
+        sg = sel.reshape(t, g, epg)
+        gscore = jnp.sum(jax.lax.top_k(sg, 2)[0], axis=-1)  # [T, G]
+        _, gi = jax.lax.top_k(gscore, moe.n_group_used)  # [T, Gu]
+        keep = jnp.any(jax.nn.one_hot(gi, g, dtype=jnp.bool_), axis=1)  # [T, G]
+        sel = jnp.where(keep[:, :, None], sg, -jnp.inf).reshape(t, -1)
+    if sel is probs:
+        topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
+    else:
         _, topi = jax.lax.top_k(sel, moe.n_experts_used)
         topv = jnp.take_along_axis(probs, topi, axis=-1)
-    else:
-        topv, topi = jax.lax.top_k(probs, moe.n_experts_used)  # [T, k]
     if moe.gate_func == "softmax_weight":
         topv = jax.nn.softmax(topv, axis=-1)
     if moe.norm_topk_prob:
