@@ -26,6 +26,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         return main_t5(out_path, cfg)
     cls = {
         "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
+        "mamba2": (transformers.Mamba2ForCausalLM, transformers.Mamba2Config),
+        "bamba": (transformers.BambaForCausalLM, transformers.BambaConfig),
         "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
         "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
         "gemma2": (transformers.Gemma2ForCausalLM, transformers.Gemma2Config),

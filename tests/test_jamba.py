@@ -189,3 +189,61 @@ def test_jamba_engine_serving(jamba_gguf):
     for p, r in zip(prompts, reqs):
         want = _hybrid_oracle(model, p, n_new)
         assert r.out_tokens == want, (r.out_tokens, want)
+
+
+BAMBA_CFG = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=4,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    mamba_n_heads=4,
+    mamba_d_head=32,
+    mamba_n_groups=1,
+    mamba_d_state=32,
+    mamba_d_conv=4,
+    mamba_expand=2,
+    attn_layer_indices=[1, 3],
+    partial_rotary_factor=0.5,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-5,
+    max_position_embeddings=128,
+    tie_word_embeddings=False,
+)
+
+
+def test_bamba_mamba2_hybrid_parity(tmp_path):
+    """Bamba (mamba2 + attention hybrid; reference src/models/
+    granite-hybrid.cpp build_mamba2_layer path): HF logit parity through
+    hybrid_forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import subprocess_env
+    from zllm.convert.hf import convert_hf_bamba
+    from zllm.models.hybrid import hybrid_forward
+    from zllm.models.loader import Model
+
+    out = tmp_path / "bamba.npz"
+    script = os.path.join(os.path.dirname(__file__), "hf_oracle.py")
+    r = subprocess.run(
+        [sys.executable, script, str(out), json.dumps(BAMBA_CFG), "bamba"],
+        timeout=600, capture_output=True, env=subprocess_env(),
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    data = np.load(str(out))
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+
+    path = str(tmp_path / "bamba.gguf")
+    convert_hf_bamba(sd, BAMBA_CFG, path, gtype=GGMLType.F32)
+    m = Model.load(path, quantized=False, dtype=jnp.float32)
+    cfg = m.cfg
+    assert cfg.is_hybrid and cfg.ssm.is_mamba2
+    assert cfg.attn_layers == (False, True, False, True)
+
+    toks = data["toks"].astype(np.int32)
+    fwd = jax.jit(lambda p, t: hybrid_forward(p, cfg, t, jnp.broadcast_to(
+        jnp.arange(t.shape[1], dtype=jnp.int32), t.shape))[0])
+    got = np.asarray(fwd(m.params, jnp.asarray(toks)))
+    np.testing.assert_allclose(got, data["logits"], rtol=3e-4, atol=3e-4)

@@ -1189,3 +1189,136 @@ def convert_hf_t5(
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_mamba2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF Mamba2ForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    Mamba2Model — time_step_rank carries the head count, group_count the
+    B/C groups; A stored as -exp(A_log))."""
+    npy = _npy
+    arch = "mamba2"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    d_inner = int(config.get("intermediate_size")
+                  or int(config.get("expand", 2)) * n_embd)
+    n_head = int(config["num_heads"])
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 1 << 20)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", 0)
+    w.add(f"{arch}.attention.head_count", 1)
+    w.add(f"{arch}.attention.head_count_kv", 1)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", int(config.get("state_size", 128)))
+    w.add(f"{arch}.ssm.time_step_rank", n_head)
+    w.add(f"{arch}.ssm.group_count", int(config.get("n_groups", 1)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["backbone.embeddings.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"backbone.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ssm_in.weight", npy(state_dict[p + "mixer.in_proj.weight"]), gtype)
+        conv = npy(state_dict[p + "mixer.conv1d.weight"])  # [w_dim, 1, dc]
+        _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+        if p + "mixer.conv1d.bias" in state_dict:
+            _emit(w, o + "ssm_conv1d.bias", npy(state_dict[p + "mixer.conv1d.bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "mixer.dt_bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "mixer.A_log"])), GGMLType.F32)
+        _emit(w, o + "ssm_d", npy(state_dict[p + "mixer.D"]), GGMLType.F32)
+        _emit(w, o + "ssm_norm.weight", npy(state_dict[p + "mixer.norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ssm_out.weight", npy(state_dict[p + "mixer.out_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["backbone.norm_f.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_bamba(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF BambaForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    BambaModel — jamba-style per-layer head_count_kv vector with a
+    mamba2 mixer on the recurrent layers)."""
+    npy = _npy
+    arch = "bamba"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    head_dim = int(config.get("attention_head_dim") or n_embd // n_head)
+    d_inner = int(config.get("mamba_expand", 2)) * n_embd
+    attn_idx = set(config.get("attn_layer_indices") or [])
+    kv_vec = [n_kv if il in attn_idx else 0 for il in range(n_layer)]
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", kv_vec)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count",
+          int(head_dim * float(config.get("partial_rotary_factor", 0.5))))
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 128)))
+    w.add(f"{arch}.ssm.time_step_rank", int(config["mamba_n_heads"]))
+    w.add(f"{arch}.ssm.group_count", int(config.get("mamba_n_groups", 1)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        if p + "mamba.in_proj.weight" in state_dict:
+            _emit(w, o + "ssm_in.weight", npy(state_dict[p + "mamba.in_proj.weight"]), gtype)
+            conv = npy(state_dict[p + "mamba.conv1d.weight"])
+            _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+            if p + "mamba.conv1d.bias" in state_dict:
+                _emit(w, o + "ssm_conv1d.bias", npy(state_dict[p + "mamba.conv1d.bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "mamba.dt_bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "mamba.A_log"])), GGMLType.F32)
+            _emit(w, o + "ssm_d", npy(state_dict[p + "mamba.D"]), GGMLType.F32)
+            _emit(w, o + "ssm_norm.weight", npy(state_dict[p + "mamba.norm.weight"]), GGMLType.F32)
+            _emit(w, o + "ssm_out.weight", npy(state_dict[p + "mamba.out_proj.weight"]), gtype)
+        else:
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                _emit(w, o + f"{gg}.weight", npy(state_dict[p + f"self_attn.{hf}.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "pre_ff_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "feed_forward.gate_proj.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "feed_forward.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "feed_forward.down_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.final_layernorm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

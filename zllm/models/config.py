@@ -32,12 +32,27 @@ class MoeConfig:
 
 @dataclass(frozen=True)
 class SsmConfig:
-    """Mamba selective-state-space dims (reference llama_hparams ssm_*)."""
+    """Mamba selective-state-space dims (reference llama_hparams ssm_*).
+    Mamba2 (SSD) is flagged by n_group > 0: dt_rank holds the head count
+    (reference mamba2 convention) and states are per-head."""
 
     d_conv: int
     d_inner: int
     d_state: int
     dt_rank: int
+    n_group: int = 0  # 0 = mamba1; >0 = mamba2 B/C group count
+
+    @property
+    def is_mamba2(self) -> bool:
+        return self.n_group > 0
+
+    @property
+    def n_head(self) -> int:
+        return self.dt_rank
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_inner // self.dt_rank
 
 
 @dataclass(frozen=True)
@@ -275,6 +290,7 @@ class ModelConfig:
                 d_inner=int(kv("ssm.inner_size")),
                 d_state=int(kv("ssm.state_size", 16)),
                 dt_rank=int(kv("ssm.time_step_rank", n_embd // 16)),
+                n_group=int(kv("ssm.group_count", 0) or 0),
             )
 
         logit_scale = float(kv("logit_scale", 1.0))
@@ -393,4 +409,5 @@ _NEOX_ROPE_ARCHES = {
     "olmo3",
     "phi2",
     "lfm2",
+    "bamba",
 }

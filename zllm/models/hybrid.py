@@ -58,8 +58,11 @@ def hybrid_forward(
 
                 y, conv = shortconv_layer(layer, cfg, h, state.conv[ri], lengths)
                 state = state.with_layer(ri, conv, state.ssm[ri])
-            else:  # jamba mamba mixer
-                y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
+            else:  # jamba mamba mixer / bamba mamba2 mixer
+                from .mamba import mamba2_layer
+
+                mixer = mamba2_layer if cfg.ssm.is_mamba2 else mamba_layer
+                y, conv, ssm = mixer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
                 state = state.with_layer(ri, conv, ssm)
             ri += 1
             x = x + y

@@ -70,6 +70,7 @@ _LAYER_MAP = {
     "ssm_d": "ssm_d",
     "ssm_out.weight": "ssm_out",
     "ssm_dt_norm.weight": "ssm_dt_norm",
+    "ssm_norm.weight": "ssm_norm",
     # lfm2 short-conv mixer (reference: src/llama-arch.cpp LLM_TENSOR_SHORTCONV_*)
     "shortconv.conv.weight": "shortconv_conv",
     "shortconv.in_proj.weight": "shortconv_in",
@@ -136,7 +137,7 @@ _VECTOR_KEYS = {
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
     "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b", "shortconv_conv",
-    "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm",
+    "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
     "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
     "ffn_gate_inp_b", "ffn_gate_exps_b", "ffn_up_exps_b", "ffn_down_exps_b",

@@ -42,6 +42,15 @@ class RecurrentState:
         recurrent layers are a subset (jamba)."""
         s = cfg.ssm
         n = cfg.n_layers if n_layers is None else n_layers
+        if s.is_mamba2:
+            # mamba2: conv runs over [x|B|C]; ssm state is per-head
+            w = s.d_inner + 2 * s.n_group * s.d_state
+            conv = tuple(jnp.zeros((batch, w, s.d_conv - 1), dtype) for _ in range(n))
+            ssm = tuple(
+                jnp.zeros((batch, s.n_head, s.head_dim, s.d_state), jnp.float32)
+                for _ in range(n)
+            )
+            return cls(conv=conv, ssm=ssm)
         conv = tuple(
             jnp.zeros((batch, s.d_inner, s.d_conv - 1), dtype) for _ in range(n)
         )
@@ -122,6 +131,78 @@ def mamba_layer(layer, cfg, x, conv_state, ssm_state, lengths=None):
     return out, new_conv, h_final
 
 
+def mamba2_layer(layer, cfg, x, conv_state, ssm_state, lengths=None):
+    """Mamba2 (SSD) mixer (reference: graph-context-mamba.cpp
+    build_mamba2_layer:146-284): in_proj -> [z | xBC | dt]; conv+silu over
+    xBC; per-head scalar-A state scan with grouped B/C; y*silu(z); grouped
+    RMS norm; out_proj.  Returns (y, conv', ssm')."""
+    s = cfg.ssm
+    b, t, _ = x.shape
+    di, ds, dc = s.d_inner, s.d_state, s.d_conv
+    H, dh, G = s.n_head, s.head_dim, s.n_group
+    w_dim = di + 2 * G * ds
+
+    zxbcdt = linear(x, layer["ssm_in"])  # [B, T, 2*di + 2*G*ds + H]
+    z = zxbcdt[..., :di]
+    xbc = zxbcdt[..., di : di + w_dim]
+    dt = zxbcdt[..., di + w_dim :]  # [B, T, H]
+
+    # causal depthwise conv over [x|B|C] with the carried (dc-1) tail
+    convx = jnp.concatenate([conv_state.astype(xbc.dtype), xbc.transpose(0, 2, 1)], axis=-1)
+    if lengths is None:
+        new_conv = convx[..., t:]
+    else:
+        idx = lengths[:, None, None] + jnp.arange(dc - 1)[None, None, :]
+        new_conv = jnp.take_along_axis(convx, jnp.broadcast_to(idx, (b, w_dim, dc - 1)), axis=-1)
+    w = layer["ssm_conv1d"].astype(jnp.float32)  # [w_dim, dc]
+    windows = jnp.stack([convx[..., j : j + t] for j in range(dc)], axis=-1)
+    xc = jnp.einsum("bdtc,dc->bdt", windows.astype(jnp.float32), w)
+    if "ssm_conv1d_b" in layer:
+        xc = xc + layer["ssm_conv1d_b"].astype(jnp.float32)[None, :, None]
+    xc = jax.nn.silu(xc).transpose(0, 2, 1)  # [B, T, w_dim] f32
+
+    xs = xc[..., :di].reshape(b, t, H, dh)
+    B_ = xc[..., di : di + G * ds].reshape(b, t, G, ds)
+    C_ = xc[..., di + G * ds :].reshape(b, t, G, ds)
+    # broadcast groups onto heads (head h -> group h // (H/G))
+    hpg = H // G
+    Bh = jnp.repeat(B_, hpg, axis=2)  # [B, T, H, ds]
+    Ch = jnp.repeat(C_, hpg, axis=2)
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32) + layer["ssm_dt_b"].astype(jnp.float32))
+    A = layer["ssm_a"].astype(jnp.float32).reshape(-1)  # [H], negative
+    D = layer["ssm_d"].astype(jnp.float32).reshape(-1)  # [H]
+
+    def step(h_state, inp):
+        dt_t, x_t, b_t, c_t, m_t = inp  # [B,H], [B,H,dh], [B,H,ds], [B,H,ds], [B]
+        dA = jnp.exp(dt_t * A[None])  # [B, H]
+        h_new = h_state * dA[..., None, None] + (dt_t[..., None] * x_t)[..., None] * b_t[:, :, None, :]
+        h_state = jnp.where(m_t[:, None, None, None], h_new, h_state)
+        y = jnp.einsum("bhds,bhs->bhd", h_new, c_t)  # [B, H, dh]
+        return h_state, y
+
+    mask = (
+        jnp.ones((b, t), bool)
+        if lengths is None
+        else jnp.arange(t)[None, :] < lengths[:, None]
+    )
+    xs_f = xs.astype(jnp.float32)
+    seq = (dt.transpose(1, 0, 2), xs_f.transpose(1, 0, 2, 3),
+           Bh.transpose(1, 0, 2, 3), Ch.transpose(1, 0, 2, 3), mask.transpose(1, 0))
+    h_final, ys = lax.scan(step, ssm_state.astype(jnp.float32), seq)
+    y = ys.transpose(1, 0, 2, 3) + xs_f * D[None, None, :, None]  # [B, T, H, dh]
+    y = (y.reshape(b, t, di) * jax.nn.silu(z.astype(jnp.float32)))
+    if "ssm_norm" in layer:
+        # grouped RMS (reference: reshape to [di/G, G] then build_norm)
+        yg = y.reshape(b, t, G, di // G)
+        var = jnp.mean(yg * yg, axis=-1, keepdims=True)
+        yg = yg * lax.rsqrt(var + cfg.norm_eps)
+        yg = yg * layer["ssm_norm"].astype(jnp.float32).reshape(G, di // G)
+        y = yg.reshape(b, t, di)
+    out = linear(y.astype(x.dtype), layer["ssm_out"])
+    return out, new_conv, h_final
+
+
 def mamba_forward(
     params,
     cfg,
@@ -137,9 +218,10 @@ def mamba_forward(
     x = params["tok_emb"][tokens]
     if state is None:
         state = RecurrentState.create(cfg, tokens.shape[0], x.dtype)
+    mixer = mamba2_layer if cfg.ssm.is_mamba2 else mamba_layer
     for il, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        y, conv, ssm = mamba_layer(layer, cfg, h, state.conv[il], state.ssm[il], lengths)
+        y, conv, ssm = mixer(layer, cfg, h, state.conv[il], state.ssm[il], lengths)
         state = state.with_layer(il, conv, ssm)
         x = x + y
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)
