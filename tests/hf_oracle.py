@@ -28,6 +28,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
         "mamba2": (transformers.Mamba2ForCausalLM, transformers.Mamba2Config),
         "bamba": (transformers.BambaForCausalLM, transformers.BambaConfig),
+        "falcon-h1": (transformers.FalconH1ForCausalLM, transformers.FalconH1Config),
         "llama": (transformers.LlamaForCausalLM, transformers.LlamaConfig),
         "qwen2": (transformers.Qwen2ForCausalLM, transformers.Qwen2Config),
         "gemma2": (transformers.Gemma2ForCausalLM, transformers.Gemma2Config),

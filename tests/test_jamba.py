@@ -247,3 +247,70 @@ def test_bamba_mamba2_hybrid_parity(tmp_path):
         jnp.arange(t.shape[1], dtype=jnp.int32), t.shape))[0])
     got = np.asarray(fwd(m.params, jnp.asarray(toks)))
     np.testing.assert_allclose(got, data["logits"], rtol=3e-4, atol=3e-4)
+
+
+FH1_CFG = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    mamba_n_heads=4,
+    mamba_d_head=32,
+    mamba_n_groups=1,
+    mamba_d_state=32,
+    mamba_d_conv=4,
+    mamba_d_ssm=128,
+    mamba_expand=2,
+    key_multiplier=0.5,
+    attention_in_multiplier=1.5,
+    attention_out_multiplier=0.8,
+    ssm_in_multiplier=1.2,
+    ssm_out_multiplier=0.9,
+    mlp_multipliers=[1.1, 0.7],
+    ssm_multipliers=[1.0, 1.2, 0.9, 1.1, 0.8],
+    embedding_multiplier=2.0,
+    lm_head_multiplier=0.5,
+    rope_theta=10000.0,
+    rms_norm_eps=1e-5,
+    max_position_embeddings=128,
+    tie_word_embeddings=False,
+)
+
+
+def test_falcon_h1_parallel_hybrid_parity(tmp_path):
+    """Falcon-H1 (attention + mamba2 in parallel each layer, scalar
+    multipliers folded at conversion; reference src/models/falcon-h1.cpp
+    + convert_hf_to_gguf.py FalconH1Model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import subprocess_env
+    from zllm.convert.hf import convert_hf_falcon_h1
+    from zllm.models.hybrid import hybrid_forward
+    from zllm.models.loader import Model
+
+    out = tmp_path / "fh1.npz"
+    script = os.path.join(os.path.dirname(__file__), "hf_oracle.py")
+    r = subprocess.run(
+        [sys.executable, script, str(out), json.dumps(FH1_CFG), "falcon-h1"],
+        timeout=600, capture_output=True, env=subprocess_env(),
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    data = np.load(str(out))
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd.")}
+
+    path = str(tmp_path / "fh1.gguf")
+    convert_hf_falcon_h1(sd, FH1_CFG, path, gtype=GGMLType.F32)
+    m = Model.load(path, quantized=False, dtype=jnp.float32)
+    cfg = m.cfg
+    assert cfg.is_hybrid and cfg.parallel_hybrid and cfg.ssm.is_mamba2
+    assert cfg.n_attn_layers == 2 and cfg.n_recurrent_layers == 2
+
+    toks = data["toks"].astype(np.int32)
+    fwd = jax.jit(lambda p, t: hybrid_forward(p, cfg, t, jnp.broadcast_to(
+        jnp.arange(t.shape[1], dtype=jnp.int32), t.shape))[0])
+    got = np.asarray(fwd(m.params, jnp.asarray(toks)))
+    np.testing.assert_allclose(got, data["logits"], rtol=3e-4, atol=3e-4)

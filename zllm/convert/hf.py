@@ -1322,3 +1322,93 @@ def convert_hf_bamba(
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_falcon_h1(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF FalconH1ForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    FalconH1Model — every layer carries attention AND a mamba2 mixer; the
+    model's scalar multipliers fold into the weights at conversion)."""
+    npy = _npy
+    arch = "falcon-h1"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    head_dim = int(config.get("head_dim") or n_embd // n_head)
+    d_ssm = int(config.get("mamba_d_ssm") or int(config.get("mamba_expand", 2)) * n_embd)
+    gts = int(config.get("mamba_n_groups", 1)) * int(config.get("mamba_d_state", 128))
+
+    mlp_m = config.get("mlp_multipliers") or [1.0, 1.0]
+    ssm_m = config.get("ssm_multipliers") or [1.0] * 5
+    key_m = float(config.get("key_multiplier", 1.0))
+    att_in = float(config.get("attention_in_multiplier", 1.0))
+    att_out = float(config.get("attention_out_multiplier", 1.0))
+    ssm_in_m = float(config.get("ssm_in_multiplier", 1.0))
+    ssm_out_m = float(config.get("ssm_out_multiplier", 1.0))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 100000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_ssm)
+    w.add(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 128)))
+    w.add(f"{arch}.ssm.time_step_rank", int(config["mamba_n_heads"]))
+    w.add(f"{arch}.ssm.group_count", int(config.get("mamba_n_groups", 1)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    emb_m = float(config.get("embedding_multiplier", 1.0))
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]) * emb_m, gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_q.weight", npy(state_dict[p + "self_attn.q_proj.weight"]) * att_in, gtype)
+        _emit(w, o + "attn_k.weight", npy(state_dict[p + "self_attn.k_proj.weight"]) * att_in * key_m, gtype)
+        _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]) * att_in, gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]) * att_out, gtype)
+        inp = npy(state_dict[p + "mamba.in_proj.weight"]) * ssm_in_m
+        inp[:d_ssm] *= ssm_m[0]
+        inp[d_ssm : 2 * d_ssm] *= ssm_m[1]
+        inp[2 * d_ssm : 2 * d_ssm + gts] *= ssm_m[2]
+        inp[2 * d_ssm + gts : 2 * d_ssm + 2 * gts] *= ssm_m[3]
+        inp[2 * d_ssm + 2 * gts :] *= ssm_m[4]
+        _emit(w, o + "ssm_in.weight", inp, gtype)
+        conv = npy(state_dict[p + "mamba.conv1d.weight"])
+        _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+        if p + "mamba.conv1d.bias" in state_dict:
+            _emit(w, o + "ssm_conv1d.bias", npy(state_dict[p + "mamba.conv1d.bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "mamba.dt_bias"]), GGMLType.F32)
+        _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "mamba.A_log"])), GGMLType.F32)
+        _emit(w, o + "ssm_d", npy(state_dict[p + "mamba.D"]), GGMLType.F32)
+        if p + "mamba.norm.weight" in state_dict:
+            _emit(w, o + "ssm_norm.weight", npy(state_dict[p + "mamba.norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ssm_out.weight", npy(state_dict[p + "mamba.out_proj.weight"]) * ssm_out_m, gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "pre_ff_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "feed_forward.gate_proj.weight"]) * mlp_m[0], gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "feed_forward.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "feed_forward.down_proj.weight"]) * mlp_m[1], gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.final_layernorm.weight"]), GGMLType.F32)
+    lm_m = float(config.get("lm_head_multiplier", 1.0))
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]) * lm_m, gtype)
+    w.write()
+    return out_path

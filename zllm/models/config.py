@@ -136,6 +136,9 @@ class ModelConfig:
     # lfm2 short-conv kernel length (reference: %s.shortconv.l_cache);
     # 0 = arch has no shortconv layers
     shortconv_l: int = 0
+    # falcon-h1: every layer runs attention AND mamba2 in parallel
+    # (reference src/models/falcon-h1.cpp)
+    parallel_hybrid: bool = False
     # t5 encoder-decoder: relative position buckets + decoder start token
     # (reference: %s.attention.relative_buckets_count, %s.decoder_start_token_id)
     rel_buckets: int = 0
@@ -152,16 +155,22 @@ class ModelConfig:
         """Hybrid memory (jamba/lfm2): KV cache for attention layers +
         recurrent state for the mixer layers (reference
         llama_memory_hybrid)."""
+        if self.parallel_hybrid:
+            return True
         return self.attn_layers is not None and (
             self.ssm is not None or self.shortconv_l > 0
         )
 
     @property
     def n_attn_layers(self) -> int:
+        if self.parallel_hybrid:
+            return self.n_layers
         return sum(self.attn_layers) if self.attn_layers else self.n_layers
 
     @property
     def n_recurrent_layers(self) -> int:
+        if self.parallel_hybrid:
+            return self.n_layers
         return self.n_layers - sum(self.attn_layers) if self.attn_layers else self.n_layers
 
     @property
@@ -373,6 +382,7 @@ class ModelConfig:
             nope_step=4 if arch == "smollm3" else 0,
             alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
             shortconv_l=int(kv("shortconv.l_cache", 0) or 0),
+            parallel_hybrid=arch == "falcon-h1",
             rel_buckets=int(kv("attention.relative_buckets_count", 0) or 0),
             rel_max_dist=int(kv("attention.relative_max_distance", 128) or 128),
             dec_start_token=int(kv("decoder_start_token_id", -1)
@@ -410,4 +420,5 @@ _NEOX_ROPE_ARCHES = {
     "phi2",
     "lfm2",
     "bamba",
+    "falcon-h1",
 }

@@ -45,10 +45,16 @@ def hybrid_forward(
     ep_axis: str | None = None,
 ):
     """Returns (logits, kv, state).  Attention layers consume `kv` at
-    their compacted ordinal; mamba layers consume `state` at theirs."""
+    their compacted ordinal; mamba layers consume `state` at theirs.
+    Parallel hybrids (falcon-h1) run both per layer and sum."""
     x = embed(params, cfg, tokens)
     if state is None:
         state = make_hybrid_state(cfg, tokens.shape[0], x.dtype)
+    if cfg.parallel_hybrid:
+        return _parallel_hybrid_forward(
+            params, cfg, x, positions, kv, state,
+            lengths=lengths, logits_for=logits_for,
+        )
     ai = ri = 0
     for il, layer in enumerate(params["layers"]):
         if "ssm_in" in layer or "shortconv_in" in layer:
@@ -75,6 +81,60 @@ def hybrid_forward(
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)
     if taps is not None:
         taps["hidden"] = x
+    if logits_for == "last":
+        x = x[:, -1:, :]
+    logits = linear(x, params["output"]).astype(jnp.float32)
+    if logits.shape[-1] != cfg.vocab_size:
+        logits = logits[..., : cfg.vocab_size]
+    return logits, kv, state
+
+
+def _parallel_hybrid_forward(params, cfg, x, positions, kv, state, *,
+                             lengths=None, logits_for="all"):
+    """Falcon-H1 layer composition (reference src/models/falcon-h1.cpp):
+    one shared pre-norm feeds attention AND the mamba2 mixer, their
+    outputs sum into the residual, then a gated FFN block."""
+    from ..ops.attention import attention
+    from ..ops.layers import apply_rope, swiglu
+    from .mamba import mamba2_layer
+
+    scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
+    for il, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        b, t = h.shape[:2]
+        if "wqkv" in layer:  # load-time fused projection
+            qkv = linear(h, layer["wqkv"])
+            qd, kvd = cfg.q_dim, cfg.kv_dim
+            q = qkv[..., :qd].reshape(b, t, -1, cfg.head_dim)
+            k = qkv[..., qd : qd + kvd].reshape(b, t, -1, cfg.head_dim)
+            v = qkv[..., qd + kvd :].reshape(b, t, -1, cfg.head_dim)
+        else:
+            q = linear(h, layer["wq"]).reshape(b, t, -1, cfg.head_dim)
+            k = linear(h, layer["wk"]).reshape(b, t, -1, cfg.head_dim)
+            v = linear(h, layer["wv"]).reshape(b, t, -1, cfg.head_dim)
+        q = apply_rope(q, positions, cfg.rope)
+        k = apply_rope(k, positions, cfg.rope)
+        if kv is not None:
+            kv = kv.update(il, k, v, positions)
+            k_all, v_all = kv.layer(il)
+        else:
+            k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        att = attention(q, k_all, v_all, positions, scale=scale)
+        att = linear(att.reshape(b, t, -1), layer["wo"])
+
+        y, conv, ssm = mamba2_layer(layer, cfg, h, state.conv[il], state.ssm[il], lengths)
+        state = state.with_layer(il, conv, ssm)
+        x = x + att + y
+
+        h2 = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+        if "ffn_gateup" in layer:  # load-time fused gate|up
+            gup = linear(h2, layer["ffn_gateup"])
+            half = gup.shape[-1] // 2
+            gu = swiglu(gup[..., :half], gup[..., half:])
+        else:
+            gu = swiglu(linear(h2, layer["ffn_gate"]), linear(h2, layer["ffn_up"]))
+        x = x + linear(gu, layer["ffn_down"])
+    x = rms_norm(x, params["out_norm"], cfg.norm_eps)
     if logits_for == "last":
         x = x[:, -1:, :]
     logits = linear(x, params["output"]).astype(jnp.float32)
