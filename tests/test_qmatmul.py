@@ -107,7 +107,8 @@ def test_w4a8_integer_products_exact():
     ref = x @ np.asarray(qt.dequant(jnp.float32))
     got = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
     # integer partial products are exact; only f32 summation order differs
-    np.testing.assert_allclose(got, ref, rtol=3e-5)
+    # (tile-dependent: qtune may pick a different TK -> different grouping)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
 
 
 @pytest.mark.parametrize("fmt", sorted(qmm._DUALDOT_FMTS, key=int), ids=lambda t: t.name)
@@ -126,3 +127,63 @@ def test_dualdot_matches_plain_w4a8(fmt, monkeypatch):
     monkeypatch.setenv("ZLLM_QMM_DUALDOT", "0")
     y_std = np.asarray(qmm.qmatmul_w4a8(jnp.asarray(x), qt, interpret=True))
     np.testing.assert_allclose(y_dd, y_std, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# tile selection (zllm/ops/qtune.py)
+# ---------------------------------------------------------------------------
+
+
+def test_qtune_candidates_feasible():
+    from zllm.ops import qtune
+
+    for k, n, fold in ((2048, 2560, 256), (5632, 2048, 256), (1024, 4096, 32)):
+        cands = qtune.candidates(k, n, fold)
+        assert cands, (k, n, fold)
+        for tn, tk in cands:
+            assert n % tn == 0 and k % tk == 0 and tk % fold == 0
+
+
+def test_qtune_lookup_table_and_heuristic(tmp_path, monkeypatch):
+    from zllm.ops import qtune
+
+    monkeypatch.setenv("ZLLM_QMM_TILES", str(tmp_path / "tiles.json"))
+    qtune._table = None
+    # builtin table hit
+    assert qtune.lookup("Q4_K", 2048, 2048, 256) == (1024, 1024, 1)
+    # heuristic fallback: divisibility invariants hold for an unknown shape
+    tn, tk, fuse = qtune.lookup("Q4_K", 1792, 896, 256)
+    assert 896 % tn == 0 and 1792 % tk == 0 and tk % 256 == 0
+    # autotuned entries override the builtin table
+    path = qtune.save({("Q4_K", 2048, 2048): (512, 512)})
+    assert path == str(tmp_path / "tiles.json")
+    assert qtune.lookup("Q4_K", 2048, 2048, 256) == (512, 512, 1)
+    qtune._table = None
+
+
+def test_w4a8_matches_with_tuned_tiles(tmp_path, monkeypatch):
+    """qmatmul_w4a8 stays correct when the tile table dictates the tiling."""
+    import json
+
+    import jax.numpy as jnp
+
+    from zllm.ops import qmatmul, qtune
+
+    k, n = 512, 256
+    monkeypatch.setenv("ZLLM_QMM_TILES", str(tmp_path / "tiles.json"))
+    monkeypatch.delenv("ZLLM_QMM_TN", raising=False)
+    monkeypatch.delenv("ZLLM_QMM_TK_MULT", raising=False)
+    qtune._table = None
+    (tmp_path / "tiles.json").write_text(json.dumps({f"Q4_K,{k},{n}": [128, 512]}))
+    try:
+        rng = np.random.default_rng(7)
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        raw = qb.quantize(w, GGMLType.Q4_K)
+        qt = rp.repack(raw, (n, k), GGMLType.Q4_K)
+        x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32)).astype(jnp.bfloat16)
+        got = np.asarray(qmatmul.qmatmul_w4a8(x, qt, interpret=True))
+        ref = np.asarray(x.astype(jnp.float32)) @ qb.dequantize(raw, GGMLType.Q4_K).reshape(n, k).T
+        rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-6)
+        assert rel.max() < 0.05
+    finally:
+        qtune._table = None

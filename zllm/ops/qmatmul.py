@@ -397,12 +397,31 @@ def _int_scale_f32(fmt: GGMLType, planes: dict):
     return _load_f16(planes[name])
 
 
-def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, xq_ref, dx_ref, *refs):
+def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse_q, x_ref, *refs):
     out_ref = refs[-1]
-    if has_b:
-        e_ref, plane_refs = refs[0], refs[1:-1]
+    gt = tk // group
+    if fuse_q:
+        # activations arrive raw ([gt, group] bf16 view of this k-slice) and
+        # are quantized here, killing the separate XLA quant fusion's kernel
+        # launch + xq/dx/e HBM round-trip (the reference fuses the analogous
+        # quantize_row_q8_1 into its mmvq launch path, ggml-cuda/mmvq.cu)
+        plane_refs = refs[:-1]
+        xf = x_ref[:].astype(jnp.float32)  # [gt, group]
+        dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0, 1e-12)
+        xq2d = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int32)
+        if has_b:
+            e = dx * jnp.sum(xq2d, axis=1, keepdims=True).astype(jnp.float32)
+        # row g holds xq[g, :] tiled across lanes; the indicator mask below
+        # keeps only columns [g*group, (g+1)*group) -> block-diagonal X
+        xq_t = pltpu.repeat(xq2d, gt, axis=1)  # [gt, TK]
     else:
-        e_ref, plane_refs = None, refs[:-1]
+        if has_b:
+            dx_ref, e_ref, plane_refs = refs[0], refs[1], refs[2:-1]
+            e = e_ref[:, :1]
+        else:
+            dx_ref, plane_refs = refs[0], refs[1:-1]
+        dx = dx_ref[:, :1]
+        xq_t = jnp.broadcast_to(x_ref[:].astype(jnp.int32), (gt, tk))  # [1,TK] xq
     names = _PLANE_ORDER[fmt]
     j = pl.program_id(1)
     planes = {}
@@ -413,27 +432,29 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, xq_ref, dx_ref, *r
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    gt = tk // group
     qi = _int_qtile(fmt, fold, tk, tn, planes)  # int8 [TK, TN]
     # block-diagonal X in the i32 domain (Mosaic can't relayout an i1 mask
     # onto int8's (32,128) tiling; an i32 multiply + convert lowers fine)
-    xq32 = xq_ref[:].astype(jnp.int32)  # [1, TK]
     rows = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
     gid = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
     ind = (rows == gid).astype(jnp.int32)
-    x_bd = (jnp.broadcast_to(xq32, (gt, tk)) * ind).astype(jnp.int8)
+    x_bd = (xq_t * ind).astype(jnp.int8)
     pi = jax.lax.dot_general(
         x_bd, qi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )  # [gt, TN]
     a = _int_scale_f32(fmt, planes)
-    contrib = pi.astype(jnp.float32) * a * dx_ref[:, :1]
+    contrib = pi.astype(jnp.float32) * a * dx
     if has_b:
-        contrib = contrib - _load_f16(planes["b"]) * e_ref[:, :1]
+        contrib = contrib - _load_f16(planes["b"]) * e
     out_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "interpret"))
-def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse_q", "interpret")
+)
+def _qmm_w4a8_call(
+    xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse_q=False, interpret=False
+):
     group, _, bname = _INT_FMT[fmt]
     tk = tk or fold
     gt = tk // group
@@ -441,14 +462,24 @@ def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, interp
     grid = (n // tn, k // tk)
     has_b = bname is not None
 
-    in_specs = [
-        pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),  # xq
-        pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),  # dx
-    ]
-    args = [xq, dx]
-    if has_b:
-        in_specs.append(pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM))
-        args.append(e)
+    if fuse_q:
+        # xq is the RAW bf16 activation row, grouped [K//group, group];
+        # quantization happens inside the kernel (dx/e args unused)
+        in_specs = [
+            pl.BlockSpec((gt, group), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+        ]
+        args = [xq]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),  # xq
+            pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),  # dx
+        ]
+        args = [xq, dx]
+        if has_b:
+            in_specs.append(
+                pl.BlockSpec((gt, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(e)
     slice_rows = []
     for nm in names:
         kdiv = _plane_kdiv(fmt, nm)
@@ -465,7 +496,9 @@ def _qmm_w4a8_call(xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, interp
             slice_rows.append(rows)
     args.extend(planes_tuple)
 
-    kernel = functools.partial(_w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows))
+    kernel = functools.partial(
+        _w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows), fuse_q
+    )
     qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
     return pl.pallas_call(
         kernel,
@@ -664,14 +697,33 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
 
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "2048"))
-    tn = next((t for t in (tn_pref, 2048, 1024, 512, 256, 128) if n % t == 0), 128)
-    tk = qt.fold
-    mult = int(os.environ.get("ZLLM_QMM_TK_MULT", "2"))
-    if mult > 1 and k % (qt.fold * mult) == 0:
-        tk = qt.fold * mult
-    xq, dx, e = _quant_acts(x, group)
+    tn = tk = 0
+    fuse = True
+    if "ZLLM_QMM_TN" not in os.environ and "ZLLM_QMM_TK_MULT" not in os.environ:
+        from . import qtune
+
+        cand = qtune.lookup(qt.fmt.name, k, n, qt.fold, _plane_kdiv(qt.fmt, _PLANE_ORDER[qt.fmt][0]))
+        if cand and n % cand[0] == 0 and k % cand[1] == 0 and cand[1] % qt.fold == 0:
+            tn, tk = cand[0], cand[1]
+            fuse = bool(cand[2])
+    if not tn:
+        tn_pref = int(os.environ.get("ZLLM_QMM_TN", "2048"))
+        tn = next((t for t in (tn_pref, 2048, 1024, 512, 256, 128) if n % t == 0), 128)
+        tk = qt.fold
+        mult = int(os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+        if mult > 1 and k % (qt.fold * mult) == 0:
+            tk = qt.fold * mult
+    env_fuse = os.environ.get("ZLLM_QMM_FUSEQ")
+    if env_fuse is not None:
+        fuse = env_fuse == "1"
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if fuse:
+        xg = x.reshape(k // group, group).astype(jnp.bfloat16)
+        return _qmm_w4a8_call(
+            xg, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            tn=tn, tk=tk, fuse_q=True, interpret=interpret,
+        )
+    xq, dx, e = _quant_acts(x, group)
     if qt.fmt in _DUALDOT_FMTS and os.environ.get("ZLLM_QMM_DUALDOT", "0") == "1":
         # lo/hi-ordered activation codes (one row per nibble position)
         xq2 = xq.reshape(k // qt.fold, 2, qt.fold // 2).transpose(1, 0, 2).reshape(2, k // 2)
