@@ -205,3 +205,72 @@ def test_blockwise_32k_needle():
     )
     got = float(np.asarray(out)[0, 0, 0, 1])
     assert abs(got - needle) < 1.0, f"retrieved position {got}, wanted {needle}"
+
+
+@pytest.mark.parametrize("case", ["mid", "block_edge", "start", "b2", "window"])
+def test_attn_decode_update_matches_ref(case):
+    """Fused decode kernel (KV insert + attention in one launch) vs
+    kv-update-then-reference; checks both the attention output and the
+    in-kernel cache write-back."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import attn_decode_update
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import KVCache, causal_mask
+
+    b = 2 if case == "b2" else 1
+    hq, hkv, d, s = 8, 2, 64, 512
+    window = 128 if case == "window" else 0
+    pos_vals = {"mid": [300], "block_edge": [255], "start": [0],
+                "b2": [37, 450], "window": [400]}[case]
+    positions = jnp.asarray([[p] for p in pos_vals], jnp.int32)
+
+    kv = KVCache.create(1, b, s, hkv, d, jnp.float32)
+    # pre-fill the cache with history so attention has context
+    hist_k = RNG.standard_normal((b, hkv, s, d)).astype(np.float32)
+    hist_v = RNG.standard_normal((b, hkv, s, d)).astype(np.float32)
+    kv = KVCache(k=(jnp.asarray(hist_k),), v=(jnp.asarray(hist_v),))
+
+    q = jnp.asarray(RNG.standard_normal((b, 1, hq, d)).astype(np.float32))
+    kn = jnp.asarray(RNG.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    vn = jnp.asarray(RNG.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    scale = 1.0 / d**0.5
+
+    # reference: DUS insert then masked softmax attention
+    kv_ref = kv.update(0, kn, vn, positions)
+    k_all, v_all = kv_ref.layer(0)
+    mask = causal_mask(positions, s, window)
+    ref = attention_ref(q, k_all, v_all, mask, scale)
+
+    att, kl, vl = attn_decode_update(
+        q, kn, vn, kv.k[0], kv.v[0], positions,
+        scale=scale, window=window, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kl), np.asarray(k_all), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(vl), np.asarray(v_all), rtol=0, atol=0)
+
+
+def test_attn_decode_update_trash_row_clamps():
+    """pos == max_len (engine trash-row convention) must clamp the write to
+    the last slot, like dynamic_update_slice, and not corrupt other slots."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import attn_decode_update
+    from zllm.runtime.kvcache import KVCache
+
+    b, hq, hkv, d, s = 1, 4, 1, 64, 256
+    hist_k = RNG.standard_normal((b, hkv, s, d)).astype(np.float32)
+    hist_v = RNG.standard_normal((b, hkv, s, d)).astype(np.float32)
+    q = jnp.asarray(RNG.standard_normal((b, 1, hq, d)).astype(np.float32))
+    kn = jnp.asarray(RNG.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    vn = jnp.asarray(RNG.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    positions = jnp.asarray([[s]], jnp.int32)  # trash: one past the end
+
+    _, kl, vl = attn_decode_update(
+        q, kn, vn, jnp.asarray(hist_k), jnp.asarray(hist_v), positions,
+        scale=0.125, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(kl)[0, 0, :-1], hist_k[0, 0, :-1])
+    np.testing.assert_allclose(np.asarray(kl)[0, 0, -1], np.asarray(kn)[0, 0, 0])
+    np.testing.assert_allclose(np.asarray(vl)[0, 0, -1], np.asarray(vn)[0, 0, 0])

@@ -308,14 +308,42 @@ def layer_forward(
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)
 
-    if kv is not None:
-        kv = kv.update(il, k, v, positions)
-        k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
-    else:
-        k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    # fused decode step: KV-row insert + attention in one Pallas launch per
+    # layer (in-place cache update via aliased buffers) — T=1 only, plain
+    # KVCache, no alibi/sinks (zllm/ops/attention.attn_decode_update)
+    from ..ops.attention import attn_decode_update, use_decode_fused
+    from ..runtime.kvcache import KVCache as _KVC
+
+    att = None
+    if (
+        kv is not None
+        and type(kv) is _KVC
+        and isinstance(il, int)
+        and t == 1
+        and cfg.alibi_bias_max <= 0
+        and layer.get("attn_sinks") is None
+        and q.shape[2] % k.shape[2] == 0
+        and use_decode_fused(
+            t, kv.max_len, cfg.head_dim, q.shape[2] // k.shape[2], q.shape[2], False
+        )
+    ):
+        att, kl, vl = attn_decode_update(
+            q, k, v, kv.k[il], kv.v[il], positions,
+            scale=scale, softcap=cfg.attn_logit_softcap, window=window,
+        )
+        kv = kv.replace_layer(il, kl, vl)
+
+    if att is None:
+        if kv is not None:
+            kv = kv.update(il, k, v, positions)
+            k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
+        else:
+            k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
     ring = kv.ring_size(il) if (kv is not None and hasattr(kv, "ring_size")) else 0
-    if cfg.alibi_bias_max > 0:
+    if att is not None:
+        pass  # fused decode kernel above
+    elif cfg.alibi_bias_max > 0:
         # ALiBi attention (mpt; reference: max_alibi_bias ->
         # ggml_soft_max_ext slopes) — materialized-scores path
         from ..ops.layers import attention_ref

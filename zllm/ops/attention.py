@@ -425,6 +425,196 @@ def paged_attention(
     return out.reshape(b, hkv, t, g, d).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)
 
 
+# ---------------------------------------------------------------------------
+# fused decode step: KV-row insert + attention, one kernel per layer
+# ---------------------------------------------------------------------------
+# At T=1 the XLA attention path decomposes into ~15 tiny ops per layer
+# (DUS writes, mask iota, score matmuls, softmax fusions) whose launch
+# overhead dominates the ~1.3us of actual KV bandwidth.  This kernel does
+# the reference's per-layer decode attention (ggml-cuda/fattn-vec*.cuh:
+# cache insert happens in the graph before fattn) in ONE launch: the new
+# K/V row is inserted into the VMEM tile, scores/softmax/PV never leave
+# VMEM, and only the BS-row cache block containing `pos` is written back
+# through aliased in/out buffers (in-place, no cache copy).
+#
+# Block specs read q and the caches in their NATIVE layouts ([B, 1, Hq, D]
+# / [B, Hkv, S, D]) — reshaping/transposing outside the kernel made XLA
+# materialize full K/V copies per layer (measured +165us/step at 22
+# layers), which is exactly what this kernel exists to avoid.
+
+_DECODE_BS = 256  # cache write-back granularity (rows)
+
+
+def _attn_decode_kernel(scale, softcap, window, g, s, d, bs,
+                        pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                        out_ref, kout_ref, vout_ref):
+    # caches arrive TRANSPOSED ([D, S]: S on lanes).  For d < 128 XLA packs
+    # the cache S-minor in HBM ((8,128) tiles would waste 1 - d/128 of
+    # every tile D-minor), so this orientation is both the copy-free one at
+    # the jit boundary and the full-bandwidth one for the DMA.
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    pos = pos_ref[b]
+    pw = jnp.minimum(pos, s - 1)  # trash rows (pos==max_len) clamp like DUS
+
+    k_t = kc_ref[0, 0]  # [D, S]
+    v_t = vc_ref[0, 0]
+    # this kv head's new column via a masked lane reduce (a dynamic lane
+    # slice would need 128-alignment Mosaic can't prove for h)
+    hkv = kn_ref.shape[3]
+    hsel = jax.lax.broadcasted_iota(jnp.int32, (d, hkv), 1) == h
+    kn = jnp.sum(jnp.where(hsel, kn_ref[0, 0].astype(jnp.float32), 0.0),
+                 axis=1, keepdims=True)  # [D, 1] f32
+    vn = jnp.sum(jnp.where(hsel, vn_ref[0, 0].astype(jnp.float32), 0.0),
+                 axis=1, keepdims=True)
+    cols_ds = jax.lax.broadcasted_iota(jnp.int32, (d, s), 1)
+    k_cur = jnp.where(cols_ds == pw, kn, k_t.astype(jnp.float32)).astype(k_t.dtype)
+    v_cur = jnp.where(cols_ds == pw, vn, v_t.astype(jnp.float32)).astype(v_t.dtype)
+
+    # write back only the BS-column block containing pos (out spec points
+    # there); dynamic ref load + column insert (Mosaic has no value-level
+    # dynamic_slice)
+    pb = (pw // bs) * bs
+    cols_b = pb + jax.lax.broadcasted_iota(jnp.int32, (d, bs), 1)
+    kout_ref[0, 0] = jnp.where(
+        cols_b == pw, kn.astype(k_t.dtype), kc_ref[0, 0, :, pl.ds(pb, bs)]
+    )
+    vout_ref[0, 0] = jnp.where(
+        cols_b == pw, vn.astype(v_t.dtype), vc_ref[0, 0, :, pl.ds(pb, bs)]
+    )
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+    scores = jax.lax.dot_general(
+        q, k_cur.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [G, S]
+    if softcap > 0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, s), 1)
+    mask = cols <= pos
+    if window > 0:
+        mask &= cols > pos - window
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_t.dtype)
+    out = jax.lax.dot_general(
+        probs, v_cur, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [G, D] (contraction over S lanes of both)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "window", "interpret"),
+    donate_argnums=(3, 4),
+)
+def attn_decode_update(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_new: jax.Array,  # [B, 1, Hkv, D]
+    v_new: jax.Array,  # [B, 1, Hkv, D]
+    kc: jax.Array,  # [B, Hkv, S, D] cache (donated; updated in place)
+    vc: jax.Array,
+    positions: jax.Array,  # [B, 1] int32
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    interpret: bool = False,
+):
+    """-> (att [B, 1, Hq, D], kc', vc') with k_new/v_new written at pos.
+
+    The caches cross the kernel boundary as logical transposes
+    [B, Hkv, D, S]: that logical shape's default layout IS the S-minor
+    layout XLA prefers for d < 128 caches (compact (8,128) tiles), so the
+    outside transposes are free bitcasts and no relayout copies appear
+    around the custom call."""
+    b, _, hq, d = q.shape
+    hkv, s = kc.shape[1], kc.shape[2]
+    g = hq // hkv
+    bs = _DECODE_BS
+    pos0 = positions[:, 0].astype(jnp.int32)
+    kct = kc.transpose(0, 1, 3, 2)  # [B, Hkv, D, S] bitcast view
+    vct = vc.transpose(0, 1, 3, 2)
+    knt = k_new.astype(kc.dtype).transpose(0, 1, 3, 2)  # [B, 1, D, Hkv]
+    vnt = v_new.astype(vc.dtype).transpose(0, 1, 3, 2)
+
+    def q_map(i, h, pos):
+        return (i, 0, h, 0)
+
+    def full_map(i, h, pos):
+        return (i, 0, 0, 0)
+
+    def cache_map(i, h, pos):
+        return (i, h, 0, 0)
+
+    def wb_map(i, h, pos):
+        return (i, h, 0, jnp.minimum(pos[i], s - 1) // bs)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d), q_map, memory_space=pltpu.VMEM),  # q
+        pl.BlockSpec((1, 1, d, hkv), full_map, memory_space=pltpu.VMEM),  # k_new^T
+        pl.BlockSpec((1, 1, d, hkv), full_map, memory_space=pltpu.VMEM),  # v_new^T
+        pl.BlockSpec((1, 1, d, s), cache_map, memory_space=pltpu.VMEM),  # kc^T
+        pl.BlockSpec((1, 1, d, s), cache_map, memory_space=pltpu.VMEM),  # vc^T
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, g, d), q_map, memory_space=pltpu.VMEM),  # att
+        pl.BlockSpec((1, 1, d, bs), wb_map, memory_space=pltpu.VMEM),  # kc'^T
+        pl.BlockSpec((1, 1, d, bs), wb_map, memory_space=pltpu.VMEM),  # vc'^T
+    ]
+    kernel = functools.partial(_attn_decode_kernel, scale, softcap, window, g, s, d, bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kv_bytes = 2 * b * hkv * s * d * kc.dtype.itemsize
+    att, kc2, vc2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(kct.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vct.shape, vc.dtype),
+        ],
+        # operand indices include the scalar-prefetch arg (pos0 is 0)
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=kv_bytes,
+            transcendentals=b * hq * s,
+        ),
+        interpret=interpret,
+    )(pos0, q, knt, vnt, kct, vct)
+    return att, kc2.transpose(0, 1, 3, 2), vc2.transpose(0, 1, 3, 2)
+
+
+def use_decode_fused(t: int, s: int, d: int, g: int, hq: int, interpret: bool) -> bool:
+    """Fused decode eligibility: T=1, block-divisible S, VMEM-safe tile,
+    and a q-group block shape Mosaic accepts (G mult of 8, or all heads)."""
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("ZLLM_NO_FLASH", "0") == "1":
+        return False
+    on_tpu = _jax.default_backend() != "cpu"
+    return (
+        (on_tpu or interpret)
+        and t == 1
+        and s % _DECODE_BS == 0
+        and d in (64, 128)
+        and (g % 8 == 0 or g == hq)
+        and 2 * s * d * 2 < 8 * 2**20  # K+V tile per (b, head) in VMEM
+    )
+
+
 def vmem_ok(t: int, s: int, g: int, d: int, budget: int = 10 * 2**20) -> bool:
     """Does one (batch, kv-head) step fit in VMEM?"""
     scores = t * g * s * 4 * 2  # scores + probs f32

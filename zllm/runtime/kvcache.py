@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class KVCache:
@@ -89,6 +90,15 @@ class KVCache:
     def _rebuild(self, k, v) -> "KVCache":
         """Type-preserving constructor hook for subclasses (KVCacheSWA)."""
         return KVCache(k=k, v=v)
+
+    def replace_layer(self, il: int, k_layer: jax.Array, v_layer: jax.Array) -> "KVCache":
+        """Swap in already-updated layer arrays (fused decode-attention
+        kernels update the cache in-kernel via aliased in/out buffers)."""
+        k = list(self.k)
+        v = list(self.v)
+        k[il] = k_layer
+        v[il] = v_layer
+        return self._rebuild(tuple(k), tuple(v))
 
     def layer(self, il: int) -> tuple[jax.Array, jax.Array]:
         """-> k, v as [B, H, S, D]."""
