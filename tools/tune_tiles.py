@@ -82,16 +82,26 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
         _, acc = jax.lax.fori_loop(0, n_iter, body, (xq0, jnp.float32(0)))
         return acc
 
-    def timed(tn, tk, fuse):
+    # the device tunnel in this image can stall or ack early; a single
+    # differenced pair is not trustworthy.  Take the min of several rounds
+    # and reject physically impossible readings (faster than 1.5x the HBM
+    # speed-of-light for the quantized bytes).
+    floor = qbytes / (1.5 * hbm_gbps * 1e9)
+
+    def timed(tn, tk, fuse, rounds=3):
         float(loop_fn(x, planes_tuple, tn, tk, fuse, 1))  # compile
         float(loop_fn(x, planes_tuple, tn, tk, fuse, reps))  # warm
-        t0 = time.perf_counter()
-        float(loop_fn(x, planes_tuple, tn, tk, fuse, reps))
-        base = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop_fn(x, planes_tuple, tn, tk, fuse, 1))
-        ovh = time.perf_counter() - t0
-        return max(base - ovh, 1e-9) / (reps - 1)
+        best = None
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            float(loop_fn(x, planes_tuple, tn, tk, fuse, 2 * reps))
+            t1 = time.perf_counter()
+            float(loop_fn(x, planes_tuple, tn, tk, fuse, reps))
+            t2 = time.perf_counter()
+            dt = ((t1 - t0) - (t2 - t1)) / reps
+            if dt >= floor and (best is None or dt < best):
+                best = dt
+        return best  # None if every round was noise
 
     kdiv = qmatmul._plane_kdiv(qt.fmt, qmatmul._PLANE_ORDER[qt.fmt][0])
     best, best_dt = None, None
@@ -102,6 +112,9 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
             except Exception as ex:  # infeasible tiling (VMEM, layout)
                 print(f"  tn={tn:5d} tk={tk:5d} fuse={fuse}: FAIL {type(ex).__name__}")
                 continue
+            if dt is None:
+                print(f"  tn={tn:5d} tk={tk:5d} fuse={fuse}: NOISE (all rounds rejected)")
+                continue
             gbs = qbytes / dt / 1e9
             mark = ""
             if best_dt is None or dt < best_dt:
@@ -110,6 +123,13 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
                 f"  tn={tn:5d} tk={tk:5d} fuse={fuse}: {dt*1e6:8.1f} us  {gbs:7.1f} GB/s"
                 f"  {100*gbs/hbm_gbps:5.1f}%{mark}"
             )
+    if best is not None:
+        # confirm the winner: it must reproduce within 30% or we refuse to
+        # persist a potentially noise-selected tile
+        dt = timed(*best, rounds=4)
+        if dt is None or dt > best_dt * 1.3:
+            print(f"  winner {best} failed confirmation (dt={dt}); not saving")
+            return None
     return best
 
 

@@ -148,6 +148,16 @@ def _unpack_crumbs_k(p, fold: int, xp=jnp):
     return xp.concatenate(parts, axis=1).reshape(kq * 4, n)
 
 
+def _f32s(x):
+    """Scale plane -> f32.  Planes store fp16 BIT PATTERNS as uint16 so
+    the matmul kernels take integer loads directly; keeping them f16 made
+    every jitted step re-run a bitcast_convert_type per plane per call
+    (measured 178 ops / 37us per decode step on TinyLlama)."""
+    if x.dtype == jnp.uint16:
+        return jax.lax.bitcast_convert_type(x, jnp.float16).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _group_repeat(s: jax.Array, group: int) -> jax.Array:
     """[K//G, N] per-group values -> [K, N] by repeat along K."""
     return jnp.repeat(s, group, axis=0)
@@ -157,6 +167,11 @@ def _group_repeat(s: jax.Array, group: int) -> jax.Array:
 # per-format repack: blocks (numpy, [N, K] GGUF row-major) -> planes
 # each function receives the element-ordered decode intermediates
 # ---------------------------------------------------------------------------
+
+def _u16_bits(v: np.ndarray) -> np.ndarray:
+    """fp16 planes -> uint16 bit patterns (see _f32s)."""
+    return v.view(np.uint16) if v.dtype == np.float16 else v
+
 
 def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTensor:
     """raw uint8[N, row_bytes] (GGUF layout: one row per output feature) ->
@@ -176,7 +191,7 @@ def repack(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) -> QTens
         planes = _REPACK[fmt](raw, n, k, fold)
     return QTensor(
         fmt=fmt, shape=(k, n), fold=fold,
-        planes={key: jnp.asarray(v) for key, v in planes.items()},
+        planes={key: jnp.asarray(_u16_bits(v)) for key, v in planes.items()},
     )
 
 
@@ -283,7 +298,7 @@ def repack_experts(raw: np.ndarray, gguf_shape: tuple[int, ...], fmt: GGMLType) 
     planes = {key: np.stack([p[key] for p in per]) for key in per[0]}
     return QTensorE(
         fmt=fmt, shape=(e, k, n), fold=fold,
-        planes={key: jnp.asarray(v) for key, v in planes.items()},
+        planes={key: jnp.asarray(_u16_bits(v)) for key, v in planes.items()},
     )
 
 
@@ -332,7 +347,7 @@ def _rp_q4_0(raw, n, k, fold):
 @_dequant_fmt(GGMLType.Q4_0)
 def _dq_q4_0(p, shape, dtype, fold):
     q = _unpack_nibbles_k(p["qs"], fold) - 8
-    d = _group_repeat(p["d"].astype(jnp.float32), 32)
+    d = _group_repeat(_f32s(p["d"]), 32)
     return (q.astype(jnp.float32) * d).astype(dtype)
 
 
@@ -346,7 +361,7 @@ def _rp_q8_0(raw, n, k, fold):
 
 @_dequant_fmt(GGMLType.Q8_0)
 def _dq_q8_0(p, shape, dtype, fold):
-    d = _group_repeat(p["d"].astype(jnp.float32), 32)
+    d = _group_repeat(_f32s(p["d"]), 32)
     return (p["qs"].astype(jnp.float32) * d).astype(dtype)
 
 
@@ -383,8 +398,8 @@ def _rp_q4_1(raw, n, k, fold):
 @_dequant_fmt(GGMLType.Q4_1)
 def _dq_q4_1(p, shape, dtype, fold):
     q = _unpack_nibbles_k(p["qs"], fold).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
-    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -405,7 +420,7 @@ def _rp_q5_0(raw, n, k, fold):
 def _dq_q5_0(p, shape, dtype, fold):
     lo = _unpack_nibbles_k(p["qs"], fold)
     q = (lo | (_jnp_bitplane(p["qh"]) << 4)).astype(jnp.float32) - 16.0
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
     return (q * a).astype(dtype)
 
 
@@ -428,8 +443,8 @@ def _rp_q5_1(raw, n, k, fold):
 def _dq_q5_1(p, shape, dtype, fold):
     lo = _unpack_nibbles_k(p["qs"], fold)
     q = (lo | (_jnp_bitplane(p["qh"]) << 4)).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
-    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -454,8 +469,8 @@ def _rp_q2_k(raw, n, k, fold):
 @_dequant_fmt(GGMLType.Q2_K)
 def _dq_q2_k(p, shape, dtype, fold):
     q = _unpack_crumbs_k(p["qs"], fold).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 16)
-    b = _group_repeat(p["b"].astype(jnp.float32), 16)
+    a = _group_repeat(_f32s(p["a"]), 16)
+    b = _group_repeat(_f32s(p["b"]), 16)
     return (q * a - b).astype(dtype)
 
 
@@ -483,7 +498,7 @@ def _rp_q3_k(raw, n, k, fold):
 def _dq_q3_k(p, shape, dtype, fold):
     lo = _unpack_crumbs_k(p["qs"], fold)
     q = ((lo | (_jnp_bitplane(p["qh"]) << 2)) - 4).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    a = _group_repeat(_f32s(p["a"]), 16)
     return (q * a).astype(dtype)
 
 
@@ -518,7 +533,7 @@ def _rp_iq4_nl(raw, n, k, fold):
 def _dq_iq4_nl(p, shape, dtype, fold):
     idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(qb.IQ4NL_VALUES, dtype=jnp.float32)
-    d = _group_repeat(p["d"].astype(jnp.float32), 32)
+    d = _group_repeat(_f32s(p["d"]), 32)
     return (lut[idx] * d).astype(dtype)
 
 
@@ -545,8 +560,8 @@ def _rp_q4_k(raw, n, k, fold):
 @_dequant_fmt(GGMLType.Q4_K)
 def _dq_q4_k(p, shape, dtype, fold):
     q = _unpack_nibbles_k(p["qs"], fold).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
-    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -579,8 +594,8 @@ def _dq_q5_k(p, shape, dtype, fold):
         qh.shape[0] * 8, qh.shape[1]
     )
     q = (lo | (bits << 4)).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
-    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -609,7 +624,7 @@ def _dq_q6_k(p, shape, dtype, fold):
     lo = _unpack_nibbles_k(p["ql"], fold)
     hi = _unpack_crumbs_k(p["qh"], fold)
     q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
-    a = _group_repeat(p["a"].astype(jnp.float32), 16)
+    a = _group_repeat(_f32s(p["a"]), 16)
     return (q * a).astype(dtype)
 
 
@@ -633,7 +648,7 @@ def _rp_iq4_xs(raw, n, k, fold):
 def _dq_iq4_xs(p, shape, dtype, fold):
     idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(qb.IQ4NL_VALUES, dtype=jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
     return (lut[idx] * a).astype(dtype)
 
 
@@ -725,7 +740,7 @@ def _rp_iq2_s(raw, n, k, fold):
 def _dq_iq2(p, shape, dtype, fold, group):
     idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(IQ2_VALUES)
-    a = _group_repeat(p["a"].astype(jnp.float32), group)
+    a = _group_repeat(_f32s(p["a"]), group)
     return (lut[idx] * a).astype(dtype)
 
 
@@ -758,7 +773,7 @@ def _rp_iq3_xxs(raw, n, k, fold):
 def _dq_iq3_xxs(p, shape, dtype, fold):
     idx = _unpack_nibbles_k(p["qs"], fold)
     lut = jnp.asarray(IQ3XXS_VALUES)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
     return (lut[idx] * a).astype(dtype)
 
 
@@ -788,7 +803,7 @@ def _rp_iq3_s(raw, n, k, fold):
 def _dq_iq3_s(p, shape, dtype, fold):
     idx = _unpack_nibbles_k(p["qs"], fold)
     q = (2 * (idx & 7) + 1) * (1 - 2 * (idx >> 3))
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
     return (q.astype(jnp.float32) * a).astype(dtype)
 
 
@@ -815,8 +830,8 @@ def _rp_iq1_s(raw, n, k, fold):
 @_dequant_fmt(GGMLType.IQ1_S)
 def _dq_iq1_s(p, shape, dtype, fold):
     q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
-    b = _group_repeat(p["b"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -846,8 +861,8 @@ def _rp_iq1_m(raw, n, k, fold):
 @_dequant_fmt(GGMLType.IQ1_M)
 def _dq_iq1_m(p, shape, dtype, fold):
     q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 16)
-    b = _group_repeat(p["b"].astype(jnp.float32), 8)
+    a = _group_repeat(_f32s(p["a"]), 16)
+    b = _group_repeat(_f32s(p["b"]), 8)
     return (q * a - b).astype(dtype)
 
 
@@ -891,7 +906,7 @@ def _rp_tq2_0(raw, n, k, fold):
 
 def _dq_ternary(p, shape, dtype, fold):
     q = (_unpack_crumbs_k(p["qs"], fold) - 1).astype(jnp.float32)
-    a = _group_repeat(p["a"].astype(jnp.float32), 32)
+    a = _group_repeat(_f32s(p["a"]), 32)
     return (q * a).astype(dtype)
 
 
