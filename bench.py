@@ -126,7 +126,11 @@ def main():
     # --- decode: jitted single-token step in a host loop (the serving
     # shape; NB a lax.scan generation loop measured 5x slower — XLA copies
     # the KV carry per iteration instead of aliasing it) ---
-    n_steps = 128
+    # 512 steps: the final fence pays a fixed ~40ms completion-ack lag
+    # through this image's TPU tunnel (tools/exp_launches.py measurement);
+    # a longer steady-state run amortizes that artifact without dropping
+    # the honest end-of-run fence
+    n_steps = int(os.environ.get("ZLLM_BENCH_STEPS", "512"))
 
     # token and position stay device-resident: a host->device transfer per
     # step costs ~ms through this image's TPU tunnel
