@@ -187,3 +187,89 @@ def test_w4a8_matches_with_tuned_tiles(tmp_path, monkeypatch):
         assert rel.max() < 0.05
     finally:
         qtune._table = None
+
+
+# ---------------------------------------------------------------------------
+# decode-path prologue fusions (norm-into-matvec, swiglu-into-matvec)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
+def test_w4a8_norm_fused_matches_oracle(fmt):
+    """RMS-norm fused into the matvec prologue == norm-then-matmul."""
+    import jax.numpy as jnp
+
+    from zllm.testing import make_quantized_raw
+
+    k, n = 512, 256
+    qt = rp.repack(make_quantized_raw(fmt, n, k, RNG), (n, k), fmt)
+    x = RNG.standard_normal((1, k)).astype(np.float32)
+    wn = (1.0 + 0.1 * RNG.standard_normal(k)).astype(np.float32)
+    eps = 1e-5
+    xn = x * (1.0 / np.sqrt(np.mean(x * x) + eps)) * wn
+    ref = xn @ np.asarray(qt.dequant(jnp.float32))
+    got = np.asarray(
+        qmm.qmatvec_norm(jnp.asarray(x), jnp.asarray(wn), eps, qt, interpret=True)
+    )
+    assert got.shape == (1, n)
+    assert nmse(got, ref) < 2e-4, f"{fmt.name}: nmse {nmse(got, ref)}"
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_K, GGMLType.Q6_K],
+                         ids=lambda t: t.name)
+def test_w4a8_glu_fused_matches_oracle(fmt):
+    """swiglu fused into the down-matvec prologue == silu(g)*u then matmul."""
+    import jax.numpy as jnp
+
+    from zllm.testing import make_quantized_raw
+
+    k, n = 512, 256
+    qt = rp.repack(make_quantized_raw(fmt, n, k, RNG), (n, k), fmt)
+    gup = RNG.standard_normal((1, 2 * k)).astype(np.float32)
+    g, u = gup[:, :k], gup[:, k:]
+    gu = g * (1.0 / (1.0 + np.exp(-g))) * u
+    ref = gu @ np.asarray(qt.dequant(jnp.float32))
+    got = np.asarray(qmm.qmatvec_glu(jnp.asarray(gup), qt, interpret=True))
+    assert got.shape == (1, n)
+    assert nmse(got, ref) < 2e-4, f"{fmt.name}: nmse {nmse(got, ref)}"
+
+
+def test_fused_decode_forward_parity(tmp_path):
+    """A t=1 decode step with the fused-prologue hooks installed (qkv-norm,
+    ffn-norm+glu, head-norm fusions in models/llama.py) matches the plain
+    path on a loader-built model."""
+    import jax.numpy as jnp
+
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+    from zllm.ops import linear as linmod
+    from zllm.ops import qmatmul
+    from zllm.runtime.kvcache import KVCache
+    from zllm.testing import make_llama_gguf
+
+    p = str(tmp_path / "m.gguf")
+    make_llama_gguf(p, n_layers=2, n_embd=256, n_heads=4, n_kv_heads=2,
+                    n_ff=512, vocab_size=256, gtype=GGMLType.Q4_K)
+    m = Model.load(p, quantized=True, dtype=jnp.float32)
+    cfg = m.cfg
+    assert "wqkv" in m.params["layers"][0] and "ffn_gateup" in m.params["layers"][0]
+
+    toks = jnp.asarray(RNG.integers(0, cfg.vocab_size, (1, 4)).astype(np.int32))
+    pos = jnp.arange(4, dtype=jnp.int32).reshape(1, 4)
+
+    def run():
+        kv = KVCache.create(cfg.n_layers, 1, 16, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+        _, kv = forward(m.params, cfg, toks, pos, kv)
+        tok1 = toks[:, -1:]
+        pos1 = jnp.full((1, 1), 4, jnp.int32)
+        logits, _ = forward(m.params, cfg, tok1, pos1, kv, logits_for="last")
+        return np.asarray(logits)
+
+    ref = run()
+    qmatmul.install(interpret=True)
+    try:
+        got = run()
+    finally:
+        linmod.set_fused_matmul(None)
+        linmod.set_fused_decode(None, None)
+    assert nmse(got, ref) < 2e-4, f"nmse {nmse(got, ref)}"

@@ -262,9 +262,27 @@ def layer_forward(
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
 
+    # decode fast path: RMS-norm fused into the QKV matvec prologue (one
+    # Pallas launch replaces norm + matvec; zllm/ops/qmatmul.qmatvec_norm)
+    from ..ops import linear as linmod
+    from ..quant.repack import QTensor as _QT
+
+    fused_qkv = None
+    if (
+        t == 1 and b == 1 and taps is None and cfg.parallel_residual == "none"
+        and cfg.norm_kind == "rms" and "attn_norm" in layer and "wqkv" in layer
+        and layer.get("wqkv.lora") is None and isinstance(layer["wqkv"], _QT)
+    ):
+        fused_qkv = linmod.fused_norm_linear(
+            x.reshape(1, -1), layer["attn_norm"], cfg.norm_eps, layer["wqkv"]
+        )
+
     # olmo2 runs attention on the raw residual stream: no pre-norm tensor
     # exists, normalization happens post-attention (src/models/olmo2.cpp)
-    h = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
+    if fused_qkv is not None:
+        h = None  # unused on the fused path (taps/parallel_residual gated off)
+    else:
+        h = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
 
@@ -274,7 +292,12 @@ def layer_forward(
         x = x + att
         return _ffn_block(layer, cfg, x, tapname, taps, ep_axis), kv
     if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
-        qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
+        if fused_qkv is not None:
+            qkv = fused_qkv.reshape(b, t, -1)
+            if "bqkv" in layer:
+                qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+        else:
+            qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
         qd, kvd = cfg.q_dim, cfg.kv_dim
         q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
         q = q.reshape(b, t, -1, cfg.head_dim)
@@ -431,8 +454,37 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis):
 
 def _ffn_block(layer, cfg, x, tapname, taps, ep_axis):
     """Post-attention half of a block: FFN/MoE + residual + cvector."""
-    h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
-    ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis)
+    from ..ops import linear as linmod
+    from ..quant.repack import QTensor as _QT
+
+    # decode fast path: norm fused into the gate|up matvec prologue and
+    # swiglu fused into the down matvec prologue — the whole SwiGLU FFN in
+    # two Pallas launches (zllm/ops/qmatmul.qmatvec_norm/qmatvec_glu)
+    ff = None
+    if (
+        taps is None and x.ndim == 3 and x.shape[0] == 1 and x.shape[1] == 1
+        and "ffn_gate_inp" not in layer and cfg.norm_kind == "rms"
+        and cfg.act == "silu" and "ffn_norm" in layer and "ffn_gateup" in layer
+        and layer.get("ffn_gateup.lora") is None
+        and layer.get("ffn_down.lora") is None
+        and isinstance(layer["ffn_gateup"], _QT)
+        and isinstance(layer["ffn_down"], _QT)
+    ):
+        gup2 = linmod.fused_norm_linear(
+            x.reshape(1, -1), layer["ffn_norm"], cfg.norm_eps, layer["ffn_gateup"]
+        )
+        if gup2 is not None:
+            ff2 = linmod.fused_glu_linear(gup2, layer["ffn_down"])
+            if ff2 is None:
+                half = gup2.shape[-1] // 2
+                gu = swiglu(gup2[..., :half], gup2[..., half:]).astype(x.dtype)
+                ff2 = linear(gu, layer["ffn_down"])
+            ff = ff2.reshape(x.shape[0], x.shape[1], -1)
+            if "ffn_down_b" in layer:
+                ff = ff + layer["ffn_down_b"].astype(ff.dtype)
+    if ff is None:
+        h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:
@@ -523,15 +575,33 @@ def forward(
             window=window, taps=taps, ep_axis=ep_axis,
         )
 
-    if cfg.norm_kind == "layer":
-        x = layer_norm(x, params["out_norm"], params.get("out_norm_b"), cfg.norm_eps)
-    else:
-        x = rms_norm(x, params["out_norm"], cfg.norm_eps)
-    if taps is not None:
-        taps["hidden"] = x  # final hidden states (embeddings/pooling)
-    if logits_for == "last":
-        x = x[:, -1:, :]
-    logits = linear(x, params["output"]).astype(jnp.float32)
+    # decode/prefill-head fast path: final RMS-norm fused into the lm-head
+    # matvec (norm is per-position, so slicing the last position first is
+    # equivalent)
+    from ..ops import linear as linmod
+    from ..quant.repack import QTensor as _QT
+
+    logits = None
+    if (
+        cfg.norm_kind != "layer" and taps is None and logits_for == "last"
+        and x.shape[0] == 1 and isinstance(params.get("output"), _QT)
+    ):
+        logits = linmod.fused_norm_linear(
+            x[:, -1].reshape(1, -1), params["out_norm"], cfg.norm_eps, params["output"]
+        )
+        if logits is not None:
+            logits = logits.reshape(1, 1, -1).astype(jnp.float32)
+            x = x[:, -1:, :]
+    if logits is None:
+        if cfg.norm_kind == "layer":
+            x = layer_norm(x, params["out_norm"], params.get("out_norm_b"), cfg.norm_eps)
+        else:
+            x = rms_norm(x, params["out_norm"], cfg.norm_eps)
+        if taps is not None:
+            taps["hidden"] = x  # final hidden states (embeddings/pooling)
+        if logits_for == "last":
+            x = x[:, -1:, :]
+        logits = linear(x, params["output"]).astype(jnp.float32)
     if logits.shape[-1] != cfg.vocab_size:  # vocab head padded for tiling
         logits = logits[..., : cfg.vocab_size]
     if "output_b" in params:  # phi2 lm_head bias

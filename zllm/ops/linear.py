@@ -23,6 +23,33 @@ def set_fused_matmul(fn):
     _FUSED_MATMUL = fn
 
 
+# decode-path prologue fusions (registered by zllm.ops.qmatmul.install):
+# rms-norm-into-matvec and swiglu-into-matvec.  Each hook returns y_2d or
+# None when the weight/shape is unsupported (caller falls back).
+_FUSED_NORM_MV = None
+_FUSED_GLU_MV = None
+
+
+def set_fused_decode(norm_fn, glu_fn):
+    global _FUSED_NORM_MV, _FUSED_GLU_MV
+    _FUSED_NORM_MV = norm_fn
+    _FUSED_GLU_MV = glu_fn
+
+
+def fused_norm_linear(x2: jax.Array, wn: jax.Array, eps: float, w):
+    """rms_norm(x2, wn, eps) @ w in one kernel, or None (fallback)."""
+    if _FUSED_NORM_MV is None or not isinstance(w, QTensor) or x2.shape[0] != 1:
+        return None
+    return _FUSED_NORM_MV(x2, wn, eps, w)
+
+
+def fused_glu_linear(gup2: jax.Array, w):
+    """swiglu(gup2 halves) @ w in one kernel, or None (fallback)."""
+    if _FUSED_GLU_MV is None or not isinstance(w, QTensor) or gup2.shape[0] != 1:
+        return None
+    return _FUSED_GLU_MV(gup2, w)
+
+
 def linear(x: jax.Array, w, bias: jax.Array | None = None) -> jax.Array:
     """y = x @ w (+ bias). x: [..., K]; w: QTensor or jax.Array of [K, N]."""
     lead = x.shape[:-1]

@@ -397,16 +397,36 @@ def _int_scale_f32(fmt: GGMLType, planes: dict):
     return _load_f16(planes[name])
 
 
-def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse_q, x_ref, *refs):
+def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, *refs):
     out_ref = refs[-1]
     gt = tk // group
-    if fuse_q:
-        # activations arrive raw ([gt, group] bf16 view of this k-slice) and
-        # are quantized here, killing the separate XLA quant fusion's kernel
-        # launch + xq/dx/e HBM round-trip (the reference fuses the analogous
-        # quantize_row_q8_1 into its mmvq launch path, ggml-cuda/mmvq.cu)
-        plane_refs = refs[:-1]
-        xf = x_ref[:].astype(jnp.float32)  # [gt, group]
+    j = pl.program_id(1)
+    if fuse:
+        # activations arrive raw and are prepared + quantized here, killing
+        # the separate XLA kernels' launch overhead and their activation HBM
+        # round-trips (the reference fuses the analogous quantize_row_q8_1
+        # into its mmvq launch path, ggml-cuda/mmvq.cu):
+        #   "q"    x_ref is the [gt, group] bf16 view of this k-slice
+        #   "norm" x_ref is the FULL raw residual row [K//group, group];
+        #          RMS-norm (rsqrt of the full-row mean square, then the
+        #          per-element norm weight from wn_ref) happens in-kernel
+        #   "glu"  x_ref is [2, gt, group] gate/up halves of this k-slice;
+        #          swiglu (silu(g)*u, f32) happens in-kernel
+        if fuse == "norm":
+            wn_ref, plane_refs = refs[0], refs[1:-1]
+            xf_full = x_ref[:].astype(jnp.float32)  # [K//group, group]
+            r = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
+            xf = x_ref[pl.ds(j * gt, gt), :].astype(jnp.float32) * (
+                wn_ref[:].astype(jnp.float32) * r
+            )
+        elif fuse == "glu":
+            plane_refs = refs[:-1]
+            g_ = x_ref[0].astype(jnp.float32)
+            u_ = x_ref[1].astype(jnp.float32)
+            xf = g_ * jax.nn.sigmoid(g_) * u_  # silu(g) * u, f32 like ops.layers.swiglu
+        else:
+            plane_refs = refs[:-1]
+            xf = x_ref[:].astype(jnp.float32)  # [gt, group]
         dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0, 1e-12)
         xq2d = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int32)
         if has_b:
@@ -423,7 +443,6 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse_q, x_ref, *re
         dx = dx_ref[:, :1]
         xq_t = jnp.broadcast_to(x_ref[:].astype(jnp.int32), (gt, tk))  # [1,TK] xq
     names = _PLANE_ORDER[fmt]
-    j = pl.program_id(1)
     planes = {}
     for nm, r, srows in zip(names, plane_refs, slice_rows):
         planes[nm] = r[:] if srows is None else r[pl.ds(j * srows, srows), :]
@@ -450,10 +469,12 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse_q, x_ref, *re
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse_q", "interpret")
+    jax.jit,
+    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "interpret"),
 )
 def _qmm_w4a8_call(
-    xq, dx, e, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse_q=False, interpret=False
+    xq, dx, e, wn, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse=None,
+    eps=0.0, interpret=False
 ):
     group, _, bname = _INT_FMT[fmt]
     tk = tk or fold
@@ -462,7 +483,22 @@ def _qmm_w4a8_call(
     grid = (n // tn, k // tk)
     has_b = bname is not None
 
-    if fuse_q:
+    if fuse == "norm":
+        # xq is the RAW residual row [K//group, group] (whole row resident
+        # per grid step: the full-row mean square is computed in-kernel);
+        # wn is the RMS-norm weight in the same grouped layout
+        in_specs = [
+            pl.BlockSpec((k // group, group), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gt, group), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [xq, wn]
+    elif fuse == "glu":
+        # xq is [2, K//group, group] gate/up halves
+        in_specs = [
+            pl.BlockSpec((2, gt, group), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM)
+        ]
+        args = [xq]
+    elif fuse:
         # xq is the RAW bf16 activation row, grouped [K//group, group];
         # quantization happens inside the kernel (dx/e args unused)
         in_specs = [
@@ -497,7 +533,7 @@ def _qmm_w4a8_call(
     args.extend(planes_tuple)
 
     kernel = functools.partial(
-        _w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows), fuse_q
+        _w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows), fuse, eps
     )
     qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
     return pl.pallas_call(
@@ -691,12 +727,10 @@ def supports_w4a8(qt: QTensor, m: int) -> bool:
     return m == 1 and qt.fmt in _INT_FMT and supports(qt)
 
 
-def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
-    """Decode-shaped (M=1) fused quantized matvec on the int8 MXU path."""
+def _pick_tiles(qt: QTensor, k: int, n: int) -> tuple[int, int, bool]:
+    """(tn, tk, fuse_act_quant) for an M=1 matvec from env/table/heuristic."""
     import os
 
-    k, n = local_shape(qt)
-    group = _INT_FMT[qt.fmt][0]
     tn = tk = 0
     fuse = True
     if "ZLLM_QMM_TN" not in os.environ and "ZLLM_QMM_TK_MULT" not in os.environ:
@@ -716,12 +750,22 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
     env_fuse = os.environ.get("ZLLM_QMM_FUSEQ")
     if env_fuse is not None:
         fuse = env_fuse == "1"
+    return tn, tk, fuse
+
+
+def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
+    """Decode-shaped (M=1) fused quantized matvec on the int8 MXU path."""
+    import os
+
+    k, n = local_shape(qt)
+    group = _INT_FMT[qt.fmt][0]
+    tn, tk, fuse = _pick_tiles(qt, k, n)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     if fuse:
         xg = x.reshape(k // group, group).astype(jnp.bfloat16)
         return _qmm_w4a8_call(
-            xg, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-            tn=tn, tk=tk, fuse_q=True, interpret=interpret,
+            xg, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            tn=tn, tk=tk, fuse="q", interpret=interpret,
         )
     xq, dx, e = _quant_acts(x, group)
     if qt.fmt in _DUALDOT_FMTS and os.environ.get("ZLLM_QMM_DUALDOT", "0") == "1":
@@ -732,8 +776,44 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
             interpret=interpret,
         )
     return _qmm_w4a8_call(
-        xq, dx, e, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk,
+        xq, dx, e, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk,
         interpret=interpret
+    )
+
+
+def qmatvec_norm(
+    x: jax.Array, wn: jax.Array, eps: float, qt: QTensor, *, interpret: bool = False
+) -> jax.Array:
+    """y[1, N] = rms_norm(x, wn, eps) @ dequant(qt), norm fused into the
+    matvec prologue (x [1, K] is the RAW residual row).  Removes the
+    separate norm kernel launch and its normalized-row HBM round-trip —
+    the reference fuses norms into graph epilogues the same way via
+    ggml_cuda fusion (ggml/src/ggml-cuda/ggml-cuda.cu RMS_NORM+MUL fusion)."""
+    k, n = local_shape(qt)
+    group = _INT_FMT[qt.fmt][0]
+    tn, tk, _ = _pick_tiles(qt, k, n)
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    xg = x.reshape(k // group, group)
+    wg = wn.reshape(k // group, group).astype(jnp.float32)
+    return _qmm_w4a8_call(
+        xg, None, None, wg, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+        tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
+    )
+
+
+def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
+    """y[1, N] = swiglu(gup[:, :F], gup[:, F:]) @ dequant(qt), with the
+    silu(g)*u gating fused into the matvec prologue.  gup is the fused
+    gate|up projection output [1, 2F] (reference analogue: the
+    LLM_FFN_SWIGLU epilogue of build_ffn, src/llama-graph.cpp:1160)."""
+    k, n = local_shape(qt)
+    group = _INT_FMT[qt.fmt][0]
+    tn, tk, _ = _pick_tiles(qt, k, n)
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    xg = gup.reshape(2, k // group, group).astype(jnp.float32)
+    return _qmm_w4a8_call(
+        xg, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+        tn=tn, tk=tk, fuse="glu", interpret=interpret,
     )
 
 
@@ -868,3 +948,22 @@ def install(interpret: bool = False):
     from . import linear
 
     linear.set_fused_matmul(lambda x, qt: qmatmul(x, qt, interpret=interpret))
+
+    def norm_mv(x, wn, eps, qt):
+        if not (isinstance(qt, QTensor) and supports_w4a8(qt, x.shape[0])
+                and qt.psum_axis is None and qt.gather_axis is None):
+            return None
+        if local_shape(qt)[0] != x.shape[1]:
+            return None
+        return qmatvec_norm(x, wn, eps, qt, interpret=interpret)
+
+    def glu_mv(gup, qt):
+        if not (isinstance(qt, QTensor) and gup.shape[0] == 1
+                and qt.fmt in _INT_FMT and supports(qt)
+                and qt.psum_axis is None and qt.gather_axis is None):
+            return None
+        if 2 * local_shape(qt)[0] != gup.shape[1]:
+            return None
+        return qmatvec_glu(gup, qt, interpret=interpret)
+
+    linear.set_fused_decode(norm_mv, glu_mv)
