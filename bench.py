@@ -85,12 +85,15 @@ def main():
 
     # total quantized weight bytes read per decode step (the roofline)
     qbytes = 0
+    qweights = 0  # matmul weight elements (for the prefill MXU fraction)
     for layer in m.params["layers"]:
         for w in layer.values():
             if isinstance(w, QTensor):
                 qbytes += w.nbytes
+                qweights += int(np.prod(w.shape))
     if isinstance(m.params["output"], QTensor):
         qbytes += m.params["output"].nbytes
+        qweights += int(np.prod(m.params["output"].shape))
     roofline_tok_s = V5E_HBM_GBPS * 1e9 / qbytes
 
     batch, max_len = 1, 1024
@@ -107,7 +110,11 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # --- prefill 512 (min of 4 timed runs; block on both outputs) ---
+    # --- prefill 512: back-to-back steps, ONE fence at the end.  A fence
+    # per step would charge each run the tunnel's ~35ms completion-ack
+    # round-trip (profiler device time for this step is ~10ms; see
+    # tools/exp_profile.py) — steady-state prefill throughput is the
+    # back-to-back rate, exactly like the decode loop below ---
     pp = 512
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, pp)).astype(np.int32))
     pos = jnp.asarray(np.broadcast_to(np.arange(pp, dtype=np.int32), (batch, pp)))
@@ -115,12 +122,12 @@ def main():
     # not completion — a device->host value fetch is the only honest fence
     logits, kv = prefill_step(m.params, toks, pos, kv)
     float(jnp.sum(logits))
-    t_prefill = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
+    n_pre = 16
+    t0 = time.perf_counter()
+    for _ in range(n_pre):
         logits, kv = prefill_step(m.params, toks, pos, kv)
-        float(jnp.sum(logits))
-        t_prefill = min(t_prefill, time.perf_counter() - t0)
+    float(jnp.sum(logits))
+    t_prefill = (time.perf_counter() - t0) / n_pre
     prefill_tok_s = pp / t_prefill
 
     # --- decode: jitted single-token step in a host loop (the serving
@@ -161,6 +168,9 @@ def main():
                 "vs_baseline": round(decode_tok_s / roofline_tok_s, 4),
                 "extras": {
                     "prefill_tok_s": round(prefill_tok_s, 1),
+                    # prefill matmul FLOPs as a fraction of v5e bf16 MXU
+                    # peak (197 TFLOP/s): 2*weights MACs per token
+                    "prefill_mxu_frac": round(2.0 * qweights * prefill_tok_s / 197e12, 4),
                     "roofline_tok_s": round(roofline_tok_s, 1),
                     "weight_bytes": qbytes,
                     "device": str(jax.devices()[0]),

@@ -67,6 +67,7 @@ def main():
         return nxt, positions + 1, kv
 
     def fresh(seed):
+        rng = np.random.default_rng(seed)
         return (
             jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 1)).astype(np.int32)),
             jnp.full((batch, 1), pp, jnp.int32),
@@ -102,7 +103,7 @@ def main():
     s1, s2 = fresh(2), fresh(3)
     t0 = time.perf_counter()
     for _ in range(n):
-        s1 = decode_step(m.params, *((m.params,) and s1))
+        s1 = decode_step(m.params, *s1)
         s2 = decode_step(m.params, *s2)
     int(s1[0][0, 0]), int(s2[0][0, 0])
     dt = time.perf_counter() - t0

@@ -9,7 +9,6 @@ Times three drained jitted programs on the bench model:
 
 full - matvecs+attn = the cost of the XLA glue kernels (norms, rope,
 softmax-free adds, argmax...), i.e. what per-layer fusion could reclaim.
-Also counts the kernel launches in each executable from the HLO.
 """
 
 import functools
@@ -19,18 +18,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-
-def count_launches(compiled) -> int:
-    txt = compiled.as_text()
-    n = 0
-    for line in txt.splitlines():
-        s = line.strip()
-        if s.startswith("%fusion") or " = fusion(" in s or "custom-call" in s and "tpu_custom_call" in s:
-            n += 1
-        elif s.startswith("fusion(") or ("= fusion" in s):
-            n += 1
-    return n
 
 
 def main():

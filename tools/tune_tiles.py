@@ -68,12 +68,12 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
             xq, acc = carry
             if fuse:
                 y = qmatmul._qmm_w4a8_call(
-                    xg0, None, None, planes_tuple,
-                    fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk, fuse_q=True,
+                    xg0, None, None, None, planes_tuple,
+                    fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk, fuse="q",
                 )
             else:
                 y = qmatmul._qmm_w4a8_call(
-                    xq, dx0, e0, planes_tuple,
+                    xq, dx0, e0, None, planes_tuple,
                     fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk,
                 )
             s = jnp.sum(y[0, :8])

@@ -271,6 +271,7 @@ def layer_forward(
     if (
         t == 1 and b == 1 and taps is None and cfg.parallel_residual == "none"
         and cfg.norm_kind == "rms" and "attn_norm" in layer and "wqkv" in layer
+        and "wkv_a_mqa" not in layer
         and layer.get("wqkv.lora") is None and isinstance(layer["wqkv"], _QT)
     ):
         fused_qkv = linmod.fused_norm_linear(

@@ -136,16 +136,33 @@ def _iq4_lut(idx):
 
 def _fp16_bits_to_f32(u16):
     """uint16 IEEE fp16 bits -> f32 via int32 math (Mosaic has no
-    uint->float casts)."""
+    uint->float casts).
+
+    Default is the exponent-rebias bit trick: place the fp16 fields in an
+    f32 bit pattern with the exponent rebias (+112 = 127-15) applied in
+    the integer domain — pure bitwise VPU ops, no exp2 transcendental.
+    Subnormals (exp==0) take an exact int->float convert * 2^-24.
+    ZLLM_F16_MODE=exp2 restores the transcendental path, =bitcast tries
+    Mosaic's native u16->f16 bitcast + f16->f32 convert."""
+    import os
+
+    mode = os.environ.get("ZLLM_F16_MODE", "magic")
+    if mode == "bitcast":
+        return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
     u = u16.astype(jnp.int32)
-    sign = (u >> 15) & 1
     exp = (u >> 10) & 0x1F
     mant = u & 0x3FF
-    # normal: 2^(exp-15) * (1 + mant/1024); subnormal: 2^-14 * mant/1024
-    norm = jnp.exp2(exp.astype(jnp.float32) - 15.0) * (1.0 + mant.astype(jnp.float32) / 1024.0)
-    sub = 6.103515625e-05 * (mant.astype(jnp.float32) / 1024.0)  # 2**-14
-    mag = jnp.where(exp == 0, sub, norm)
-    return jnp.where(sign == 1, -mag, mag)
+    if mode == "exp2":
+        sign = (u >> 15) & 1
+        norm = jnp.exp2(exp.astype(jnp.float32) - 15.0) * (1.0 + mant.astype(jnp.float32) / 1024.0)
+        sub = 6.103515625e-05 * (mant.astype(jnp.float32) / 1024.0)  # 2**-14
+        mag = jnp.where(exp == 0, sub, norm)
+        return jnp.where(sign == 1, -mag, mag)
+    bits = ((u & 0x8000) << 16) | ((exp + 112) << 23) | (mant << 13)
+    f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    sub = mant.astype(jnp.float32) * 5.9604644775390625e-08  # 2**-24, exact
+    f_sub = jnp.where((u & 0x8000) != 0, -sub, sub)
+    return jnp.where(exp == 0, f_sub, f)
 
 
 def _load_f16(ref_val):
@@ -398,7 +415,11 @@ def _int_scale_f32(fmt: GGMLType, planes: dict):
 
 
 def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, *refs):
-    out_ref = refs[-1]
+    if fuse == "norm":
+        out_ref, r_ref = refs[-2], refs[-1]  # SMEM scratch holds rsqrt(ms)
+        refs = refs[:-1]
+    else:
+        out_ref = refs[-1]
     gt = tk // group
     j = pl.program_id(1)
     if fuse:
@@ -414,10 +435,18 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
         #          swiglu (silu(g)*u, f32) happens in-kernel
         if fuse == "norm":
             wn_ref, plane_refs = refs[0], refs[1:-1]
-            xf_full = x_ref[:].astype(jnp.float32)  # [K//group, group]
-            r = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
+
+            # the full-row mean square is grid-invariant: compute it on
+            # each i-row's first k-step only (j is the sequential axis;
+            # i is 'parallel' so cross-i ordering can't be relied on),
+            # reuse from SMEM scratch across the K sweep
+            @pl.when(j == 0)
+            def _():
+                xf_full = x_ref[:].astype(jnp.float32)  # [K//group, group]
+                r_ref[0] = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
+
             xf = x_ref[pl.ds(j * gt, gt), :].astype(jnp.float32) * (
-                wn_ref[:].astype(jnp.float32) * r
+                wn_ref[:].astype(jnp.float32) * r_ref[0]
             )
         elif fuse == "glu":
             plane_refs = refs[:-1]
@@ -542,6 +571,7 @@ def _qmm_w4a8_call(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)] if fuse == "norm" else [],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -727,7 +757,7 @@ def supports_w4a8(qt: QTensor, m: int) -> bool:
     return m == 1 and qt.fmt in _INT_FMT and supports(qt)
 
 
-def _pick_tiles(qt: QTensor, k: int, n: int) -> tuple[int, int, bool]:
+def _pick_tiles(qt: QTensor, k: int, n: int, prologue: str = "q") -> tuple[int, int, bool]:
     """(tn, tk, fuse_act_quant) for an M=1 matvec from env/table/heuristic."""
     import os
 
@@ -736,7 +766,8 @@ def _pick_tiles(qt: QTensor, k: int, n: int) -> tuple[int, int, bool]:
     if "ZLLM_QMM_TN" not in os.environ and "ZLLM_QMM_TK_MULT" not in os.environ:
         from . import qtune
 
-        cand = qtune.lookup(qt.fmt.name, k, n, qt.fold, _plane_kdiv(qt.fmt, _PLANE_ORDER[qt.fmt][0]))
+        cand = qtune.lookup(qt.fmt.name, k, n, qt.fold,
+                            _plane_kdiv(qt.fmt, _PLANE_ORDER[qt.fmt][0]), prologue=prologue)
         if cand and n % cand[0] == 0 and k % cand[1] == 0 and cand[1] % qt.fold == 0:
             tn, tk = cand[0], cand[1]
             fuse = bool(cand[2])
@@ -791,7 +822,7 @@ def qmatvec_norm(
     ggml_cuda fusion (ggml/src/ggml-cuda/ggml-cuda.cu RMS_NORM+MUL fusion)."""
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
-    tn, tk, _ = _pick_tiles(qt, k, n)
+    tn, tk, _ = _pick_tiles(qt, k, n, prologue="norm")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     xg = x.reshape(k // group, group)
     wg = wn.reshape(k // group, group).astype(jnp.float32)
@@ -808,7 +839,7 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
     LLM_FFN_SWIGLU epilogue of build_ffn, src/llama-graph.cpp:1160)."""
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
-    tn, tk, _ = _pick_tiles(qt, k, n)
+    tn, tk, _ = _pick_tiles(qt, k, n, prologue="glu")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     xg = gup.reshape(2, k // group, group).astype(jnp.float32)
     return _qmm_w4a8_call(

@@ -94,10 +94,20 @@ def candidates(k: int, n: int, fold: int, qs_kdiv: int = 2):
 
 
 def lookup(
-    fmt_name: str, k: int, n: int, fold: int, qs_kdiv: int = 2
+    fmt_name: str, k: int, n: int, fold: int, qs_kdiv: int = 2, prologue: str = "q"
 ) -> tuple[int, int, int]:
-    """Best-known (tn, tk, fuse_act_quant) for this matvec shape."""
-    hit = _load().get((fmt_name, k, n))
+    """Best-known (tn, tk, fuse_act_quant) for this matvec shape.
+
+    `prologue` tags the kernel variant ("q" in-kernel act quant, "norm"
+    fused RMS-norm, "glu" fused SwiGLU): a table entry measured for the
+    exact variant wins; otherwise the plain-"q" entry is a close proxy
+    (the prologue adds VPU work but identical DMA traffic)."""
+    table = _load()
+    if prologue != "q":
+        hit = table.get((f"{fmt_name}:{prologue}", k, n))
+        if hit is not None:
+            return hit if len(hit) == 3 else (*hit, 1)
+    hit = table.get((fmt_name, k, n))
     if hit is not None:
         return hit if len(hit) == 3 else (*hit, 1)
     # heuristic: largest qs tile under the cap, keeping >= 4 grid steps
