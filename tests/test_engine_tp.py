@@ -1,0 +1,93 @@
+"""Multi-device serving: the continuous-batching engine running its jitted
+shard_map step over a (dp, tp) mesh must produce the same greedy tokens as
+the single-device engine (the analogue of the reference serving with
+LLAMA_SPLIT_MODE_LAYER/ROW vs single-GPU, include/llama.h:193-196)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from zllm.gguf.constants import GGMLType
+    from zllm.models.loader import Model
+    from zllm.testing import make_llama_gguf
+
+    # dims chosen so attention/ffn/vocab shard at tp=4: q_dim 1024 -> 4
+    # Q4_K fold-chunks for wo; ffn_down k=2048 -> 8 chunks; kv heads 4
+    path = str(tmp_path_factory.mktemp("m") / "tp_engine.gguf")
+    make_llama_gguf(path, n_layers=2, n_embd=1024, n_heads=16, n_kv_heads=4,
+                    n_ff=2048, vocab_size=1024, gtype=GGMLType.Q4_K)
+    return Model.load(path, quantized=True, dtype=jnp.float32)
+
+
+def _run(model, prompts, max_new=12, **kw):
+    from zllm.server.engine import Engine, Request
+
+    eng = Engine(model, n_slots=kw.pop("n_slots", 2), max_len=kw.pop("max_len", 256),
+                 prefill_chunk=16, **kw)
+    assert eng.thread is not None
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(prompt_tokens=p, max_new=max_new, temp=0.0))
+                for p in prompts]
+        for r in reqs:
+            while not r.done:
+                if r.stream_q.get(timeout=120) is None:
+                    break
+            assert not r.error, r.error
+        return [list(r.out_tokens) for r in reqs]
+    finally:
+        eng.stop()
+
+
+def test_tp_engine_matches_single(model):
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, model.cfg.vocab_size, 23).tolist()
+    want = _run(model, [prompt])
+    got = _run(model, [prompt], tp=4)
+    assert got == want
+
+
+def test_tp_dp_engine_concurrent(model):
+    """dp=2 x tp=2: two concurrent requests (the slot batch shards over
+    dp) must both match single-device greedy output."""
+    rng = np.random.default_rng(1)
+    p1 = rng.integers(0, model.cfg.vocab_size, 19).tolist()
+    p2 = rng.integers(0, model.cfg.vocab_size, 7).tolist()
+    want = _run(model, [p1, p2])
+    got = _run(model, [p1, p2], tp=2, dp=2)
+    assert got == want
+
+
+def test_tp_engine_plan_sharded(model):
+    """The mesh engine must actually shard (not silently replicate)."""
+    from zllm.server.engine import Engine
+
+    eng = Engine(model, n_slots=2, max_len=128, tp=4)
+    assert eng.plan.attn and eng.plan.ffn and eng.plan.vocab, eng.plan
+    # weights live sharded on the mesh
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(eng._p)
+    sharded = [l for l in leaves if hasattr(l, "sharding")
+               and not l.sharding.is_fully_replicated]
+    assert sharded, "no weight leaf is sharded"
+
+
+def test_tp_engine_context_shift(model):
+    """A generation that overruns max_len under tp must context-shift (the
+    eager shift runs on the sharded cache) and still finish."""
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, model.cfg.vocab_size, 40).tolist()
+    out = _run(model, [prompt], max_new=40, max_len=64, tp=2)
+    assert len(out[0]) == 40
+
+
+def test_tp_engine_rejects_paged(model):
+    from zllm.server.engine import Engine
+
+    with pytest.raises(ValueError):
+        Engine(model, n_slots=2, tp=2, kv_layout="paged")

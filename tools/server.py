@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--kv-layout", action=EnvDefault, default="contiguous",
                     choices=["contiguous", "paged"],
                     help="KV cache layout: paged = shared page pool + cross-slot prefix sharing [ZLLM_ARG_KV_LAYOUT]")
+    ap.add_argument("--kv-type", action=EnvDefault, default="bf16",
+                    choices=["bf16", "f16", "q8"],
+                    help="KV cache element type (q8 = int8-quantized cache, "
+                         "reference -ctk/-ctv q8_0) [ZLLM_ARG_KV_TYPE]")
+    ap.add_argument("--tp", action=EnvDefault, type=int, default=1,
+                    help="tensor-parallel devices (shards weights + KV heads over the mesh) [ZLLM_ARG_TP]")
+    ap.add_argument("--dp", action=EnvDefault, type=int, default=1,
+                    help="data-parallel devices (shards the slot batch) [ZLLM_ARG_DP]")
     args = parse_with_presets(ap)
 
     if not args.model and args.models_dir:
@@ -68,7 +76,9 @@ def main():
         draft = Model.load(args.model_draft, quantized=not args.dense, dtype=jnp.bfloat16)
     srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
                      port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
-                     kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja)
+                     kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja,
+                     tp=int(args.tp), dp=int(args.dp),
+                     kv_dtype={"bf16": None, "f16": jnp.float16, "q8": "q8"}[args.kv_type])
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

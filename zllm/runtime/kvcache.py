@@ -240,6 +240,41 @@ def shift_context(kv: KVCache, rope_params, n_keep: int, n_discard: int) -> KVCa
     return KVCache(k=tuple(ks), v=tuple(vs))
 
 
+def _shift_context_row_q8(kv: "KVCacheQ8", rope_params, row: int, n_keep: int,
+                          n_discard: int, horizon: int | None = None) -> "KVCacheQ8":
+    """Per-row context shift on the int8 cache: the moved K region is
+    dequantized, re-rotated by -n_discard, and requantized (per-vector
+    scales recomputed); V codes and scales just slide down."""
+    from ..ops.layers import apply_rope
+
+    s_total = kv.max_len
+    hz = s_total if horizon is None else horizon
+    k, v, kss, vss = list(kv.k), list(kv.v), list(kv.ks), list(kv.vs)
+    for il in range(len(kv.k)):
+        rk, rs = kv.k[il][row], kv.ks[il][row]  # [H, S, D] int8, [H, S, 1] f32
+        mk = rk[:, n_keep + n_discard : hz].astype(jnp.float32) * rs[:, n_keep + n_discard : hz]
+        mk = mk.transpose(1, 0, 2)[None]  # [1, T, H, D]
+        delta = jnp.full((1, mk.shape[1]), -n_discard, jnp.int32)
+        mk = apply_rope(mk, delta, rope_params)[0].transpose(1, 0, 2)  # [H, T, D]
+        mq, ms = KVCacheQ8._quant(mk[None])
+        mq, ms = mq[0], ms[0]
+        zq = jnp.zeros_like(rk[:, :n_discard])
+        zs = jnp.ones_like(rs[:, :n_discard])
+
+        def splice(a, mid, z):
+            parts = [a[:, :n_keep], mid, z]
+            if hz < s_total:
+                parts.append(a[:, hz:])
+            return jnp.concatenate(parts, axis=1)
+
+        rv, rvs = kv.v[il][row], kv.vs[il][row]
+        k[il] = kv.k[il].at[row].set(splice(rk, mq, zq))
+        kss[il] = kv.ks[il].at[row].set(splice(rs, ms, zs))
+        v[il] = kv.v[il].at[row].set(splice(rv, rv[:, n_keep + n_discard : hz], zq))
+        vss[il] = kv.vs[il].at[row].set(splice(rvs, rvs[:, n_keep + n_discard : hz], zs))
+    return KVCacheQ8(k=tuple(k), v=tuple(v), ks=tuple(kss), vs=tuple(vss))
+
+
 def shift_context_row(kv: KVCache, rope_params, row: int, n_keep: int, n_discard: int, horizon: int | None = None) -> KVCache:
     """Per-row context shift for the serving engine (reference: server
     context-shift, tools/server/server-context.cpp:1981-2010, which calls
@@ -248,6 +283,8 @@ def shift_context_row(kv: KVCache, rope_params, row: int, n_keep: int, n_discard
     horizon) down, and re-rotate the moved K by -n_discard positions.
     `horizon` bounds the live region (slots >= horizon — the engine's
     trash region — are preserved untouched)."""
+    if isinstance(kv, KVCacheQ8):
+        return _shift_context_row_q8(kv, rope_params, row, n_keep, n_discard, horizon)
     from ..ops.layers import apply_rope
 
     s_total = kv.max_len

@@ -103,6 +103,21 @@ def seq_get(model, kv, seq: int, n_past: int) -> dict:
             "k": np.stack([_to_np(k) for k, _ in rows]),
             "v": np.stack([_to_np(v) for _, v in rows]),
         }
+    from .kvcache import KVCacheQ8
+
+    if isinstance(kv, KVCacheQ8):
+        # q8 states are stored dequantized (bf16) so a saved slot restores
+        # into ANY cache type; seq_set requantizes on the way back in
+        rows_k, rows_v = [], []
+        for il in range(len(kv.k)):
+            k, v = kv._deq(il)
+            rows_k.append(_to_np(k[seq, :, :n_past]))
+            rows_v.append(_to_np(v[seq, :, :n_past]))
+        return {
+            "meta": _meta(model, {"n_past": n_past, "kv_dtype": "bfloat16"}),
+            "k": np.stack(rows_k),
+            "v": np.stack(rows_v),
+        }
     kv_dtype = str(np.asarray(kv.k[0][:1, :1, :1]).dtype)
     return {
         "meta": _meta(model, {"n_past": n_past, "kv_dtype": kv_dtype}),
@@ -126,6 +141,18 @@ def seq_set(model, kv, seq: int, state: dict):
         for il in range(kv.n_layers):
             kv = kv.scatter_row(il, seq, sk[il], sv[il])
         return kv, n_past
+    from .kvcache import KVCacheQ8
+
+    if isinstance(kv, KVCacheQ8):
+        k, v, kss, vss = list(kv.k), list(kv.v), list(kv.ks), list(kv.vs)
+        for il in range(len(kv.k)):
+            kq, ksc = KVCacheQ8._quant(sk[il][None])
+            vq, vsc = KVCacheQ8._quant(sv[il][None])
+            k[il] = kv.k[il].at[seq, :, :n_past].set(kq[0])
+            kss[il] = kv.ks[il].at[seq, :, :n_past].set(ksc[0])
+            v[il] = kv.v[il].at[seq, :, :n_past].set(vq[0])
+            vss[il] = kv.vs[il].at[seq, :, :n_past].set(vsc[0])
+        return KVCacheQ8(k=tuple(k), v=tuple(v), ks=tuple(kss), vs=tuple(vss)), n_past
     kv = type(kv)(
         k=tuple(x.at[seq, :, :n_past].set(sk[i].astype(x.dtype)) for i, x in enumerate(kv.k)),
         v=tuple(x.at[seq, :, :n_past].set(sv[i].astype(x.dtype)) for i, x in enumerate(kv.v)),

@@ -210,8 +210,12 @@ def _temperature_b(lg, temp, dt_range, dt_expo):
     hi = temp + dt_range
     t_eff = jnp.where(dt_range > 0, lo + (hi - lo) * norm, temp)
 
-    mx = jnp.max(lg, axis=-1, keepdims=True)
-    greedy = jnp.where(lg == mx, lg, NEG_INF)
+    # temp <= 0 is greedy: a one-hot on the FIRST argmax so the categorical
+    # draw is key-independent (the reference's greedy sampler is fully
+    # deterministic; masking *all* tied maxima would tie-break by RNG)
+    amax = jnp.argmax(lg, axis=-1)
+    iota = jnp.arange(lg.shape[-1])[None, :]
+    greedy = jnp.where(iota == amax[:, None], 0.0, NEG_INF)
     return jnp.where(t_eff[:, None] <= 0, greedy, lg / jnp.maximum(t_eff[:, None], 1e-6))
 
 

@@ -145,7 +145,7 @@ class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
                  speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous",
-                 draft_model=None):
+                 draft_model=None, tp: int = 1, dp: int = 1, mesh=None):
         import functools
 
         import jax
@@ -162,6 +162,24 @@ class Engine:
         self.recurrent = model.cfg.is_recurrent
         self.hybrid = model.cfg.is_hybrid
         self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
+        # multi-device serving: shard weights/KV over a (dp, tp) mesh and run
+        # the jitted shard_map step inside the same slot loop (the TPU-native
+        # counterpart of the reference's LLAMA_SPLIT_MODE_LAYER/ROW serving,
+        # include/llama.h:193-196 + ggml-backend.cpp sched pipelining)
+        self.mesh = mesh
+        if mesh is None and (tp or 1) * (dp or 1) > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(jax.devices()[: tp * dp], dp=dp, tp=tp)
+        if self.mesh is not None:
+            if self.recurrent or self.hybrid:
+                raise ValueError("mesh serving supports standard attention models only")
+            if self.paged:
+                raise ValueError("mesh serving requires the contiguous KV layout")
+            n_dp = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
+                                if a != "tp"]))
+            if n_slots % max(n_dp, 1) != 0:
+                raise ValueError(f"n_slots ({n_slots}) must divide by dp ({n_dp})")
         if self.recurrent or self.hybrid:
             # recurrent memory is not prefix-addressable and (for the
             # mamba layers) cannot context-shift; spec-verify would need
@@ -186,6 +204,15 @@ class Engine:
         self.speculative = speculative
         self.n_draft = min(n_draft, prefill_chunk - 1)
         cfg = model.cfg
+        # kv_dtype: a jnp dtype, or the string "q8"/"q8_0" for the int8
+        # quantized cache (reference: llama_context_params.type_k/type_v,
+        # include/llama.h cache-type flags; north-star config 3 = Q4_K
+        # weights + Q8_0 KV continuous batching)
+        self.kv_quant = isinstance(kv_dtype, str)
+        if self.kv_quant:
+            if kv_dtype.lower() not in ("q8", "q8_0"):
+                raise ValueError(f"unsupported kv_dtype {kv_dtype!r} (use 'q8' or a jnp dtype)")
+            kv_dtype = None
         kv_dtype = kv_dtype or jnp.bfloat16
         # trash region [max_len, max_len + prefill_chunk) past the
         # attendable horizon: inactive rows during a chunked prefill write
@@ -195,6 +222,10 @@ class Engine:
         # live slot of a stalled GENERATING row (attendable slots are
         # strictly < max_len)
         self.context_shift = context_shift if context_shift != "auto" else True
+        if self.kv_quant and (self.hybrid or self.recurrent or kv_layout == "paged"
+                              or cfg.sliding_window > 0):
+            raise ValueError("kv_dtype='q8' requires a standard-attention model "
+                             "with the contiguous KV layout")
         if self.hybrid:
             # jamba: KV cache over the attention-layer subset + per-slot
             # recurrent state for the mamba layers (reference:
@@ -257,18 +288,46 @@ class Engine:
 
             self.kv = KVCacheSWA.create_swa(cfg, n_slots, max_len, prefill_chunk, kv_dtype)
             self.context_shift = False
+        elif self.kv_quant:
+            from ..runtime.kvcache import KVCacheQ8
+
+            self.kv = KVCacheQ8.create(
+                cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim
+            )
         else:
             self.kv = KVCache.create(
                 cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
             )
 
-        if not self.recurrent and not self.hybrid:
+        self._p = model.params
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from ..parallel import kv_spec, shard_params, sharded_forward_fn
+
+            self._p, leaf_specs, plan = shard_params(model.params, self.mesh, cfg)
+            self.plan = plan
+            self._kv_sharding = NamedSharding(self.mesh, kv_spec(plan, self.mesh))
+            self.kv = jax.device_put(self.kv, self._kv_sharding)
+            _s_all = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
+                                        with_kv=True, logits_for="all")
+            _s_last = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
+                                         with_kv=True, logits_for="last")
+
+            def _step(params, tokens, positions, kv, logits_for="last"):
+                return (_s_all if logits_for == "all" else _s_last)(
+                    params, tokens, positions, kv
+                )
+
+            self._step = _step
+        elif not self.recurrent and not self.hybrid:
             @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
             def _step(params, tokens, positions, kv, logits_for="last"):
                 return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
 
             self._step = _step
 
+        self._dp = self.draft.params if self.draft is not None else None
         if self.draft is not None and self.speculative:
             dcfg = self.draft.cfg
             self.dkv = KVCache.create(
@@ -277,10 +336,30 @@ class Engine:
             )
             self._draft_seen = [0] * n_slots
 
-            @functools.partial(jax.jit, donate_argnums=(3,))
-            def _dstep(params, tokens, positions, kv):
-                logits, kv = forward(params, dcfg, tokens, positions, kv, logits_for="all")
-                return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from ..parallel import kv_spec, shard_params, sharded_forward_fn
+
+                self._dp, dspecs, dplan = shard_params(self.draft.params, self.mesh, dcfg)
+                self.dkv = jax.device_put(
+                    self.dkv, NamedSharding(self.mesh, kv_spec(dplan, self.mesh))
+                )
+                _d_all = sharded_forward_fn(dcfg, self.mesh, dspecs, dplan,
+                                            with_kv=True, logits_for="all")
+
+                @jax.jit
+                def _dpick(logits):
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                def _dstep(params, tokens, positions, kv):
+                    logits, kv = _d_all(params, tokens, positions, kv)
+                    return _dpick(logits), kv
+            else:
+                @functools.partial(jax.jit, donate_argnums=(3,))
+                def _dstep(params, tokens, positions, kv):
+                    logits, kv = forward(params, dcfg, tokens, positions, kv, logits_for="all")
+                    return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
 
             self._dstep = _dstep
 
@@ -313,6 +392,7 @@ class Engine:
             "tokens_prefilled_total": 0,
             "tokens_prefix_reused_total": 0,
             "decode_steps_total": 0,
+            "prefill_steps_total": 0,
             "context_shifts_total": 0,
             "engine_errors_total": 0,
             "spec_drafted_total": 0,
@@ -553,11 +633,11 @@ class Engine:
                     self._shift_slot(s)
 
         if self.recurrent:
-            self._recurrent_step(prompt_slots[0] if prompt_slots else None, gen_slots)
+            self._recurrent_step(prompt_slots or None, gen_slots)
         elif self.hybrid:
-            self._hybrid_step(prompt_slots[0] if prompt_slots else None, gen_slots)
+            self._hybrid_step(prompt_slots or None, gen_slots)
         elif prompt_slots:
-            self._mixed_step(prompt_slots[0], gen_slots)
+            self._mixed_step(prompt_slots, gen_slots)
         elif self.speculative and any(self._can_spec(s) for s in gen_slots):
             self._spec_decode_step(gen_slots)
         else:
@@ -575,78 +655,99 @@ class Engine:
         self.kv = shift_context_row(
             self.kv, self.model.cfg.rope, slot.idx, n_keep, n_discard, horizon=self.max_len
         )
+        if self.mesh is not None:
+            # the eager shift runs under sharding propagation; pin the result
+            # back to the canonical KV sharding so the donated step sees it
+            self.kv = self._jax.device_put(self.kv, self._kv_sharding)
         slot.pos -= n_discard
         slot.cache_tokens = slot.cache_tokens[:n_keep] + slot.cache_tokens[n_keep + n_discard :]
         self.metrics["context_shifts_total"] += 1
 
-    def _mixed_step(self, ps: _Slot, gen_slots):
-        """One [n_slots, chunk] step: ps's next prompt chunk + one decode
-        token for every generating slot (column 0)."""
+    def _mixed_step(self, prompt_slots, gen_slots):
+        """One [n_slots, chunk] step: every PROMPT slot's next chunk rides
+        in its own row, plus one decode token for every generating slot
+        (column 0).  The step always computes the dense [n_slots, chunk]
+        grid, so packing all prompt slots is free — N simultaneous arrivals
+        prefill concurrently instead of serially (reference packs chunks
+        from all PROCESSING_PROMPT slots into one batch,
+        tools/server/server-context.cpp:2114-2514)."""
         jnp = self._jnp
-        chunk_real = min(self.prefill_chunk, len(ps.prompt_left))
         toks = np.zeros((self.n_slots, self.prefill_chunk), dtype=np.int32)
         pos = np.full((self.n_slots, self.prefill_chunk), self.max_len, dtype=np.int32)  # trash
-        toks[ps.idx, :chunk_real] = ps.prompt_left[:chunk_real]
-        pos[ps.idx, :chunk_real] = np.arange(ps.pos, ps.pos + chunk_real)
+        chunks = {}
+        for ps in prompt_slots:
+            chunk_real = min(self.prefill_chunk, len(ps.prompt_left))
+            chunks[ps.idx] = chunk_real
+            toks[ps.idx, :chunk_real] = ps.prompt_left[:chunk_real]
+            pos[ps.idx, :chunk_real] = np.arange(ps.pos, ps.pos + chunk_real)
         for s in gen_slots:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
 
         logits, self.kv = self._step(
-            self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
+            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
         )
-        ps.cache_tokens.extend(ps.prompt_left[:chunk_real])
-        ps.pos += chunk_real
-        ps.prompt_left = ps.prompt_left[chunk_real:]
-        self.metrics["tokens_prefilled_total"] += chunk_real
+        self.metrics["prefill_steps_total"] += 1
+        cols = np.zeros((self.n_slots,), np.int32)
+        sample_rows = []
+        for ps in prompt_slots:
+            chunk_real = chunks[ps.idx]
+            ps.cache_tokens.extend(ps.prompt_left[:chunk_real])
+            ps.pos += chunk_real
+            ps.prompt_left = ps.prompt_left[chunk_real:]
+            self.metrics["tokens_prefilled_total"] += chunk_real
+            if not ps.prompt_left:
+                cols[ps.idx] = chunk_real - 1
+                sample_rows.append(ps)
+                ps.state = SlotState.GENERATING
         for s in gen_slots:
             s.cache_tokens.append(s.last_token)
             s.pos += 1
 
-        cols = np.zeros((self.n_slots,), np.int32)
-        sample_rows = []
-        if not ps.prompt_left:
-            cols[ps.idx] = chunk_real - 1
-            sample_rows.append(ps)
-            ps.state = SlotState.GENERATING
         sample_rows.extend(gen_slots)
         if sample_rows:
             self._sample_and_emit(logits, cols, sample_rows)
 
-    def _recurrent_step(self, ps: _Slot | None, gen_slots):
+    def _recurrent_step(self, prompt_slots, gen_slots):
         """One step for recurrent-memory models.  Decode-only: [n_slots, 1]
-        with per-row lengths in {0, 1}.  With a prefilling slot: [n_slots,
-        chunk] where the prefill row carries its next prompt chunk and
-        generating rows ride in column 0 (their lengths = 1 freeze state
-        after the decode token — the forward's masked scans make padded
-        columns state-neutral)."""
+        with per-row lengths in {0, 1}.  With prefilling slots: [n_slots,
+        chunk] where EVERY prompt row carries its next prompt chunk (per-row
+        lengths truncate shorter chunks) and generating rows ride in column
+        0 (their lengths = 1 freeze state after the decode token — the
+        forward's masked scans make padded columns state-neutral)."""
         jnp = self._jnp
-        t = min(self.prefill_chunk, len(ps.prompt_left)) if ps is not None else 1
+        prompt_slots = prompt_slots or []
+        chunks = {ps.idx: min(self.prefill_chunk, len(ps.prompt_left)) for ps in prompt_slots}
+        t = max(chunks.values()) if chunks else 1
         toks = np.zeros((self.n_slots, t), dtype=np.int32)
         lens = np.zeros((self.n_slots,), dtype=np.int32)
-        if ps is not None:
-            toks[ps.idx, :t] = ps.prompt_left[:t]
-            lens[ps.idx] = t
+        for ps in prompt_slots:
+            c = chunks[ps.idx]
+            toks[ps.idx, :c] = ps.prompt_left[:c]
+            lens[ps.idx] = c
         for s in gen_slots:
             toks[s.idx, 0] = s.last_token
             lens[s.idx] = 1
 
         logits, self.kv = self._step(
-            self.model.params, jnp.asarray(toks), jnp.asarray(lens), self.kv
+            self._p, jnp.asarray(toks), jnp.asarray(lens), self.kv
         )
         sample_rows = []
         cols = np.zeros((self.n_slots,), np.int32)
-        if ps is not None:
-            ps.cache_tokens.extend(ps.prompt_left[:t])
-            ps.pos += t
-            ps.prompt_left = ps.prompt_left[t:]
-            self.metrics["tokens_prefilled_total"] += t
+        for ps in prompt_slots:
+            c = chunks[ps.idx]
+            ps.cache_tokens.extend(ps.prompt_left[:c])
+            ps.pos += c
+            ps.prompt_left = ps.prompt_left[c:]
+            self.metrics["tokens_prefilled_total"] += c
             if not ps.prompt_left:
-                cols[ps.idx] = t - 1
+                cols[ps.idx] = c - 1
                 sample_rows.append(ps)
                 ps.state = SlotState.GENERATING
-        else:
+        if not prompt_slots:
             self.metrics["decode_steps_total"] += 1
+        else:
+            self.metrics["prefill_steps_total"] += 1
         for s in gen_slots:
             s.cache_tokens.append(s.last_token)
             s.pos += 1
@@ -654,42 +755,49 @@ class Engine:
         if sample_rows:
             self._sample_and_emit(logits, cols, sample_rows)
 
-    def _hybrid_step(self, ps: _Slot | None, gen_slots):
+    def _hybrid_step(self, prompt_slots, gen_slots):
         """One step for hybrid (jamba) models: the KV positions drive the
         attention layers (trash rows write past the horizon like
         _mixed_step) while per-row `lengths` freeze the mamba state of
-        padded rows like _recurrent_step."""
+        padded rows like _recurrent_step.  All prompt slots pack into one
+        step like _mixed_step."""
         jnp = self._jnp
-        t = min(self.prefill_chunk, len(ps.prompt_left)) if ps is not None else 1
+        prompt_slots = prompt_slots or []
+        chunks = {ps.idx: min(self.prefill_chunk, len(ps.prompt_left)) for ps in prompt_slots}
+        t = max(chunks.values()) if chunks else 1
         toks = np.zeros((self.n_slots, t), dtype=np.int32)
         pos = np.full((self.n_slots, t), self.max_len, dtype=np.int32)  # trash
         lens = np.zeros((self.n_slots,), dtype=np.int32)
-        if ps is not None:
-            toks[ps.idx, :t] = ps.prompt_left[:t]
-            pos[ps.idx, :t] = np.arange(ps.pos, ps.pos + t)
-            lens[ps.idx] = t
+        for ps in prompt_slots:
+            c = chunks[ps.idx]
+            toks[ps.idx, :c] = ps.prompt_left[:c]
+            pos[ps.idx, :c] = np.arange(ps.pos, ps.pos + c)
+            lens[ps.idx] = c
         for s in gen_slots:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
             lens[s.idx] = 1
 
         logits, self.kv, self.rstate = self._step(
-            self.model.params, jnp.asarray(toks), jnp.asarray(pos),
+            self._p, jnp.asarray(toks), jnp.asarray(pos),
             jnp.asarray(lens), self.kv, self.rstate,
         )
         sample_rows = []
         cols = np.zeros((self.n_slots,), np.int32)
-        if ps is not None:
-            ps.cache_tokens.extend(ps.prompt_left[:t])
-            ps.pos += t
-            ps.prompt_left = ps.prompt_left[t:]
-            self.metrics["tokens_prefilled_total"] += t
+        for ps in prompt_slots:
+            c = chunks[ps.idx]
+            ps.cache_tokens.extend(ps.prompt_left[:c])
+            ps.pos += c
+            ps.prompt_left = ps.prompt_left[c:]
+            self.metrics["tokens_prefilled_total"] += c
             if not ps.prompt_left:
-                cols[ps.idx] = t - 1
+                cols[ps.idx] = c - 1
                 sample_rows.append(ps)
                 ps.state = SlotState.GENERATING
-        else:
+        if not prompt_slots:
             self.metrics["decode_steps_total"] += 1
+        else:
+            self.metrics["prefill_steps_total"] += 1
         for s in gen_slots:
             s.cache_tokens.append(s.last_token)
             s.pos += 1
@@ -722,23 +830,36 @@ class Engine:
             return out
         width = self.prefill_chunk
         first: dict[int, int] = {}
+        # catch-up rounds: ALL lagging slots advance one chunk per forward
+        # (the reference drafts per slot inside the shared batch; a serial
+        # per-slot loop would cost S full-width forwards for S slots)
+        hists = {s.idx: s.cache_tokens + [s.last_token] for s in slots}
+        seen = {s.idx: self._draft_seen[s.idx] for s in slots}
+        while any(seen[s.idx] < len(hists[s.idx]) for s in slots):
+            toks = np.zeros((self.n_slots, width), dtype=np.int32)
+            pos = np.full((self.n_slots, width), self.max_len, dtype=np.int32)
+            ns = {}
+            for s in slots:
+                hist, sn = hists[s.idx], seen[s.idx]
+                n = min(width, len(hist) - sn)
+                if n <= 0:
+                    continue
+                ns[s.idx] = n
+                toks[s.idx, :n] = hist[sn : sn + n]
+                pos[s.idx, :n] = np.arange(sn, sn + n)
+            preds, self.dkv = self._dstep(
+                self._dp, jnp.asarray(toks), jnp.asarray(pos), self.dkv
+            )
+            preds_np = None
+            for s in slots:
+                n = ns.get(s.idx, 0)
+                if n and seen[s.idx] + n == len(hists[s.idx]):
+                    if preds_np is None:
+                        preds_np = np.asarray(preds)
+                    first[s.idx] = int(preds_np[s.idx, n - 1])
+                seen[s.idx] = seen[s.idx] + n
         for s in slots:
-            hist = s.cache_tokens + [s.last_token]
-            seen = self._draft_seen[s.idx]
-            while seen < len(hist):
-                n = min(width, len(hist) - seen)
-                toks = np.zeros((self.n_slots, width), dtype=np.int32)
-                pos = np.full((self.n_slots, width), self.max_len, dtype=np.int32)
-                toks[s.idx, :n] = hist[seen : seen + n]
-                pos[s.idx, :n] = np.arange(seen, seen + n)
-                preds, self.dkv = self._dstep(
-                    self.draft.params, jnp.asarray(toks), jnp.asarray(pos), self.dkv
-                )
-                if seen + n == len(hist):
-                    first[s.idx] = int(np.asarray(preds)[s.idx, n - 1])
-                seen += n
-            self._draft_seen[s.idx] = len(hist)
-        for s in slots:
+            self._draft_seen[s.idx] = len(hists[s.idx])
             out[s.idx] = [first[s.idx]]
         # chain the remaining drafts for all slots in lock-step
         for _ in range(self.n_draft - 1):
@@ -748,7 +869,7 @@ class Engine:
                 toks[s.idx, 0] = out[s.idx][-1]
                 pos[s.idx, 0] = self._draft_seen[s.idx] + len(out[s.idx]) - 1
             preds, self.dkv = self._dstep(
-                self.draft.params, jnp.asarray(toks), jnp.asarray(pos), self.dkv
+                self._dp, jnp.asarray(toks), jnp.asarray(pos), self.dkv
             )
             preds = np.asarray(preds)
             for s in slots:
@@ -789,7 +910,7 @@ class Engine:
                     self.metrics["spec_drafted_total"] += len(d)
 
         logits, self.kv = self._step(
-            self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
+            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
         )
         self.metrics["decode_steps_total"] += 1
         for s in gen_slots:
@@ -831,7 +952,7 @@ class Engine:
             pos[s.idx, 0] = s.pos
 
         logits, self.kv = self._step(
-            self.model.params, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="last"
+            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="last"
         )
         self.metrics["decode_steps_total"] += 1
         for s in gen_slots:
