@@ -40,6 +40,24 @@ FTYPES = {
     "IQ4_NL": dict(default=GGMLType.IQ4_NL, output=GGMLType.Q6_K),
     "IQ4_XS": dict(default=GGMLType.IQ4_XS, output=GGMLType.Q6_K),
     "MXFP4": dict(default=GGMLType.MXFP4, output=GGMLType.Q6_K),
+    # sub-4-bit imatrix flagship formats (reference LLAMA_FTYPE_MOSTLY_IQ*,
+    # src/llama-quant.cpp; encoders: zllm/quant/blocks.py IQ section)
+    "IQ1_S": dict(default=GGMLType.IQ1_S, attn_v=GGMLType.Q4_K,
+                  embd=GGMLType.Q2_K, output=GGMLType.Q5_K),
+    "IQ1_M": dict(default=GGMLType.IQ1_M, attn_v=GGMLType.Q4_K,
+                  embd=GGMLType.Q2_K, output=GGMLType.Q5_K),
+    "IQ2_XXS": dict(default=GGMLType.IQ2_XXS, attn_v=GGMLType.Q4_K,
+                    embd=GGMLType.Q2_K, output=GGMLType.Q5_K),
+    "IQ2_XS": dict(default=GGMLType.IQ2_XS, attn_v=GGMLType.Q4_K,
+                   embd=GGMLType.Q2_K, output=GGMLType.Q5_K),
+    "IQ2_S": dict(default=GGMLType.IQ2_S, attn_v=GGMLType.Q4_K,
+                  embd=GGMLType.Q2_K, output=GGMLType.Q5_K),
+    "IQ3_XXS": dict(default=GGMLType.IQ3_XXS, attn_v=GGMLType.Q4_K,
+                    output=GGMLType.Q5_K),
+    "IQ3_S": dict(default=GGMLType.IQ3_S, attn_v=GGMLType.Q4_K,
+                  output=GGMLType.Q5_K),
+    "TQ1_0": dict(default=GGMLType.TQ1_0, output=GGMLType.Q6_K),
+    "TQ2_0": dict(default=GGMLType.TQ2_0, output=GGMLType.Q6_K),
     "F16": dict(default=GGMLType.F16),
     "BF16": dict(default=GGMLType.BF16),
 }

@@ -942,3 +942,312 @@ def _dec_iq1_m(b):
     delta = np.where((hi & 0x08) == 0, np.float32(0.125), np.float32(-0.125))
     grid = _iq_grids()["iq1_m_grid"][idx].astype(np.float32)
     return (dl[:, :, None] * (grid + delta[:, :, None])).reshape(n, QK_K)
+
+
+# ---------------------------------------------------------------------------
+# IQ grid-codebook ENCODERS (reference capability: quantize_iq2_xxs /
+# quantize_iq2_xs / quantize_iq2_s / quantize_iq3_xxs / quantize_iq3_s /
+# quantize_iq1_s / quantize_iq1_m / quantize_tq1_0, ggml-quants.c.  The
+# algorithm here is an original vectorized design: per-cell weighted
+# nearest-codebook search by matmul scoring, alternating with weighted LS
+# scale refits and a two-level (d, per-group code) scale quantization —
+# the same *search problem* the reference solves with scalar loops.)
+# ---------------------------------------------------------------------------
+
+def _grid_score_pick(a: np.ndarray, wt: np.ndarray, grid: np.ndarray,
+                     db: np.ndarray, chunk: int = 65536) -> np.ndarray:
+    """Weighted nearest codebook row per cell.
+
+    a, wt: [C, L] target magnitudes + importance; grid: [G, L] (positive
+    magnitudes); db: [C, 1] per-cell scale.  Minimizes
+    sum_i wt_i (a_i - db*g_i)^2 -> argmin_k (-2 db A + db^2 B)."""
+    g_t = grid.T.astype(np.float32)          # [L, G]
+    g2_t = (grid * grid).T.astype(np.float32)
+    out = np.empty(a.shape[0], np.int64)
+    for s in range(0, a.shape[0], chunk):
+        e = min(s + chunk, a.shape[0])
+        A = (wt[s:e] * a[s:e]) @ g_t          # [c, G]
+        B = wt[s:e] @ g2_t
+        out[s:e] = np.argmin(B * (db[s:e] ** 2) - 2.0 * db[s:e] * A, axis=1)
+    return out
+
+
+def _ls_scale(a, wt, g, lo=1e-8):
+    """Weighted LS scale per leading dims: argmin_d sum wt (a - d g)^2."""
+    num = (wt * a * g).sum(-1)
+    den = (wt * g * g).sum(-1)
+    return np.maximum(num / np.maximum(den, 1e-12), lo)
+
+
+def _two_level(db, smax, off, mul):
+    """Continuous per-group scales [N, G] -> (d [N,1], s uint [N,G], dbq)
+    with db ~= d * (off + s) * mul."""
+    d = db.max(axis=-1, keepdims=True) / ((off + smax) * mul)
+    d = np.maximum(d, 1e-12)
+    s = _round_away(db / (d * mul) - off).clip(0, smax).astype(np.uint8)
+    return d, s, d * (off + s.astype(np.float32)) * mul
+
+
+def _ksign_codes(x_cells, wt, a, g, db):
+    """7-bit ksign codes per 8-wide cell with the parity constraint: the
+    stored bits are the natural signs of elements 0..6; element 7's sign is
+    the parity.  On mismatch flip the cheapest element (weighted cost
+    ~ wt*a*grid)."""
+    neg = (x_cells < 0)
+    c = np.zeros(x_cells.shape[0], np.uint16)
+    for i in range(7):
+        c |= neg[:, i].astype(np.uint16) << i
+    par = np.zeros_like(c)
+    for i in range(7):
+        par ^= (c >> i) & 1
+    mism = par.astype(bool) != neg[:, 7]
+    cost = wt * a * np.maximum(g, 1e-9) * db
+    # flipping element 7 = accept implied sign (no bit change); flipping
+    # i<7 toggles bit i (and with it the implied parity)
+    flip = np.argmin(cost, axis=1)
+    do = mism & (flip < 7)
+    c[do] ^= (1 << flip[do]).astype(np.uint16)
+    return c.astype(np.uint32)
+
+
+def _u32le(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.astype("<u4")).view(np.uint8)
+
+
+def _u16le(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.astype("<u2")).view(np.uint8)
+
+
+def _iq_fit(x, w, grid, cell, spg, smax, off, mul, iters=3):
+    """Shared magnitude-fit: x [N, 256] -> (idx [N, C], d [N,1], s [N,G],
+    dbq [N, G]) where C = 256//cell cells and G = 256//spg scale groups."""
+    n = x.shape[0]
+    ncell, ng = QK_K // cell, QK_K // spg
+    cpg = ncell // ng  # cells per scale group
+    a = np.abs(x).reshape(n * ncell, cell)
+    wt = _wg(w, (n * ncell, cell)) if w is not None else np.maximum(
+        (x * x).reshape(n, 1, -1).mean(-1, keepdims=True)
+        + (x * x).reshape(n, ncell, cell), 1e-9
+    ).reshape(n * ncell, cell)
+    gmax = float(grid.max())
+    db_g = np.maximum(a.reshape(n, ng, spg).max(-1), 1e-9) / gmax  # [N, G]
+    idx = None
+    for _ in range(iters):
+        db_c = np.repeat(db_g.reshape(n * ng, 1), cpg, axis=0).reshape(n * ncell, 1)
+        idx = _grid_score_pick(a, wt, grid, db_c)
+        g_sel = grid[idx]  # [N*C, cell]
+        db_g = _ls_scale(
+            a.reshape(n, ng, spg), wt.reshape(n, ng, spg),
+            g_sel.reshape(n, ng, spg),
+        )
+    d, s, dbq = _two_level(db_g, smax, off, mul)
+    db_c = np.repeat(dbq.reshape(n * ng, 1), cpg, axis=0).reshape(n * ncell, 1)
+    idx = _grid_score_pick(a, wt, grid, db_c)
+    return idx.reshape(n, ncell), d, s, dbq, a, wt, grid[idx]
+
+
+def _enc_iq2_xxs(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq2_xxs_grid"].reshape(256, 8)
+    idx, d, s, dbq, a, wt, gsel = _iq_fit(x, w, grid, 8, 32, 15, 0.5, 0.25)
+    db_c = np.repeat(dbq, 4, axis=1).reshape(n * 32, 1)
+    signs = _ksign_codes(x.reshape(n * 32, 8), wt, a, gsel, db_c).reshape(n, 8, 4)
+    aux = (signs[..., 0] | (signs[..., 1] << 7) | (signs[..., 2] << 14)
+           | (signs[..., 3] << 21) | (s.astype(np.uint32) << 28))  # [n, 8]
+    codes = idx.astype(np.uint8).reshape(n, 8, 4)  # 4 cell indexes per group
+    u32 = np.empty((n, 8, 2), "<u4")
+    u32[:, :, 0] = codes[..., 0] | (codes[..., 1].astype("<u4") << 8) \
+        | (codes[..., 2].astype("<u4") << 16) | (codes[..., 3].astype("<u4") << 24)
+    u32[:, :, 1] = aux
+    return np.concatenate([_to_f16_bytes(d), u32.reshape(n, -1).view(np.uint8)], axis=1)
+
+
+def _enc_iq2_xs(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq2_xs_grid"].reshape(512, 8)
+    idx, d, s, dbq, a, wt, gsel = _iq_fit(x, w, grid, 8, 16, 15, 0.5, 0.25)
+    db_c = np.repeat(dbq, 2, axis=1).reshape(n * 32, 1)
+    signs = _ksign_codes(x.reshape(n * 32, 8), wt, a, gsel, db_c).reshape(n, 32)
+    qs = idx.astype("<u2") | (signs.astype("<u2") << 9)  # [n, 32]
+    sl = (s[:, 0::2] | (s[:, 1::2] << 4)).astype(np.uint8)  # [n, 8]
+    return np.concatenate([_to_f16_bytes(d), _u16le(qs), sl], axis=1)
+
+
+def _enc_iq2_s(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq2_s_grid"].reshape(1024, 8)
+    idx, d, s, dbq, a, wt, gsel = _iq_fit(x, w, grid, 8, 16, 15, 0.5, 0.25)
+    neg = (x.reshape(n, 32, 8) < 0)
+    sbytes = np.zeros((n, 32), np.uint8)
+    for i in range(8):
+        sbytes |= neg[:, :, i].astype(np.uint8) << i
+    qs = (idx & 0xFF).astype(np.uint8)  # [n, 32]
+    hi = (idx >> 8).astype(np.uint8)  # 2 bits per cell
+    qh = np.zeros((n, 8), np.uint8)
+    hi4 = hi.reshape(n, 8, 4)
+    for i in range(4):
+        qh |= (hi4[:, :, i] & 3) << (2 * i)
+    sl = (s[:, 0::2] | (s[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([_to_f16_bytes(d), qs, sbytes, qh, sl], axis=1)
+
+
+def _enc_iq3_xxs(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq3_xxs_grid"].reshape(256, 4)
+    idx, d, s, dbq, a, wt, gsel = _iq_fit(x, w, grid, 4, 32, 15, 0.5, 0.5)
+    # signs: one 7-bit code per 8 weights = per PAIR of 4-wide cells
+    db_c = np.repeat(dbq, 4, axis=1).reshape(n * 32, 1)  # per sign-cell of 8
+    signs = _ksign_codes(
+        x.reshape(n * 32, 8), wt.reshape(n * 32, 8), a.reshape(n * 32, 8),
+        gsel.reshape(n * 32, 8), db_c,
+    ).reshape(n, 8, 4)
+    aux = (signs[..., 0] | (signs[..., 1] << 7) | (signs[..., 2] << 14)
+           | (signs[..., 3] << 21) | (s.astype(np.uint32) << 28))  # [n, 8]
+    qs = idx.astype(np.uint8)  # [n, 64]
+    return np.concatenate([_to_f16_bytes(d), qs, _u32le(aux)], axis=1)
+
+
+def _enc_iq3_s(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq3_s_grid"].reshape(512, 4)
+    idx, d, s, dbq, a, wt, gsel = _iq_fit(x, w, grid, 4, 32, 15, 0.5, 2.0)
+    neg = (x.reshape(n, 32, 8) < 0)
+    sbytes = np.zeros((n, 32), np.uint8)
+    for i in range(8):
+        sbytes |= neg[:, :, i].astype(np.uint8) << i
+    qs = (idx & 0xFF).astype(np.uint8)  # [n, 64]
+    hibit = (idx >> 8).astype(np.uint8).reshape(n, 8, 8)
+    qh = np.zeros((n, 8), np.uint8)
+    for i in range(8):
+        qh |= (hibit[:, :, i] & 1) << i
+    sl = (s[:, 0::2] | (s[:, 1::2] << 4)).astype(np.uint8)  # [n, 4]
+    return np.concatenate([_to_f16_bytes(d), qs, qh, sbytes, sl], axis=1)
+
+
+def _iq1_fit(x, w, grid, spg, dpg):
+    """Shared IQ1 fit: signed ternary grid + per-group delta sign.
+    spg: weights per scale group; dpg: weights per delta group (cell
+    multiple).  Returns idx [N, 32], dl [N, G], delta_neg [N, D], wt."""
+    n = x.shape[0]
+    ncell, ng, nd = QK_K // 8, QK_K // spg, QK_K // dpg
+    cpg, cpd = ncell // ng, dpg // 8
+    xv = x.reshape(n * ncell, 8)
+    wt = _wg(w, (n * ncell, 8)) if w is not None else np.maximum(
+        (x * x).reshape(n, 1, -1).mean(-1, keepdims=True)
+        + (x * x).reshape(n, ncell, 8), 1e-9
+    ).reshape(n * ncell, 8)
+    dl0 = np.maximum(np.abs(x).reshape(n, ng, spg).max(-1), 1e-9)  # [N, G]
+    passes = []
+    for dneg in (False, True):
+        delta = np.float32(-0.125 if dneg else 0.125)
+        gd = (grid + delta).astype(np.float32)
+        g_t, g2_t = gd.T, (gd * gd).T
+        dlc, idx = dl0.copy(), None
+        for _ in range(3):
+            db_c = np.repeat(dlc.reshape(n * ng, 1), cpg, axis=0).reshape(n * ncell, 1)
+            A = (wt * xv) @ g_t  # signed targets: signs live in the grid
+            B = wt @ g2_t
+            idx = np.argmin(B * (db_c ** 2) - 2.0 * db_c * A, axis=1)
+            dlc = _ls_scale(
+                xv.reshape(n, ng, spg), wt.reshape(n, ng, spg),
+                gd[idx].reshape(n, ng, spg),
+            )
+        db_c = np.repeat(dlc.reshape(n * ng, 1), cpg, axis=0).reshape(n * ncell, 1)
+        err = (wt * (xv - db_c * gd[idx]) ** 2).reshape(n, nd, -1).sum(-1)  # [N, D]
+        passes.append((idx.reshape(n, ncell), dlc, err))
+    # choose the better delta sign per delta group, mix indices per cell,
+    # then refit the scales once over the mixed targets
+    dneg = passes[1][2] < passes[0][2]  # [N, D] True -> delta = -0.125
+    sel_c = np.repeat(dneg, cpd, axis=1)  # per cell
+    idx = np.where(sel_c, passes[1][0], passes[0][0])  # [N, 32]
+    delta_c = np.where(sel_c, np.float32(-0.125), np.float32(0.125))
+    gd_sel = grid[idx.reshape(-1)] + delta_c.reshape(-1, 1)
+    dl = _ls_scale(
+        xv.reshape(n, ng, spg), wt.reshape(n, ng, spg),
+        gd_sel.reshape(n, ng, spg),
+    )
+    return idx, dl, dneg, wt
+
+
+def _enc_iq1_s(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq1_s_grid"].reshape(2048, 8).astype(np.float32)
+    idx, dl, dneg, wt = _iq1_fit(x, w, grid, 32, 32)
+    # dl = d * (2s + 1), s in 0..7
+    d = dl.max(axis=-1, keepdims=True) / 15.0
+    d = np.maximum(d, 1e-12)
+    s = _round_away((dl / d - 1.0) / 2.0).clip(0, 7).astype(np.uint16)
+    qs = (idx & 0xFF).astype(np.uint8)  # [n, 32]
+    hi = (idx >> 8).astype(np.uint16).reshape(n, 8, 4)  # 3 bits x 4 cells
+    qh = (hi[:, :, 0] | (hi[:, :, 1] << 3) | (hi[:, :, 2] << 6)
+          | (hi[:, :, 3] << 9)).astype(np.uint16)
+    qh |= s << 12
+    qh |= (dneg.astype(np.uint16) << 15)
+    return np.concatenate([_to_f16_bytes(d), qs, _u16le(qh)], axis=1)
+
+
+def _enc_iq1_m(x, w=None):
+    n = x.shape[0]
+    grid = _iq_grids()["iq1_m_grid"].reshape(2048, 8).astype(np.float32)
+    idx, dl, dneg, wt = _iq1_fit(x, w, grid, 16, 8)
+    d = dl.max(axis=-1, keepdims=True) / 15.0
+    d = np.maximum(d, 1e-12)
+    s = _round_away((dl / d - 1.0) / 2.0).clip(0, 7).astype(np.uint16)  # [n,16]
+    qs = (idx & 0xFF).astype(np.uint8)  # [n, 32]
+    hi3 = (idx >> 8).astype(np.uint8)  # [n, 32]
+    nib = (hi3 | (dneg.astype(np.uint8) << 3)).reshape(n, 16, 2)
+    qh = (nib[:, :, 0] | (nib[:, :, 1] << 4)).astype(np.uint8)  # [n, 16]
+    s4 = s.reshape(n, 4, 4)
+    sraw = (s4[:, :, 0] | (s4[:, :, 1] << 3) | (s4[:, :, 2] << 6)
+            | (s4[:, :, 3] << 9)).astype("<u2")  # [n, 4]
+    dbits = _to_f16_bytes(d).view("<u2").astype(np.uint16)  # [n, 1] f16 bits
+    db = dbits[:, 0]
+    # decoder reassembly: f16 bits = top(sraw0) | top(sraw1)<<4
+    #                              | top(sraw2)<<8 | top(sraw3)<<12
+    sraw[:, 0] |= (db & 0xF) << 12
+    sraw[:, 1] |= ((db >> 4) & 0xF) << 12
+    sraw[:, 2] |= ((db >> 8) & 0xF) << 12
+    sraw[:, 3] |= ((db >> 12) & 0xF) << 12
+    return np.concatenate([qs, qh, _u16le(sraw)], axis=1)
+
+
+def _enc_tq1_0(x, w=None):
+    n = x.shape[0]
+    d = np.abs(x).max(axis=-1, keepdims=True)
+    if w is not None:
+        # weighted-LS ternary scale (reference quantize_tq1_0 ignores
+        # quant_weights; steering the scale is a strict improvement)
+        wg = _wg(w, x.shape)
+        for _ in range(3):
+            q = _round_away(x * _safe_inv(d)).clip(-1, 1)
+            num = (wg * x * q).sum(-1, keepdims=True)
+            den = (wg * q * q).sum(-1, keepdims=True)
+            d = np.where(den > 1e-12, num / np.maximum(den, 1e-12), d)
+        d = np.abs(d)
+    t = (_round_away(x * _safe_inv(d)).clip(-1, 1) + 1).astype(np.uint32)  # 0..2
+    # fixed-point base-3 packing: byte = ceil(v * 256 / 3^k); digit j
+    # recovered as ((byte * 3^j mod 256) * 3) >> 8 (see _dec_tq1_0)
+    def pack(digits, k):  # digits [n, m, k] most-significant first
+        p3 = 3 ** np.arange(k - 1, -1, -1, dtype=np.uint32)
+        v = (digits * p3).sum(-1)
+        return ((v * 256 + (3 ** k - 1)) // (3 ** k)).astype(np.uint8)
+
+    # elements 0..159: byte i digit j at position j*32 + i (5 digits)
+    d0 = t[:, :160].reshape(n, 5, 32).transpose(0, 2, 1)  # [n, 32, 5]
+    # elements 160..239: 16 bytes x 5 digits
+    d1 = t[:, 160:240].reshape(n, 5, 16).transpose(0, 2, 1)
+    # elements 240..255: 4 bytes x 4 digits
+    d2 = t[:, 240:256].reshape(n, 4, 4).transpose(0, 2, 1)
+    qs = np.concatenate([pack(d0, 5), pack(d1, 5)], axis=1)  # [n, 48]
+    qh = pack(d2, 4)  # [n, 4]
+    return np.concatenate([qs, qh, _to_f16_bytes(d)], axis=1)
+
+
+for _fmt, _fn in (
+    (GGMLType.IQ2_XXS, _enc_iq2_xxs), (GGMLType.IQ2_XS, _enc_iq2_xs),
+    (GGMLType.IQ2_S, _enc_iq2_s), (GGMLType.IQ3_XXS, _enc_iq3_xxs),
+    (GGMLType.IQ3_S, _enc_iq3_s), (GGMLType.IQ1_S, _enc_iq1_s),
+    (GGMLType.IQ1_M, _enc_iq1_m), (GGMLType.TQ1_0, _enc_tq1_0),
+):
+    _ENCODERS[_fmt] = (lambda f: (lambda x: f(x)))(_fn)
+    _WEIGHTED_ENCODERS[_fmt] = (lambda f: (lambda x, w: f(x, w)))(_fn)
