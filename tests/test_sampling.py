@@ -173,9 +173,9 @@ def test_sample_batch_dry_end_to_end():
     recent = np.full((n, w), -1, np.int32)
     recent[:, -5:] = [5, 6, 7, 5, 6]  # 7 extends the repeat
     keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n)])
-    toks, _, _ = sample_batch(
+    toks, _, _, _ = sample_batch(
         jnp.asarray(logits), keys, jnp.asarray(recent), jnp.zeros((v,), bool),
-        *[jnp.asarray(a) for a in sp.arrays()]
+        jnp.full((n,), 10.0, jnp.float32), *[jnp.asarray(a) for a in sp.arrays()]
     )
     toks = np.asarray(toks)
     assert toks[0] != 7  # DRY suppressed the repeat on slot 0

@@ -423,16 +423,17 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
     gt = tk // group
     j = pl.program_id(1)
     if fuse:
-        # activations arrive raw and are prepared + quantized here, killing
-        # the separate XLA kernels' launch overhead and their activation HBM
-        # round-trips (the reference fuses the analogous quantize_row_q8_1
-        # into its mmvq launch path, ggml-cuda/mmvq.cu):
-        #   "q"    x_ref is the [gt, group] bf16 view of this k-slice
-        #   "norm" x_ref is the FULL raw residual row [K//group, group];
-        #          RMS-norm (rsqrt of the full-row mean square, then the
-        #          per-element norm weight from wn_ref) happens in-kernel
-        #   "glu"  x_ref is [2, gt, group] gate/up halves of this k-slice;
-        #          swiglu (silu(g)*u, f32) happens in-kernel
+        # activations arrive raw in their NATURAL [1, K] row layout and are
+        # prepared + quantized here — no external reshape/astype (each one
+        # was an XLA relayout copy kernel per matvec; the reference fuses
+        # the analogous quantize_row_q8_1 into its mmvq launch path,
+        # ggml-cuda/mmvq.cu):
+        #   "q"    x_ref is the [1, TK] raw activation slice
+        #   "norm" x_ref is the FULL raw residual row [1, K]; RMS-norm
+        #          (rsqrt of the full-row mean square, then the per-element
+        #          norm weight from wn_ref) happens in-kernel
+        #   "glu"  x_ref/u_ref are the [1, TK] gate/up slices of the fused
+        #          gate|up row; swiglu (silu(g)*u, f32) happens in-kernel
         if fuse == "norm":
             wn_ref, plane_refs = refs[0], refs[1:-1]
 
@@ -442,20 +443,22 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
             # reuse from SMEM scratch across the K sweep
             @pl.when(j == 0)
             def _():
-                xf_full = x_ref[:].astype(jnp.float32)  # [K//group, group]
+                xf_full = x_ref[:].astype(jnp.float32)  # [1, K]
                 r_ref[0] = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
 
-            xf = x_ref[pl.ds(j * gt, gt), :].astype(jnp.float32) * (
-                wn_ref[:].astype(jnp.float32) * r_ref[0]
-            )
+            xf = (
+                x_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
+                * wn_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
+                * r_ref[0]
+            ).reshape(gt, group)
         elif fuse == "glu":
-            plane_refs = refs[:-1]
-            g_ = x_ref[0].astype(jnp.float32)
-            u_ = x_ref[1].astype(jnp.float32)
+            u_ref, plane_refs = refs[0], refs[1:-1]
+            g_ = x_ref[:].astype(jnp.float32).reshape(gt, group)
+            u_ = u_ref[:].astype(jnp.float32).reshape(gt, group)
             xf = g_ * jax.nn.sigmoid(g_) * u_  # silu(g) * u, f32 like ops.layers.swiglu
         else:
             plane_refs = refs[:-1]
-            xf = x_ref[:].astype(jnp.float32)  # [gt, group]
+            xf = x_ref[:].astype(jnp.float32).reshape(gt, group)  # [1, TK]
         dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0, 1e-12)
         xq2d = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int32)
         if has_b:
@@ -513,25 +516,28 @@ def _qmm_w4a8_call(
     has_b = bname is not None
 
     if fuse == "norm":
-        # xq is the RAW residual row [K//group, group] (whole row resident
-        # per grid step: the full-row mean square is computed in-kernel);
-        # wn is the RMS-norm weight in the same grouped layout
+        # xq is the RAW residual row [1, K] (whole row resident per grid
+        # step: the full-row mean square is computed in-kernel); wn is the
+        # RMS-norm weight row [1, K]
         in_specs = [
-            pl.BlockSpec((k // group, group), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gt, group), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ]
         args = [xq, wn]
     elif fuse == "glu":
-        # xq is [2, K//group, group] gate/up halves
+        # xq is the fused gate|up row [1, 2K]: pass it twice, the gate
+        # half sliced at block j and the up half at block K//tk + j
         in_specs = [
-            pl.BlockSpec((2, gt, group), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i, j, _kb=k // tk: (0, _kb + j),
+                         memory_space=pltpu.VMEM),
         ]
-        args = [xq]
+        args = [xq, xq]
     elif fuse:
-        # xq is the RAW bf16 activation row, grouped [K//group, group];
-        # quantization happens inside the kernel (dx/e args unused)
+        # xq is the RAW activation row [1, K]; quantization happens inside
+        # the kernel (dx/e args unused)
         in_specs = [
-            pl.BlockSpec((gt, group), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         ]
         args = [xq]
     else:
@@ -793,9 +799,8 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
     tn, tk, fuse = _pick_tiles(qt, k, n)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
     if fuse:
-        xg = x.reshape(k // group, group).astype(jnp.bfloat16)
         return _qmm_w4a8_call(
-            xg, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            x, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
             tn=tn, tk=tk, fuse="q", interpret=interpret,
         )
     xq, dx, e = _quant_acts(x, group)
@@ -824,11 +829,9 @@ def qmatvec_norm(
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="norm")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
-    xg = x.reshape(k // group, group)
-    wg = wn.reshape(k // group, group).astype(jnp.float32)
     return _qmm_w4a8_call(
-        xg, None, None, wg, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-        tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
+        x, None, None, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold,
+        k=k, n=n, tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
     )
 
 
@@ -841,9 +844,8 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="glu")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
-    xg = gup.reshape(2, k // group, group).astype(jnp.float32)
     return _qmm_w4a8_call(
-        xg, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+        gup, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
         tn=tn, tk=tk, fuse="glu", interpret=interpret,
     )
 

@@ -41,6 +41,9 @@ class SlotParams:
     dry_allowed_length: np.ndarray = field(default=None)
     dynatemp_range: np.ndarray = field(default=None)
     dynatemp_exponent: np.ndarray = field(default=None)
+    mirostat: np.ndarray = field(default=None)
+    mirostat_tau: np.ndarray = field(default=None)
+    mirostat_eta: np.ndarray = field(default=None)
 
     def __post_init__(self):
         n = self.n
@@ -50,6 +53,7 @@ class SlotParams:
             repeat_penalty=1.0, freq_penalty=0.0, presence_penalty=0.0,
             dry_multiplier=0.0, dry_base=1.75, dry_allowed_length=2.0,
             dynatemp_range=0.0, dynatemp_exponent=1.0,
+            mirostat=0.0, mirostat_tau=5.0, mirostat_eta=0.1,
         )
         for k, v in defaults.items():
             if getattr(self, k) is None:
@@ -73,6 +77,19 @@ class SlotParams:
         self.dry_allowed_length[i] = getattr(req, "dry_allowed_length", 2)
         self.dynatemp_range[i] = getattr(req, "dynatemp_range", 0.0)
         self.dynatemp_exponent[i] = getattr(req, "dynatemp_exponent", 1.0)
+        self.mirostat[i] = getattr(req, "mirostat", 0)
+        self.mirostat_tau[i] = getattr(req, "mirostat_tau", 5.0)
+        self.mirostat_eta[i] = getattr(req, "mirostat_eta", 0.1)
+        if self.mirostat[i] > 0:
+            # mirostat replaces the truncation stack (reference
+            # common/sampling.cpp: mirostat chain is penalties -> temp ->
+            # mirostat; top-k/p/etc. are not instantiated)
+            self.top_k[i] = 0
+            self.top_p[i] = 1.0
+            self.min_p[i] = 0.0
+            self.typical_p[i] = 1.0
+            self.top_n_sigma[i] = 0.0
+            self.xtc_probability[i] = 0.0
 
     def arrays(self) -> tuple:
         return (
@@ -81,6 +98,7 @@ class SlotParams:
             self.repeat_penalty, self.freq_penalty, self.presence_penalty,
             self.dry_multiplier, self.dry_base, self.dry_allowed_length,
             self.dynatemp_range, self.dynatemp_exponent,
+            self.mirostat, self.mirostat_tau, self.mirostat_eta,
         )
 
 
@@ -219,17 +237,26 @@ def _temperature_b(lg, temp, dt_range, dt_expo):
     return jnp.where(t_eff[:, None] <= 0, greedy, lg / jnp.maximum(t_eff[:, None], 1e-6))
 
 
+LOG2E = 1.4426950408889634
+
+
 @jax.jit
 def sample_batch(
     logits: jax.Array,  # [B, V] f32
     keys: jax.Array,  # [B, 2] uint32 per-slot PRNG keys
     recent: jax.Array,  # [B, W] int32 recent tokens (-1 empty)
     br_mask: jax.Array,  # [V] bool DRY sequence-breaker table
+    mu: jax.Array,  # [B] f32 mirostat-v2 state (2*tau at request start)
     temp, top_k, top_p, min_p, typical_p, top_n_sigma,
     xtc_probability, xtc_threshold, repeat_penalty, freq_penalty, presence_penalty,
     dry_multiplier, dry_base, dry_allowed_length, dynatemp_range, dynatemp_exponent,
+    mirostat, mirostat_tau, mirostat_eta,
 ):
-    """Returns (tokens [B] int32, probs_logits [B, V] post-chain, new_keys)."""
+    """Returns (tokens [B] int32, probs_logits [B, V] post-chain, new_keys,
+    new_mu).  Grammar-constrained rows arrive with the grammar mask already
+    folded into `logits` (engine resample pass), so the full chain applies
+    to constrained requests too (reference chain-with-grammar ordering,
+    src/llama-sampling.cpp)."""
     lg = logits.astype(jnp.float32)
     lg = _penalties_b(lg, recent, repeat_penalty, freq_penalty, presence_penalty)
     lg = _dry_b(lg, recent, dry_multiplier, dry_base, dry_allowed_length, br_mask)
@@ -243,8 +270,24 @@ def sample_batch(
     xtc_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(sub, 1)
     lg = _xtc_b(lg, xtc_probability, xtc_threshold, xtc_keys)
     lg = _temperature_b(lg, temp, dynatemp_range, dynatemp_exponent)
+
+    # mirostat v2 (reference llama_sampler_init_mirostat_v2): drop candidates
+    # whose surprise -log2 p exceeds mu (always keeping the argmax), sample,
+    # then servo mu toward the target surprise tau
+    act = mirostat > 0
+    probs = jax.nn.softmax(lg, axis=-1)
+    surprise = -jnp.log(jnp.maximum(probs, 1e-30)) * LOG2E
+    amax = jnp.argmax(lg, axis=-1)
+    iota = jnp.arange(lg.shape[-1])[None, :]
+    keep = (surprise <= mu[:, None]) | (iota == amax[:, None])
+    lg = jnp.where(act[:, None] & ~keep, NEG_INF, lg)
+
     toks = jax.vmap(jax.random.categorical)(sub, lg).astype(jnp.int32)
-    return toks, lg, new_keys
+
+    p_tok = jnp.take_along_axis(jax.nn.softmax(lg, axis=-1), toks[:, None], axis=-1)[:, 0]
+    s_obs = -jnp.log(jnp.maximum(p_tok, 1e-30)) * LOG2E
+    new_mu = jnp.where(act, mu - mirostat_eta * (s_obs - mirostat_tau), mu)
+    return toks, lg, new_keys, new_mu
 
 
 def breaker_mask(tokenizer, vocab_size: int, breakers=("\n", ":", "\"", "*")) -> np.ndarray:

@@ -40,6 +40,7 @@ from enum import Enum
 import numpy as np
 
 PENALTY_WINDOW = 64
+NEG_INF = -1e30  # matches zllm.sampling.batched.NEG_INF
 
 
 class Histogram:
@@ -100,6 +101,9 @@ class Request:
     dry_allowed_length: int = 2
     dynatemp_range: float = 0.0
     dynatemp_exponent: float = 1.0
+    mirostat: int = 0  # 0 off, 2 = mirostat-v2 (v1 maps to v2)
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     seed: int = -1
     n_keep: int = 0  # tokens preserved by context shift
     stop_tokens: frozenset = frozenset()
@@ -378,6 +382,7 @@ class Engine:
         )
         self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(n_slots)])
         self._recent = np.full((n_slots, PENALTY_WINDOW), -1, np.int32)
+        self._mu = np.full((n_slots,), 10.0, np.float32)  # mirostat-v2 state
         self._jnp = jnp
         self._jax = jax
 
@@ -571,6 +576,7 @@ class Engine:
             self.metrics["tokens_prefix_reused_total"] += n_reuse
             # per-slot sampling params + RNG key + penalty window
             self._params.set_slot(slot.idx, req)
+            self._mu[slot.idx] = 2.0 * getattr(req, "mirostat_tau", 5.0)
             seed = req.seed if req.seed >= 0 else int(time.time_ns() & 0x7FFFFFFF) + slot.idx
             self._keys = self._keys.at[slot.idx].set(self._jax.random.PRNGKey(seed))
             hist = req.prompt_tokens[-PENALTY_WINDOW:]
@@ -962,40 +968,74 @@ class Engine:
 
     # -- sampling & emission ------------------------------------------------
     def _sample_and_emit(self, logits, cols, slots):
+        """Batched chain sampling with grammar applied INSIDE the chain
+        (reference chain-with-grammar ordering, src/llama-sampling.cpp +
+        the common/sampling.cpp sample-then-resample optimization): sample
+        once unconstrained; if a grammar slot drew a disallowed token, fold
+        the grammar mask into that slot's raw logits and rerun the full
+        chain — so typical_p/penalties/etc. shape constrained requests too."""
         jnp = self._jnp
         picked = self._pick(logits, jnp.asarray(cols))  # [n_slots, V] on device
-        toks, chain_logits, self._keys = self._sample_batch(
+        args = [jnp.asarray(a) for a in self._params.arrays()]
+        toks, chain_logits, keys1, mu1 = self._sample_batch(
             picked, self._keys, jnp.asarray(self._recent), self._br_mask,
-            *[jnp.asarray(a) for a in self._params.arrays()]
+            jnp.asarray(self._mu), *args,
         )
         toks_host = np.asarray(toks)
+        picked_host = None
+        reject = []  # grammar slots whose first draw is disallowed
         for s in slots:
             req = s.req
             if req.grammar is not None:
-                tok = self._sample_grammar(s, np.asarray(picked[s.idx]))
-            else:
                 tok = int(toks_host[s.idx])
+                if not req.grammar.allowed([tok]):
+                    reject.append(s)
+        if not reject:
+            self._keys = keys1
+            self._mu = np.array(mu1)  # copy: np.asarray of a jax array is read-only
+            for s in slots:
+                self._emit_token(s, int(toks_host[s.idx]))
+            return
+
+        picked_host = np.asarray(picked)
+        masked = picked_host.copy()
+        for s in reject:
+            masked[s.idx] += self._grammar_mask_row(s.req, picked_host[s.idx])
+        toks2, _, keys2, mu2 = self._sample_batch(
+            jnp.asarray(masked), keys1, jnp.asarray(self._recent), self._br_mask,
+            jnp.asarray(self._mu), *args,
+        )
+        toks2_host = np.asarray(toks2)
+        # merge: resampled rows advance their key/mu twice, others once
+        rej = np.zeros((self.n_slots,), bool)
+        for s in reject:
+            rej[s.idx] = True
+        self._keys = jnp.where(jnp.asarray(rej)[:, None], keys2, keys1)
+        self._mu = np.where(rej, np.asarray(mu2), np.asarray(mu1))
+        for s in slots:
+            tok = int(toks2_host[s.idx]) if rej[s.idx] else int(toks_host[s.idx])
             self._emit_token(s, tok)
 
-    def _sample_grammar(self, slot: _Slot, logits_row: np.ndarray) -> int:
-        """Host-side grammar-constrained sampling (the reference also runs
-        the grammar automaton on the CPU)."""
-        req = slot.req
-        lg = logits_row.astype(np.float64)
-        order = np.argsort(-lg)
-        allowed = req.grammar.allowed(order[:128])
-        if not allowed:
-            allowed = req.grammar.allowed(order[128:])
-        mask = np.full(lg.shape, -np.inf)
-        mask[list(allowed)] = 0.0
-        lg = lg + mask
-        if req.temp <= 0:
-            return int(lg.argmax())
-        lg = lg / req.temp
-        p = np.exp(lg - lg.max())
-        p /= p.sum()
-        rng = np.random.default_rng((req.seed if req.seed >= 0 else 0) + slot.generated)
-        return int(rng.choice(len(p), p=p))
+    def _grammar_mask_row(self, req, logits_row: np.ndarray) -> np.ndarray:
+        """[V] additive mask (0 allowed / -inf disallowed) from the grammar
+        PDA, scanning candidates in descending-logit stages so the automaton
+        (host-side, like the reference's) runs over the few thousand tokens
+        that carry probability mass before falling through to the tail."""
+        order = np.argsort(-logits_row)
+        v = logits_row.shape[0]
+        allowed: list[int] = []
+        for a, b in ((0, 512), (512, 4096), (4096, v)):
+            if a >= v:
+                break
+            allowed.extend(req.grammar.allowed(order[a:b]))
+            if len(allowed) >= 16:
+                break
+        mask = np.full((v,), NEG_INF, np.float32)
+        if allowed:
+            mask[allowed] = 0.0
+        else:  # dead-end: surface as a stop (EOS) rather than crash
+            mask[self.model.tokenizer.eos_id if self.model.tokenizer else 0] = 0.0
+        return mask
 
     def _check_stop_strings(self, req: Request) -> bool:
         """Scan the decoded text for any stop string (reference: server

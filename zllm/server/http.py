@@ -80,6 +80,9 @@ class ZllmServer:
             dry_allowed_length=int(body.get("dry_allowed_length", 2)),
             dynatemp_range=float(body.get("dynatemp_range", 0.0)),
             dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
+            mirostat=int(body.get("mirostat", 0)),
+            mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+            mirostat_eta=float(body.get("mirostat_eta", 0.1)),
             repeat_penalty=float(body.get("repeat_penalty", 1.0)),
             freq_penalty=float(body.get("frequency_penalty", 0.0)),
             presence_penalty=float(body.get("presence_penalty", 0.0)),
