@@ -83,6 +83,62 @@ def pick_type(name: str, shape, il: int, n_layers: int, preset: dict) -> GGMLTyp
     return t
 
 
+def quantize_file(src: str, dst: str, ftype: str, imatrix: dict | None = None,
+                  quiet: bool = False) -> dict:
+    """Quantize GGUF src -> dst with the ftype preset's role-aware types.
+
+    Returns per-tensor stats: {name: (src_type, dst_type, weighted_rmse)}
+    where weighted_rmse is the imatrix-weighted RMS reconstruction error
+    (plain RMS when no imatrix) of each re-quantized 2D tensor."""
+    imatrix = imatrix or {}
+    preset = FTYPES[ftype]
+    f = read_gguf(src)
+    n_layers = int(f.kv("{arch}.block_count".format(arch=f.architecture), 0))
+
+    w = GGUFWriter(dst, alignment=f.alignment)
+    for key, val in f.metadata.items():
+        if key == "general.file_type":
+            continue
+        w.add(key, val)
+
+    stats: dict = {}
+    total_in = total_out = 0
+    for name, meta in f.tensors.items():
+        il = int(name.split(".")[1]) if name.startswith("blk.") else 0
+        target = pick_type(name, meta.shape, il, n_layers, preset)
+        if target == meta.gtype:
+            raw = np.asarray(f.tensor_bytes(name))
+            w.add_tensor(name, raw, logical_shape=meta.shape, gtype=meta.gtype)
+            total_out += raw.nbytes
+            stats[name] = (meta.gtype.name, target.name, 0.0)
+        else:
+            x = f.tensor_f32(name)
+            if target in (GGMLType.F32,):
+                w.add_tensor(name, x)
+                total_out += x.nbytes
+                stats[name] = (meta.gtype.name, target.name, 0.0)
+            else:
+                wt = imatrix.get(name)
+                raw = qb.quantize(x, target, weights=wt)
+                w.add_tensor(name, raw, logical_shape=meta.shape, gtype=target)
+                total_out += raw.nbytes
+                dec = qb.dequantize(raw, target).reshape(x.shape)
+                err2 = (dec.astype(np.float64) - x.astype(np.float64)) ** 2
+                if wt is not None:
+                    wrow = np.asarray(wt, np.float64)
+                    err2 = err2 * wrow / max(float(wrow.mean()), 1e-30)
+                stats[name] = (meta.gtype.name, target.name, float(np.sqrt(err2.mean())))
+        total_in += meta.nbytes
+        if not quiet:
+            print(f"{name}: {meta.gtype.name} -> {target.name}", file=sys.stderr)
+
+    w.write()
+    if not quiet:
+        print(f"{src} ({total_in/1e6:.1f} MB) -> {dst} ({total_out/1e6:.1f} MB) [{ftype}]")
+    f.close()
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("src")
@@ -99,39 +155,7 @@ def main():
         imatrix = read_imatrix(args.imatrix)
         print(f"imatrix: {len(imatrix)} tensors", file=sys.stderr)
 
-    preset = FTYPES[args.ftype]
-    f = read_gguf(args.src)
-    n_layers = int(f.kv("{arch}.block_count".format(arch=f.architecture), 0))
-
-    w = GGUFWriter(args.dst, alignment=f.alignment)
-    for key, val in f.metadata.items():
-        if key == "general.file_type":
-            continue
-        w.add(key, val)
-
-    total_in = total_out = 0
-    for name, meta in f.tensors.items():
-        il = int(name.split(".")[1]) if name.startswith("blk.") else 0
-        target = pick_type(name, meta.shape, il, n_layers, preset)
-        if target == meta.gtype:
-            raw = np.asarray(f.tensor_bytes(name))
-            w.add_tensor(name, raw, logical_shape=meta.shape, gtype=meta.gtype)
-            total_out += raw.nbytes
-        else:
-            x = f.tensor_f32(name)
-            if target in (GGMLType.F32,):
-                w.add_tensor(name, x)
-                total_out += x.nbytes
-            else:
-                raw = qb.quantize(x, target, weights=imatrix.get(name))
-                w.add_tensor(name, raw, logical_shape=meta.shape, gtype=target)
-                total_out += raw.nbytes
-        total_in += meta.nbytes
-        print(f"{name}: {meta.gtype.name} -> {target.name}", file=sys.stderr)
-
-    w.write()
-    print(f"{args.src} ({total_in/1e6:.1f} MB) -> {args.dst} ({total_out/1e6:.1f} MB) [{args.ftype}]")
-    f.close()
+    quantize_file(args.src, args.dst, args.ftype, imatrix)
 
 
 if __name__ == "__main__":
