@@ -450,22 +450,27 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
                 x_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
                 * wn_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
                 * r_ref[0]
-            ).reshape(gt, group)
+            )
         elif fuse == "glu":
             u_ref, plane_refs = refs[0], refs[1:-1]
-            g_ = x_ref[:].astype(jnp.float32).reshape(gt, group)
-            u_ = u_ref[:].astype(jnp.float32).reshape(gt, group)
+            g_ = x_ref[:].astype(jnp.float32)
+            u_ = u_ref[:].astype(jnp.float32)
             xf = g_ * jax.nn.sigmoid(g_) * u_  # silu(g) * u, f32 like ops.layers.swiglu
         else:
             plane_refs = refs[:-1]
-            xf = x_ref[:].astype(jnp.float32).reshape(gt, group)  # [1, TK]
-        dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True) / 127.0, 1e-12)
-        xq2d = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int32)
+            xf = x_ref[:].astype(jnp.float32)  # [1, TK]
+        # group, quantize, and block-diagonal-spread in ONE masked pass (a
+        # [1,TK]->[gt,group] vector reshape is an unsupported Mosaic shape
+        # cast; the broadcast+iota-mask form lowers cleanly and subsumes the
+        # former pltpu.repeat spread)
+        rows_f = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
+        gid_f = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
+        xm = jnp.where(rows_f == gid_f, jnp.broadcast_to(xf, (gt, tk)), 0.0)
+        dx = jnp.maximum(jnp.max(jnp.abs(xm), axis=1, keepdims=True) / 127.0, 1e-12)
+        xq_bd = jnp.clip(jnp.round(xm / dx), -127, 127).astype(jnp.int32)
         if has_b:
-            e = dx * jnp.sum(xq2d, axis=1, keepdims=True).astype(jnp.float32)
-        # row g holds xq[g, :] tiled across lanes; the indicator mask below
-        # keeps only columns [g*group, (g+1)*group) -> block-diagonal X
-        xq_t = pltpu.repeat(xq2d, gt, axis=1)  # [gt, TK]
+            e = dx * jnp.sum(xq_bd, axis=1, keepdims=True).astype(jnp.float32)
+        x_bd = xq_bd.astype(jnp.int8)  # already block-diagonal [gt, TK]
     else:
         if has_b:
             dx_ref, e_ref, plane_refs = refs[0], refs[1], refs[2:-1]
@@ -484,12 +489,13 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
         out_ref[:] = jnp.zeros_like(out_ref)
 
     qi = _int_qtile(fmt, fold, tk, tn, planes)  # int8 [TK, TN]
-    # block-diagonal X in the i32 domain (Mosaic can't relayout an i1 mask
-    # onto int8's (32,128) tiling; an i32 multiply + convert lowers fine)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
-    gid = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
-    ind = (rows == gid).astype(jnp.int32)
-    x_bd = (xq_t * ind).astype(jnp.int8)
+    if not fuse:
+        # block-diagonal X in the i32 domain (Mosaic can't relayout an i1
+        # mask onto int8's (32,128) tiling; i32 multiply + convert lowers)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
+        gid = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
+        ind = (rows == gid).astype(jnp.int32)
+        x_bd = (xq_t * ind).astype(jnp.int8)
     pi = jax.lax.dot_general(
         x_bd, qi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )  # [gt, TN]
