@@ -11,7 +11,9 @@ dense dtype at load.
 from __future__ import annotations
 
 import logging
+import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -422,7 +424,8 @@ class Model:
         return ""
 
     @classmethod
-    def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16, fuse: bool = True) -> "Model":
+    def load(cls, path: str, *, quantized: bool = True, dtype=jnp.bfloat16,
+             fuse: bool = True, npack: bool = True) -> "Model":
         f = read_gguf(path)
         cfg = ModelConfig.from_gguf(f)
         tok = None
@@ -440,11 +443,19 @@ class Model:
             # widest kernel N-tile for the vocab head (forward slices the
             # logits back to cfg.vocab_size)
             params["output"] = pad_n(params["output"], 1024)
+        if npack and os.environ.get("ZLLM_NPACK", "1") == "1":
+            # LAST (after fuse/pad: both would break the global column
+            # pairing): nibble formats to the N-major packed-byte layout
+            # consumed dual-dot by the decode kernel (quant/repack.to_npack)
+            from ..quant.repack import can_npack, to_npack
+
+            params = jax.tree_util.tree_map(
+                lambda w: to_npack(w) if isinstance(w, QTensor) and can_npack(w) else w,
+                params, is_leaf=lambda w: isinstance(w, (QTensor, QTensorE)),
+            )
         f.close()
 
         # route QTensor matmuls through the fused Pallas kernels on TPU
-        import jax
-
         if jax.default_backend() != "cpu":
             from ..ops import qmatmul
 

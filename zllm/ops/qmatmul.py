@@ -414,6 +414,41 @@ def _int_scale_f32(fmt: GGMLType, planes: dict):
     return _load_f16(planes[name])
 
 
+def _prologue_quant(fuse, eps, group, gt, tk, j, x_ref, aux_ref, r_ref):
+    """Shared fused-prologue: raw [1, TK] activations (or raw residual /
+    gate-up halves) -> (x_bd int8 [gt, TK] block-diagonal codes, dx f32
+    [gt, 1], sx int32 [gt, 1]).  Grouping, int8 quantization, and the
+    block-diagonal spread happen in ONE broadcast+iota-mask pass (a
+    [1,TK]->[gt,group] vector reshape is an unsupported Mosaic shape
+    cast)."""
+    if fuse == "norm":
+        # full-row mean square is grid-invariant: compute on each i-row's
+        # first k-step only, reuse from SMEM scratch across the K sweep
+        @pl.when(j == 0)
+        def _():
+            xf_full = x_ref[:].astype(jnp.float32)  # [1, K]
+            r_ref[0] = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
+
+        xf = (
+            x_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
+            * aux_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
+            * r_ref[0]
+        )
+    elif fuse == "glu":
+        g_ = x_ref[:].astype(jnp.float32)
+        u_ = aux_ref[:].astype(jnp.float32)
+        xf = g_ * jax.nn.sigmoid(g_) * u_  # silu(g) * u, f32 like ops.layers.swiglu
+    else:
+        xf = x_ref[:].astype(jnp.float32)  # [1, TK]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
+    gid = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
+    xm = jnp.where(rows == gid, jnp.broadcast_to(xf, (gt, tk)), 0.0)
+    dx = jnp.maximum(jnp.max(jnp.abs(xm), axis=1, keepdims=True) / 127.0, 1e-12)
+    xq_bd = jnp.clip(jnp.round(xm / dx), -127, 127).astype(jnp.int32)
+    sx = jnp.sum(xq_bd, axis=1, keepdims=True)  # [gt, 1] int32
+    return xq_bd.astype(jnp.int8), dx, sx
+
+
 def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, *refs):
     if fuse == "norm":
         out_ref, r_ref = refs[-2], refs[-1]  # SMEM scratch holds rsqrt(ms)
@@ -434,43 +469,16 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
         #          norm weight from wn_ref) happens in-kernel
         #   "glu"  x_ref/u_ref are the [1, TK] gate/up slices of the fused
         #          gate|up row; swiglu (silu(g)*u, f32) happens in-kernel
-        if fuse == "norm":
-            wn_ref, plane_refs = refs[0], refs[1:-1]
-
-            # the full-row mean square is grid-invariant: compute it on
-            # each i-row's first k-step only (j is the sequential axis;
-            # i is 'parallel' so cross-i ordering can't be relied on),
-            # reuse from SMEM scratch across the K sweep
-            @pl.when(j == 0)
-            def _():
-                xf_full = x_ref[:].astype(jnp.float32)  # [1, K]
-                r_ref[0] = jax.lax.rsqrt(jnp.mean(xf_full * xf_full) + eps)
-
-            xf = (
-                x_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
-                * wn_ref[:, pl.ds(j * tk, tk)].astype(jnp.float32)
-                * r_ref[0]
-            )
-        elif fuse == "glu":
-            u_ref, plane_refs = refs[0], refs[1:-1]
-            g_ = x_ref[:].astype(jnp.float32)
-            u_ = u_ref[:].astype(jnp.float32)
-            xf = g_ * jax.nn.sigmoid(g_) * u_  # silu(g) * u, f32 like ops.layers.swiglu
+        if fuse in ("norm", "glu"):
+            aux_ref, plane_refs = refs[0], refs[1:-1]
         else:
-            plane_refs = refs[:-1]
-            xf = x_ref[:].astype(jnp.float32)  # [1, TK]
-        # group, quantize, and block-diagonal-spread in ONE masked pass (a
-        # [1,TK]->[gt,group] vector reshape is an unsupported Mosaic shape
-        # cast; the broadcast+iota-mask form lowers cleanly and subsumes the
-        # former pltpu.repeat spread)
-        rows_f = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 0)
-        gid_f = jax.lax.broadcasted_iota(jnp.int32, (gt, tk), 1) // group
-        xm = jnp.where(rows_f == gid_f, jnp.broadcast_to(xf, (gt, tk)), 0.0)
-        dx = jnp.maximum(jnp.max(jnp.abs(xm), axis=1, keepdims=True) / 127.0, 1e-12)
-        xq_bd = jnp.clip(jnp.round(xm / dx), -127, 127).astype(jnp.int32)
+            aux_ref, plane_refs = None, refs[:-1]
+        x_bd, dx, sx = _prologue_quant(
+            fuse, eps, group, gt, tk, j, x_ref, aux_ref,
+            r_ref if fuse == "norm" else None,
+        )
         if has_b:
-            e = dx * jnp.sum(xq_bd, axis=1, keepdims=True).astype(jnp.float32)
-        x_bd = xq_bd.astype(jnp.int8)  # already block-diagonal [gt, TK]
+            e = dx * sx.astype(jnp.float32)
     else:
         if has_b:
             dx_ref, e_ref, plane_refs = refs[0], refs[1], refs[2:-1]
@@ -592,6 +600,136 @@ def _qmm_w4a8_call(
         ),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# npack W4A8 decode: the MXU consumes packed bytes, no nibble unpack
+# ---------------------------------------------------------------------------
+# For npack-layout QTensors (quant/repack.to_npack: byte(k, c) = code[k, c]
+# | code[k, c + N/2] << 4, XOR 0x80), the dual-dot identity
+#
+#   pi_full = X_bd @ bytes            (int8 MXU) = pi_lo + 16*pi_hi - 128*sx
+#   pi_lo   = X_bd @ (bytes & 0x0F)   (one u8 bitwise op per byte)
+#   pi_hi   = (pi_full - pi_lo + 128*sx) >> 4          (exact int32)
+#
+# replaces the i32 widen+shift+mask+concat unpack (the VPU cost that held
+# decode at ~60% of HBM bandwidth) with a single u8 mask.  The [2, TN/2]
+# output tile reshapes row-major to original column order for free.
+# Measured (tools/exp_npack2.py, Q4_K 2048x2048 matvec): 4.98us vs 6.33us
+# for the unpack kernel (HBM bound incl. scale planes: 3.2us).
+
+def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, x_ref, *refs):
+    if fuse == "norm":
+        out_ref, r_ref = refs[-2], refs[-1]
+        refs = refs[:-1]
+    else:
+        out_ref, r_ref = refs[-1], None
+    gt = tk // group
+    j = pl.program_id(1)
+    if fuse in ("norm", "glu"):
+        aux_ref, srefs = refs[0], refs[1:-1]
+    else:
+        aux_ref, srefs = None, refs[:-1]
+    qs_ref = srefs[-1]
+    scale_refs = srefs[:-1]  # (a_lo, a_hi[, b_lo, b_hi]) or (d_lo, d_hi)
+
+    x_bd, dx, sx = _prologue_quant(fuse, eps, group, gt, tk, j, x_ref, aux_ref, r_ref)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bp = qs_ref[:]  # int8 [TK, TN/2]
+    lo = pltpu.bitcast(pltpu.bitcast(bp, jnp.uint8) & 0x0F, jnp.int8)
+    pi_full = jax.lax.dot_general(
+        x_bd, bp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pi_lo = jax.lax.dot_general(
+        x_bd, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pi_hi = (pi_full - pi_lo + 128 * sx) >> 4
+    if fmt == GGMLType.Q4_0:  # constant -8 code offset
+        pi_lo = pi_lo - 8 * sx
+        pi_hi = pi_hi - 8 * sx
+    a_lo = _load_f16(scale_refs[0][:])
+    a_hi = _load_f16(scale_refs[1][:])
+    c_lo = pi_lo.astype(jnp.float32) * a_lo * dx
+    c_hi = pi_hi.astype(jnp.float32) * a_hi * dx
+    if has_b:
+        e = dx * sx.astype(jnp.float32)
+        c_lo = c_lo - _load_f16(scale_refs[2][:]) * e
+        c_hi = c_hi - _load_f16(scale_refs[3][:]) * e
+    out_ref[0:1, :] += jnp.sum(c_lo, axis=0, keepdims=True)
+    out_ref[1:2, :] += jnp.sum(c_hi, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "interpret"),
+)
+def _qmm_w4a8np_call(
+    x, wn, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse="q", eps=0.0,
+    interpret=False
+):
+    group, _, bname = _INT_FMT[fmt]
+    tk = tk or fold
+    gt = tk // group
+    has_b = bname is not None
+    nb = n // tn  # hi-half block offset for the [G, N] scale planes
+    grid = (nb, k // tk)
+
+    if fuse == "norm":
+        in_specs = [
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [x, wn]
+    elif fuse == "glu":
+        in_specs = [
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i, j, _kb=k // tk: (0, _kb + j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x, x]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        ]
+        args = [x]
+    # scale planes [K/group, N]: lo view at block (j, i), hi at (j, i + nb)
+    qs, scale_planes = planes_tuple[0], planes_tuple[1:]
+    for p in scale_planes:
+        in_specs.append(
+            pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                         memory_space=pltpu.VMEM))
+        args.extend([p, p])
+    in_specs.append(
+        pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+    args.append(qs)
+
+    kernel = functools.partial(_w4a8np_kernel, fmt, tk, tn, group, has_b, fuse, eps)
+    qbytes = int(np.prod(qs.shape)) + sum(
+        2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
+    out2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, tn // 2), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n // 2), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)] if fuse == "norm" else [],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (k // group) * k * n, bytes_accessed=qbytes + 4 * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    # row-major [2, N/2] == [lo columns | hi columns] == original order
+    return out2.reshape(1, n)
 
 
 # ---------------------------------------------------------------------------
@@ -804,6 +942,11 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
     group = _INT_FMT[qt.fmt][0]
     tn, tk, fuse = _pick_tiles(qt, k, n)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if qt.npack:
+        return _qmm_w4a8np_call(
+            x, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            tn=tn, tk=tk, fuse="q", interpret=interpret,
+        )
     if fuse:
         return _qmm_w4a8_call(
             x, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
@@ -835,6 +978,11 @@ def qmatvec_norm(
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="norm")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if qt.npack:
+        return _qmm_w4a8np_call(
+            x, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
+        )
     return _qmm_w4a8_call(
         x, None, None, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold,
         k=k, n=n, tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
@@ -850,10 +998,97 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="glu")
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if qt.npack:
+        return _qmm_w4a8np_call(
+            gup, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+            tn=tn, tk=tk, fuse="glu", interpret=interpret,
+        )
     return _qmm_w4a8_call(
         gup, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
         tn=tn, tk=tk, fuse="glu", interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# npack prefill GEMM: dequantize lo/hi column halves straight from the
+# packed bytes (one widen + mask/shift/xor; no sublane concat relayout)
+# ---------------------------------------------------------------------------
+
+def _qmm_np_kernel(fmt, tk, tn, x_ref, *refs):
+    out_ref = refs[-1]  # [2, M, TN/2]
+    qs_ref = refs[-2]
+    scale_refs = refs[:-2]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half = tn // 2
+    bp = pltpu.bitcast(qs_ref[:], jnp.uint8).astype(jnp.int32)  # [TK, TN/2]
+    lo = (bp & 0xF).astype(jnp.float32)
+    hi = ((bp >> 4) ^ 0x8).astype(jnp.float32)  # XOR 0x80 flipped the top bit
+    a_lo = _gexpand(_load_f16(scale_refs[0][:]), 32, tk, half)
+    a_hi = _gexpand(_load_f16(scale_refs[1][:]), 32, tk, half)
+    if fmt == GGMLType.Q4_0:
+        w_lo = (lo - 8.0) * a_lo
+        w_hi = (hi - 8.0) * a_hi
+    else:
+        w_lo = lo * a_lo - _gexpand(_load_f16(scale_refs[2][:]), 32, tk, half)
+        w_hi = hi * a_hi - _gexpand(_load_f16(scale_refs[3][:]), 32, tk, half)
+    xb = x_ref[:].astype(jnp.bfloat16)
+    out_ref[0] += jnp.dot(xb, w_lo.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    out_ref[1] += jnp.dot(xb, w_hi.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
+def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+    import os as _os
+
+    m = x.shape[0]
+    tk = fold
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
+    if mult > 1 and k % (fold * mult) == 0:
+        tk = fold * mult
+    gt = tk // 32
+    nb = n // tn
+    grid = (nb, k // tk)
+    qs, scale_planes = planes_tuple[0], planes_tuple[1:]
+
+    in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)]
+    args = [x]
+    for p in scale_planes:
+        in_specs.append(
+            pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                         memory_space=pltpu.VMEM))
+        args.extend([p, p])
+    in_specs.append(
+        pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+    args.append(qs)
+
+    kernel = functools.partial(_qmm_np_kernel, fmt, tk, tn)
+    qbytes = int(np.prod(qs.shape)) + sum(
+        2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, m, tn // 2), lambda i, j: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, m, n // 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n, bytes_accessed=qbytes + 4 * m * (k + n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    # [lo columns | hi columns] along N == original order (global pairing)
+    return jnp.concatenate([out[0], out[1]], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +1180,9 @@ def _plane_view(qt: QTensor, name: str):
 def local_shape(qt: QTensor) -> tuple[int, int]:
     """(K, N) of the *local* shard, derived from plane shapes (under
     shard_map qt.shape still holds the global dims)."""
+    if qt.npack:  # qs is [K, N//2] packed bytes
+        p = qt.planes["qs"]
+        return p.shape[0], p.shape[1] * 2
     names = _PLANE_ORDER.get(qt.fmt)
     qname = names[0] if names else "qs"
     p = qt.planes[qname]
@@ -978,6 +1216,11 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
     tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
     planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    if qt.npack:
+        if tn < 256:  # packed tile needs >= 128 lanes
+            return (x @ qt.dequant(x.dtype)).astype(jnp.float32)
+        return _qmm_np_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
+                            tn=tn, interpret=interpret)
     y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret)
     return y
 

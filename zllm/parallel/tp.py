@@ -114,6 +114,14 @@ def _flag_and_spec(key: str, w, plan: TpPlan):
 def shard_params(params, mesh: Mesh, cfg):
     """Attach collective flags, compute per-leaf shardings, device_put.
     Returns (sharded_params, leaf_spec_tree, plan)."""
+    # undo the load-time npack byte layout: an N-shard of the packed plane
+    # would pair nibbles across shard boundaries (quant/repack.to_npack)
+    from ..quant.repack import from_npack
+
+    params = jax.tree_util.tree_map(
+        lambda w: from_npack(w) if isinstance(w, QTensor) and w.npack else w,
+        params, is_leaf=lambda w: isinstance(w, (QTensor, QTensorE)),
+    )
     # undo the load-time projection fusion: wq/wk/wv (and gate/up) shard on
     # different head boundaries, so TP operates on the separate weights
     if any("wqkv" in layer or "ffn_gateup" in layer for layer in params["layers"]):

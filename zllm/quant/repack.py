@@ -76,21 +76,27 @@ class QTensor:
     # N(vocab)-sharded head's logits need reassembly (gather_axis)
     psum_axis: str | None = None
     gather_axis: str | None = None
+    # N-major packed-byte layout (see to_npack): qs is [K, N//2] with byte
+    # (c) = code[c] | code[c + N/2] << 4, XOR 0x80 — the decode kernel's
+    # dual-dot consumes the bytes on the MXU without a nibble unpack
+    npack: bool = False
 
     def tree_flatten(self):
         keys = tuple(sorted(self.planes))
-        aux = (self.fmt, self.shape, keys, self.fold, self.psum_axis, self.gather_axis)
+        aux = (self.fmt, self.shape, keys, self.fold, self.psum_axis,
+               self.gather_axis, self.npack)
         return tuple(self.planes[k] for k in keys), aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        fmt, shape, keys, fold, psum_axis, gather_axis = aux
+        fmt, shape, keys, fold, psum_axis, gather_axis, npack = aux
         return cls(fmt=fmt, shape=shape, planes=dict(zip(keys, leaves)), fold=fold,
-                   psum_axis=psum_axis, gather_axis=gather_axis)
+                   psum_axis=psum_axis, gather_axis=gather_axis, npack=npack)
 
     def with_collectives(self, psum_axis=None, gather_axis=None) -> "QTensor":
         return QTensor(fmt=self.fmt, shape=self.shape, planes=self.planes,
-                       fold=self.fold, psum_axis=psum_axis, gather_axis=gather_axis)
+                       fold=self.fold, psum_axis=psum_axis, gather_axis=gather_axis,
+                       npack=self.npack)
 
     @property
     def nbytes(self) -> int:
@@ -98,6 +104,8 @@ class QTensor:
 
     # portable dequantization (jnp; XLA fuses into the consumer)
     def dequant(self, dtype=jnp.float32) -> jax.Array:
+        if self.npack:
+            return _dequant_npack(self, dtype)
         return _DEQUANT[self.fmt](self.planes, self.shape, dtype, self.fold)
 
 
@@ -915,6 +923,75 @@ _DEQUANT[GGMLType.TQ2_0] = _dq_ternary
 
 
 # ---------------------------------------------------------------------------
+# N-major packed-byte ("npack") layout for pure-nibble formats
+# ---------------------------------------------------------------------------
+# The decode kernel's dual-dot (ops/qmatmul._w4a8np_kernel) consumes packed
+# bytes directly on the MXU: byte(k, c) = code[k, c] | code[k, c+N/2] << 4,
+# stored XOR 0x80 so the int8 view equals lo + 16*hi - 128 exactly.  Both
+# nibbles of a byte multiply the SAME activation x[k], and the [2, N/2]
+# kernel output reshapes row-major to the original column order for free.
+# Applied LAST at load time (after concat_n / pad_n, which would break the
+# global c <-> c+N/2 pairing); zllm.parallel.shard_params converts back
+# since an N-shard of the packed plane would pair across shard boundaries.
+
+NPACK_FORMATS = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
+
+
+def can_npack(qt: QTensor) -> bool:
+    return (
+        not qt.npack
+        and qt.fmt in NPACK_FORMATS
+        and qt.shape[1] % 256 == 0
+        and qt.psum_axis is None
+        and qt.gather_axis is None
+    )
+
+
+def to_npack(qt: QTensor) -> QTensor:
+    """Convert the split-half-fold qs plane to the npack byte layout."""
+    if not can_npack(qt):
+        return qt
+    k, n = qt.shape
+    codes = _unpack_nibbles_k(qt.planes["qs"], qt.fold)  # [K, N] int32 0..15
+    bp = ((codes[:, : n // 2] | (codes[:, n // 2:] << 4)) ^ 0x80).astype(jnp.uint8)
+    planes = dict(qt.planes)
+    planes["qs"] = jax.lax.bitcast_convert_type(bp, jnp.int8)
+    return QTensor(fmt=qt.fmt, shape=qt.shape, planes=planes, fold=qt.fold,
+                   psum_axis=qt.psum_axis, gather_axis=qt.gather_axis, npack=True)
+
+
+def _npack_codes(qt: QTensor):
+    """npack qs plane -> element codes [K, N] int32 in original order."""
+    bp = jax.lax.bitcast_convert_type(qt.planes["qs"], jnp.uint8).astype(jnp.int32)
+    lo = bp & 0xF
+    hi = (bp >> 4) ^ 0x8  # XOR 0x80 flipped the top bit of the high nibble
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def from_npack(qt: QTensor) -> QTensor:
+    """Inverse of to_npack (needed before N/K sharding)."""
+    if not qt.npack:
+        return qt
+    codes = _npack_codes(qt).astype(jnp.uint8)
+    k, n = qt.shape
+    g = codes.reshape(k // qt.fold, 2, qt.fold // 2, n)
+    qs = (g[:, 0] | (g[:, 1] << 4)).reshape(k // 2, n)
+    planes = dict(qt.planes)
+    planes["qs"] = qs
+    return QTensor(fmt=qt.fmt, shape=qt.shape, planes=planes, fold=qt.fold,
+                   psum_axis=qt.psum_axis, gather_axis=qt.gather_axis, npack=False)
+
+
+def _dequant_npack(qt: QTensor, dtype):
+    q = _npack_codes(qt).astype(jnp.float32)
+    p = qt.planes
+    if qt.fmt == GGMLType.Q4_0:
+        return ((q - 8.0) * _group_repeat(_f32s(p["d"]), 32)).astype(dtype)
+    # Q4_1 / Q4_K share the w = q*a - b contract
+    a = _group_repeat(_f32s(p["a"]), 32)
+    b = _group_repeat(_f32s(p["b"]), 32)
+    return (q * a - b).astype(dtype)
+
 
 def can_repack(fmt: GGMLType, shape: tuple[int, ...]) -> bool:
     return (
