@@ -28,11 +28,11 @@ sys.path.insert(0, REPO)
 
 def model_shapes(path):
     """Distinct (fmt, K, N) of W4A8-eligible 2-D tensors in a GGUF file."""
-    from zllm.gguf.reader import GGUFReader
+    from zllm.gguf.reader import read_gguf
     from zllm.ops.qmatmul import _INT_FMT
 
     shapes = {}
-    r = GGUFReader(path)
+    r = read_gguf(path)
     for t in r.tensors.values():
         if len(t.shape) == 2 and t.gtype in _INT_FMT:
             n, k = int(t.shape[0]), int(t.shape[1])  # numpy shape [N, K]
@@ -49,9 +49,13 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
     from zllm.quant import blocks as qb
     from zllm.quant.repack import repack
 
+    from zllm.quant.repack import can_npack, to_npack
+
     rng = np.random.default_rng(0)
     w = rng.standard_normal((n, k)).astype(np.float32)
     qt = repack(qb.quantize(w, fmt), (n, k), fmt)
+    if can_npack(qt):  # tune the layout the loader will actually serve
+        qt = to_npack(qt)
     qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in qt.planes.values())
     group = qmatmul._INT_FMT[qt.fmt][0]
     x = jnp.asarray(rng.standard_normal((1, k)).astype(np.float32)).astype(jnp.bfloat16)
@@ -62,13 +66,17 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
     @functools.partial(jax.jit, static_argnames=("tn", "tk", "fuse", "n_iter"))
     def loop_fn(x, planes_tuple, tn, tk, fuse, n_iter):
         xq0, dx0, e0 = qmatmul._quant_acts(x, group)
-        xg0 = x.reshape(k // group, group)
 
         def body(_, carry):
             xq, acc = carry
-            if fuse:
+            if qt.npack:
+                y = qmatmul._qmm_w4a8np_call(
+                    x, None, planes_tuple,
+                    fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk, fuse="q",
+                )
+            elif fuse:
                 y = qmatmul._qmm_w4a8_call(
-                    xg0, None, None, None, planes_tuple,
+                    x, None, None, None, planes_tuple,
                     fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk, fuse="q",
                 )
             else:
@@ -106,7 +114,9 @@ def tune_shape(fmt, k, n, reps, hbm_gbps):
     kdiv = qmatmul._plane_kdiv(qt.fmt, qmatmul._PLANE_ORDER[qt.fmt][0])
     best, best_dt = None, None
     for tn, tk in qtune.candidates(k, n, qt.fold, kdiv):
-        for fuse in (0, 1):
+        if qt.npack and tn < 256:  # packed tile needs >= 128 lanes
+            continue
+        for fuse in ((1,) if qt.npack else (0, 1)):
             try:
                 dt = timed(tn, tk, bool(fuse))
             except Exception as ex:  # infeasible tiling (VMEM, layout)
