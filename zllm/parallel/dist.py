@@ -63,14 +63,22 @@ def make_hybrid_mesh(dcn: int = 1, dp: int = 1, tp: int | None = None,
     assert dcn * dp * tp == n, f"dcn({dcn})*dp({dp})*tp({tp}) != {n} devices"
 
     n_hosts = len({getattr(d, "process_index", 0) for d in devices})
+    arr = None
     if n_hosts > 1 and dcn == n_hosts:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp, tp), dcn_mesh_shape=(dcn, 1), devices=devices,
-        )  # -> (dcn*dp, tp), dcn varying slowest
-        arr = np.asarray(arr).reshape(dcn, dp, tp)
-    else:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp, tp), dcn_mesh_shape=(dcn, 1), devices=devices,
+            )  # -> (dcn*dp, tp), dcn varying slowest
+            arr = np.asarray(arr).reshape(dcn, dp, tp)
+        except ValueError:
+            # multi-process CPU clusters report a single slice; order by
+            # process so the dcn axis still aligns with host boundaries
+            arr = np.asarray(sorted(
+                devices, key=lambda d: (getattr(d, "process_index", 0), d.id)
+            )).reshape(dcn, dp, tp)
+    if arr is None:
         arr = np.asarray(devices).reshape(dcn, dp, tp)
     return Mesh(arr, axis_names=("dcn", "dp", "tp"))
 

@@ -196,23 +196,35 @@ def _batch_axes(mesh: Mesh | None):
     return axes if len(axes) > 1 else (axes[0] if axes else None)
 
 
-def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True, logits_for="all"):
+def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True,
+                       logits_for="all", replicate_logits: bool = False):
     """Jitted shard_map forward: (params, tokens, positions[, kv]) ->
     (logits, kv) | logits.  Batch shards over dp; activations replicate
-    over tp; weight collectives fire inside linear()."""
+    over tp; weight collectives fire inside linear().
+
+    replicate_logits: all-gather the batch-sharded logits inside the
+    shard_map so every process holds the full tensor — required by the
+    multi-host coordinated engine, whose rank-0 slot machine samples all
+    rows but only addresses its local shards."""
     from ..models.llama import forward
 
     data_spec = P(_batch_axes(mesh), None)
     ep = "tp" if plan.moe else None
+    baxes = _batch_axes(mesh)
 
     if with_kv:
         def fn(params, tokens, positions, kv):
-            return forward(params, cfg, tokens, positions, kv, logits_for=logits_for, ep_axis=ep)
+            logits, kv = forward(params, cfg, tokens, positions, kv,
+                                 logits_for=logits_for, ep_axis=ep)
+            if replicate_logits:
+                logits = jax.lax.all_gather(logits, baxes, axis=0, tiled=True)
+            return logits, kv
 
+        lspec = P(None, None, None) if replicate_logits else P(baxes, None, None)
         mapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan, mesh)),
-            out_specs=(P(_batch_axes(mesh), None, None), kv_spec(plan, mesh)),
+            out_specs=(lspec, kv_spec(plan, mesh)),
             check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=(3,))

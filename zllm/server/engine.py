@@ -149,7 +149,8 @@ class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
                  speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous",
-                 draft_model=None, tp: int = 1, dp: int = 1, mesh=None):
+                 draft_model=None, tp: int = 1, dp: int = 1, mesh=None,
+                 coordinated: bool = False):
         import functools
 
         import jax
@@ -313,10 +314,14 @@ class Engine:
             self.plan = plan
             self._kv_sharding = NamedSharding(self.mesh, kv_spec(plan, self.mesh))
             self.kv = jax.device_put(self.kv, self._kv_sharding)
+            # coordinated multi-host serving: rank 0 samples every row but
+            # only addresses its local shards -> gather logits in-map
             _s_all = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
-                                        with_kv=True, logits_for="all")
+                                        with_kv=True, logits_for="all",
+                                        replicate_logits=coordinated)
             _s_last = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
-                                         with_kv=True, logits_for="last")
+                                         with_kv=True, logits_for="last",
+                                         replicate_logits=coordinated)
 
             def _step(params, tokens, positions, kv, logits_for="last"):
                 return (_s_all if logits_for == "all" else _s_last)(
@@ -366,6 +371,22 @@ class Engine:
                     return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv
 
             self._dstep = _dstep
+
+        # multi-host CB schedule coordination (SURVEY hard part #4): rank 0
+        # broadcasts (op, kind, tokens, positions) before every device step
+        # so every process of a dcn mesh replays the identical ubatch
+        self.coordinator = None
+        if coordinated:
+            if self.recurrent or self.hybrid or self.paged or speculative:
+                raise ValueError(
+                    "coordinated serving supports the standard contiguous-KV "
+                    "attention path only")
+            # context shift / slot restore mutate device KV outside the
+            # broadcast step stream and would desync follower caches
+            self.context_shift = False
+            from ..parallel.coordinator import StepCoordinator
+
+            self.coordinator = StepCoordinator(n_slots, prefill_chunk)
 
         # device-side per-row logit pick + batched sampler chain
         from ..sampling import batched as _batched
@@ -616,6 +637,28 @@ class Engine:
                         s.cache_tokens = []
                         s.pos = 0
                         self._finish(s, "error", msg)
+        if self.coordinator is not None and self.coordinator.is_leader:
+            self.coordinator.publish_stop()  # release follower processes
+
+    def run_follower(self):
+        """Follower-process loop for coordinated multi-host serving: replay
+        every schedule rank 0 broadcasts through the SAME jitted sharded
+        step, keeping this process's KV/mesh shards in lockstep.  Blocks
+        until the leader publishes OP_STOP.  The follower has no HTTP
+        front-end, no slot machine, and never samples — logits are computed
+        (they are a by-product of the sharded step) and dropped."""
+        from ..parallel.coordinator import KIND_DECODE, OP_STOP
+
+        assert self.coordinator is not None and not self.coordinator.is_leader
+        jnp = self._jnp
+        while True:
+            op, kind, toks, pos = self.coordinator.recv()
+            if op == OP_STOP:
+                return
+            lf = "last" if kind == KIND_DECODE else "all"
+            _, self.kv = self._step(
+                self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for=lf
+            )
 
     def _step_once(self):
         # control tasks (slot save/restore) run between steps
@@ -690,6 +733,10 @@ class Engine:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
 
+        if self.coordinator is not None:
+            from ..parallel.coordinator import KIND_MIXED
+
+            self.coordinator.publish(KIND_MIXED, toks, pos)
         logits, self.kv = self._step(
             self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
         )
@@ -957,6 +1004,10 @@ class Engine:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
 
+        if self.coordinator is not None:
+            from ..parallel.coordinator import KIND_DECODE
+
+            self.coordinator.publish(KIND_DECODE, toks, pos)
         logits, self.kv = self._step(
             self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="last"
         )
@@ -975,7 +1026,16 @@ class Engine:
         the grammar mask into that slot's raw logits and rerun the full
         chain — so typical_p/penalties/etc. shape constrained requests too."""
         jnp = self._jnp
-        picked = self._pick(logits, jnp.asarray(cols))  # [n_slots, V] on device
+        if self.coordinator is not None and self.coordinator.n_processes > 1:
+            # logits are replicated (see sharded_forward_fn) but committed
+            # to the global mesh: fetch the local copy and pick on host so
+            # the leader-only sampler runs on its own devices
+            lg = np.asarray(logits)
+            picked = jnp.asarray(
+                np.take_along_axis(lg, np.asarray(cols)[:, None, None], axis=1)[:, 0]
+            )
+        else:
+            picked = self._pick(logits, jnp.asarray(cols))  # [n_slots, V] on device
         args = [jnp.asarray(a) for a in self._params.arrays()]
         toks, chain_logits, keys1, mu1 = self._sample_batch(
             picked, self._keys, jnp.asarray(self._recent), self._br_mask,
