@@ -24,6 +24,15 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec ~819 GB/s)
 
 # TinyLlama-1.1B geometry (22 layers, 2048 emb, 32 heads/4 kv, ff 5632)
 SHAPE = dict(n_layers=22, n_embd=2048, n_heads=32, n_kv_heads=4, n_ff=5632, vocab_size=32000)
+# Llama-3-8B geometry — the BASELINE.md north-star shape (32 layers, 4096
+# emb, GQA 8, ff 14336).  Select with ZLLM_BENCH_GEOM=8b / --8b; the
+# synthetic Q4_K file is ~4.5 GiB and cached after the first build.
+SHAPE_8B = dict(n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, n_ff=14336,
+                vocab_size=128256)
+GEOMS = {
+    "tinyllama": ("tinyllama1.1b_q4k", SHAPE, "bench_tinyllama_q4k.gguf"),
+    "8b": ("llama3-8b-shape_q4k", SHAPE_8B, "bench_8bshape_q4k.gguf"),
+}
 
 
 def _probe_device(timeout_s: float = 180.0) -> bool:
@@ -48,6 +57,11 @@ def _probe_device(timeout_s: float = 180.0) -> bool:
 
 
 def main():
+    geom = os.environ.get("ZLLM_BENCH_GEOM", "tinyllama")
+    if "--8b" in sys.argv:
+        geom = "8b"
+    name, shape, fname = GEOMS[geom]
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,10 +88,10 @@ def main():
 
     cache_dir = os.path.join(REPO, ".cache")
     os.makedirs(cache_dir, exist_ok=True)
-    cache = os.environ.get("ZLLM_BENCH_GGUF", os.path.join(cache_dir, "bench_tinyllama_q4k.gguf"))
+    cache = os.environ.get("ZLLM_BENCH_GGUF", os.path.join(cache_dir, fname))
     if not os.path.exists(cache):
         t0 = time.time()
-        make_llama_gguf(cache, gtype=GGMLType.Q4_K, **SHAPE)
+        make_llama_gguf(cache, gtype=GGMLType.Q4_K, **shape)
         print(f"built synthetic model in {time.time()-t0:.0f}s", file=sys.stderr)
 
     m = Model.load(cache, quantized=True, dtype=jnp.bfloat16)
@@ -162,7 +176,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "tinyllama1.1b_q4k_decode_tok_s",
+                "metric": f"{name}_decode_tok_s",
                 "value": round(decode_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / roofline_tok_s, 4),
