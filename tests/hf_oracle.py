@@ -59,6 +59,14 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "olmo3": (transformers.Olmo3ForCausalLM, transformers.Olmo3Config),
         "phi2": (transformers.PhiForCausalLM, transformers.PhiConfig),
         "lfm2": (transformers.Lfm2ForCausalLM, transformers.Lfm2Config),
+        "arcee": (transformers.ArceeForCausalLM, transformers.ArceeConfig),
+        "ernie4_5": (transformers.Ernie4_5ForCausalLM, transformers.Ernie4_5Config),
+        "exaone4": (transformers.Exaone4ForCausalLM, transformers.Exaone4Config),
+        "cohere2": (transformers.Cohere2ForCausalLM, transformers.Cohere2Config),
+        "olmoe": (transformers.OlmoeForCausalLM, transformers.OlmoeConfig),
+        "glm4moe": (transformers.Glm4MoeForCausalLM, transformers.Glm4MoeConfig),
+        "dots1": (transformers.Dots1ForCausalLM, transformers.Dots1Config),
+        "bloom": (transformers.BloomForCausalLM, transformers.BloomConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -94,6 +94,28 @@ _ARCH_RULES = {
     "seed-oss": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # olmo3: olmo2 post-only norms + QK norm + sliding-window pattern
     "olmo3": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # arcee: llama layout + NON-gated relu^2 MLP (generic loop detects the
+    # missing gate_proj)
+    "arcee": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # ernie 4.5 dense: llama clone, neox rope
+    "ernie4_5": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
+    # (rope only on sliding layers -> nope_step on the full-attn layers)
+    "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # cohere2: command-r shared-norm parallel residual + logit_scale +
+    # iSWA (rope only on sliding layers); interleaved rope like command-r
+    "cohere2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # olmoe: full-dim QK norm + 64-expert top-8 MoE
+    "olmoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # glm4moe: partial rotary + optional per-head QK norm + deepseek-style
+    # MoE (sigmoid gate, group routing, shared experts, leading dense)
+    "glm4moe": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # dots1: qwen3 attention (per-head QK norm) + deepseek-v3 MoE
+    "dots1": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # minicpm: llama layout + emb/residual/logit scaling knobs
+    "minicpm": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # baichuan (7B rope variant): llama layout, fused W_pack qkv
+    "baichuan": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -168,6 +190,33 @@ def convert_hf_llama(
         w.add(f"{arch}.expert_shared_feed_forward_length", int(config["shared_expert_intermediate_size"]))
     if "norm_topk_prob" in config:
         w.add(f"{arch}.norm_topk_prob", bool(config["norm_topk_prob"]))
+    # deepseek-v3-style MoE knobs (glm4moe/dots1 HF naming)
+    if "n_routed_experts" in config:
+        w.add(f"{arch}.expert_count", int(config["n_routed_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    if config.get("n_shared_experts"):
+        w.add(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
+        if "moe_intermediate_size" in config:
+            w.add(f"{arch}.expert_shared_feed_forward_length",
+                  int(config["moe_intermediate_size"]) * int(config["n_shared_experts"]))
+    if "first_k_dense_replace" in config:
+        w.add(f"{arch}.leading_dense_block_count", int(config["first_k_dense_replace"]))
+    if "routed_scaling_factor" in config:
+        w.add(f"{arch}.expert_weights_scale", float(config["routed_scaling_factor"]))
+    if "n_routed_experts" in config and config.get("scoring_func", "sigmoid") == "sigmoid":
+        # deepseek-v3-family routers (glm4moe has no scoring_func field)
+        w.add(f"{arch}.expert_gating_func", 2)
+    if int(config.get("n_group", 1) or 1) > 1:
+        w.add(f"{arch}.expert_group_count", int(config["n_group"]))
+        w.add(f"{arch}.expert_group_used_count", int(config.get("topk_group", 1)))
+    # minicpm scaling knobs (reference llama-model.cpp minicpm loading)
+    if "scale_emb" in config:
+        w.add(f"{arch}.embedding_scale", float(config["scale_emb"]))
+    if "scale_depth" in config:
+        w.add(f"{arch}.residual_scale",
+              float(config["scale_depth"]) / float(n_layer) ** 0.5)
+    if "dim_model_base" in config:
+        w.add(f"{arch}.logit_scale", float(config["dim_model_base"]) / float(n_embd))
     if arch == "gpt-oss":
         w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
         w.add(f"{arch}.expert_gating_func", 3)  # softmax over selected weights
@@ -224,9 +273,16 @@ def convert_hf_llama(
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.gate_up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
             continue
-        _emit(w, o + "attn_q.weight", perm(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
-        _emit(w, o + "attn_k.weight", perm(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
-        _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
+        if p + "self_attn.W_pack.weight" in state_dict:  # baichuan fused qkv
+            wp = npy(state_dict[p + "self_attn.W_pack.weight"])
+            qd, kvd = n_head * head_dim, n_kv * head_dim
+            _emit(w, o + "attn_q.weight", perm(wp[:qd], n_head), gtype)
+            _emit(w, o + "attn_k.weight", perm(wp[qd:qd + kvd], n_kv), gtype)
+            _emit(w, o + "attn_v.weight", np.ascontiguousarray(wp[qd + kvd:]), gtype)
+        else:
+            _emit(w, o + "attn_q.weight", perm(npy(state_dict[p + "self_attn.q_proj.weight"]), n_head), gtype)
+            _emit(w, o + "attn_k.weight", perm(npy(state_dict[p + "self_attn.k_proj.weight"]), n_kv), gtype)
+            _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
         _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
         if rules["qkv_bias"] and p + "self_attn.q_proj.bias" in state_dict:
             _emit(w, o + "attn_q.bias", npy(state_dict[p + "self_attn.q_proj.bias"]), GGMLType.F32)
@@ -263,9 +319,13 @@ def convert_hf_llama(
             dn = npy(state_dict[p + "mlp.experts.down_proj"]).transpose(0, 2, 1)  # [E, K, F]
             _emit(w, o + "ffn_down_exps.weight", np.ascontiguousarray(dn), gtype)
             _emit(w, o + "ffn_down_exps.bias", npy(state_dict[p + "mlp.experts.down_proj_bias"]), GGMLType.F32)
-        elif p + "mlp.gate.weight" in state_dict:  # qwen2moe/qwen3moe
+        elif p + "mlp.gate.weight" in state_dict:  # qwen2moe/qwen3moe/glm4moe/dots1
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.weight"]), GGMLType.F32)
-            n_exp = int(config.get("num_experts") or config["num_local_experts"])
+            if p + "mlp.gate.e_score_correction_bias" in state_dict:  # deepseek-v3 family
+                _emit(w, o + "exp_probs_b.bias",
+                      npy(state_dict[p + "mlp.gate.e_score_correction_bias"]), GGMLType.F32)
+            n_exp = int(config.get("num_experts") or config.get("n_routed_experts")
+                        or config["num_local_experts"])
             gate = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.gate_proj.weight"]) for e in range(n_exp)])
             up = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.up_proj.weight"]) for e in range(n_exp)])
             down = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.down_proj.weight"]) for e in range(n_exp)])
@@ -277,6 +337,10 @@ def convert_hf_llama(
                 _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_expert.up_proj.weight"]), gtype)
                 _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_expert.down_proj.weight"]), gtype)
                 _emit(w, o + "ffn_gate_inp_shexp.weight", npy(state_dict[p + "mlp.shared_expert_gate.weight"]), GGMLType.F32)
+            if p + "mlp.shared_experts.gate_proj.weight" in state_dict:  # deepseek-v3 family
+                _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_experts.gate_proj.weight"]), gtype)
+                _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_experts.up_proj.weight"]), gtype)
+                _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_experts.down_proj.weight"]), gtype)
         elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
             n_exp = int(config["num_local_experts"])
@@ -980,6 +1044,71 @@ def convert_hf_mpt(
         _emit(w, o + "ffn_up.weight", npy(state_dict[p + "ffn.up_proj.weight"]), gtype)
         _emit(w, o + "ffn_down.weight", npy(state_dict[p + "ffn.down_proj.weight"]), gtype)
     _emit(w, "output_norm.weight", npy(state_dict["transformer.norm_f.weight"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_bloom(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF BloomForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    BloomModel — per-head-interleaved query_key_value deinterleaves to
+    contiguous Q|K|V; ALiBi; embedding LayerNorm -> token_embd_norm)."""
+    npy = _npy
+    arch = "bloom"
+    n_layer = int(config.get("n_layer", config.get("num_hidden_layers")))
+    n_embd = int(config.get("n_embed", config.get("hidden_size")))
+    n_head = int(config.get("n_head", config.get("num_attention_heads")))
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("seq_length", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", 4 * n_embd)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.max_alibi_bias", 8.0)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    sd = {k.removeprefix("transformer."): v for k, v in state_dict.items()}
+    _emit(w, "token_embd.weight", npy(sd["word_embeddings.weight"]), gtype)
+    _emit(w, "token_embd_norm.weight", npy(sd["word_embeddings_layernorm.weight"]), GGMLType.F32)
+    _emit(w, "token_embd_norm.bias", npy(sd["word_embeddings_layernorm.bias"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"h.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(sd[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(sd[p + "input_layernorm.bias"]), GGMLType.F32)
+        qkv = npy(sd[p + "self_attention.query_key_value.weight"])
+        qkv = qkv.reshape(n_head, 3, head_dim, n_embd)
+        qkvb = npy(sd[p + "self_attention.query_key_value.bias"]).reshape(n_head, 3, head_dim)
+        for i, nm in enumerate(("q", "k", "v")):
+            _emit(w, o + f"attn_{nm}.weight",
+                  np.ascontiguousarray(qkv[:, i].reshape(n_embd, n_embd)), gtype)
+            _emit(w, o + f"attn_{nm}.bias",
+                  np.ascontiguousarray(qkvb[:, i].reshape(n_embd)), GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(sd[p + "self_attention.dense.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(sd[p + "self_attention.dense.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(sd[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.bias", npy(sd[p + "post_attention_layernorm.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(sd[p + "mlp.dense_h_to_4h.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(sd[p + "mlp.dense_h_to_4h.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(sd[p + "mlp.dense_4h_to_h.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(sd[p + "mlp.dense_4h_to_h.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(sd["ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(sd["ln_f.bias"]), GGMLType.F32)
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path

@@ -342,15 +342,16 @@ class ModelConfig:
             emb_scale=float(kv("embedding_scale", 1.0)),
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
-            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2, "olmo3": 4}.get(arch, 1),
+            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2,
+                         "olmo3": 4, "exaone4": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             act=(
                 "swiglu_oai" if arch == "gpt-oss"
                 else "gelu" if arch.startswith("gemma")
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
-                else "gelu" if arch in ("starcoder2", "gpt2", "phi2")
-                else "relu2" if arch == "nemotron"
+                else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
+                else "relu2" if arch in ("nemotron", "arcee")
                 else "silu"
             ),
             attn_scale=attn_scale_override
@@ -366,20 +367,23 @@ class ModelConfig:
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
-                            "phi2")
+                            "phi2", "cohere2", "bloom")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
             attn_layers=attn_layers,
             # jamba attention has no rope; gpt2 uses learned position
             # embeddings; mpt uses ALiBi
-            use_rope=arch not in ("jamba", "gpt2", "mpt"),
+            use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom"),
             parallel_residual=(
-                "shared" if arch in ("command-r", "phi2")
+                "shared" if arch in ("command-r", "phi2", "cohere2")
                 else "separate" if bool(kv("use_parallel_residual", False))
                 else "none"
             ),
-            nope_step=4 if arch == "smollm3" else 0,
+            # cohere2/exaone4 apply rope ONLY on sliding layers: the full-
+            # attention layer of each window group is NoPE (HF is_sliding
+            # gating; reference models/cohere2-iswa.cpp, exaone4.cpp)
+            nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4}.get(arch, 0),
             alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
             shortconv_l=int(kv("shortconv.l_cache", 0) or 0),
             parallel_hybrid=arch == "falcon-h1",
@@ -421,4 +425,13 @@ _NEOX_ROPE_ARCHES = {
     "lfm2",
     "bamba",
     "falcon-h1",
+    "arcee",
+    # ernie4_5 uses adjacent-pair (interleaved) rope natively - NORM style
+    "exaone4",
+    "olmoe",
+    "glm4moe",
+    "dots1",
+    "minicpm",
+    "baichuan",
+    "internlm2",
 }

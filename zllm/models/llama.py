@@ -69,6 +69,10 @@ def embed(params, cfg, tokens: jax.Array, positions: jax.Array | None = None) ->
         # learned absolute position embeddings (gpt2 wpe; reference:
         # src/models/gpt2.cpp build_inp_pos + position_embd)
         x = x + params["pos_emb"][jnp.clip(positions, 0, params["pos_emb"].shape[0] - 1)]
+    if "tok_norm" in params and not cfg.arch.startswith("lfm2"):
+        # bloom word_embeddings_layernorm (reference: src/models/bloom.cpp
+        # token_embd_norm applied right after the embedding lookup)
+        x = block_norm(x, params, "tok_norm", cfg)
     return x
 
 
