@@ -313,6 +313,20 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "MambaForCausalLM": ("mamba", "mamba"),
     "Rwkv6ForCausalLM": ("rwkv6", "rwkv6"),
     "RwkvForCausalLM": ("rwkv6", "rwkv6"),
+    "ArceeForCausalLM": ("llama", "arcee"),
+    "Ernie4_5ForCausalLM": ("llama", "ernie4_5"),
+    "Ernie4_5_ForCausalLM": ("llama", "ernie4_5"),
+    "Exaone4ForCausalLM": ("llama", "exaone4"),
+    "Cohere2ForCausalLM": ("llama", "cohere2"),
+    "CohereForCausalLM": ("llama", "command-r"),
+    "OlmoeForCausalLM": ("llama", "olmoe"),
+    "Glm4MoeForCausalLM": ("llama", "glm4moe"),
+    "Dots1ForCausalLM": ("llama", "dots1"),
+    "MiniCPMForCausalLM": ("llama", "minicpm"),
+    "BaichuanForCausalLM": ("llama", "baichuan"),
+    "BaiChuanForCausalLM": ("llama", "baichuan"),
+    "InternLM2ForCausalLM": ("internlm2", "internlm2"),
+    "BloomForCausalLM": ("bloom", "bloom"),
 }
 
 
@@ -352,6 +366,10 @@ def convert_hf_dir(
             return hfmod.convert_hf_mamba(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "rwkv6":
             return hfmod.convert_hf_rwkv6(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "internlm2":
+            return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "bloom":
+            return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         raise NotImplementedError(family)
     finally:
         sd.close()

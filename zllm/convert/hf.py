@@ -116,6 +116,8 @@ _ARCH_RULES = {
     "minicpm": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # baichuan (7B rope variant): llama layout, fused W_pack qkv
     "baichuan": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # internlm2: llama graph; grouped wqkv unpacked by convert_hf_internlm2
+    "internlm2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -1047,6 +1049,50 @@ def convert_hf_mpt(
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_internlm2(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF InternLM2ForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    InternLM2Model — the grouped wqkv packing [n_kv, q_per_kv+2, hd, h]
+    unpacks to separate Q|K|V; w1/w3/w2 -> gate/up/down).  Graph itself is
+    llama; re-emitted through convert_hf_llama after renaming."""
+    npy = _npy
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    n_embd = int(config["hidden_size"])
+    head_dim = int(config.get("head_dim", n_embd // n_head))
+    q_per_kv = n_head // n_kv
+
+    sd = {}
+    for k, v in state_dict.items():
+        if ".attention.wqkv.weight" in k:
+            p = k.replace("attention.wqkv.weight", "")
+            g = npy(v).reshape(n_kv, q_per_kv + 2, head_dim, n_embd)
+            sd[p + "self_attn.q_proj.weight"] = np.ascontiguousarray(
+                g[:, :q_per_kv].reshape(n_head * head_dim, n_embd))
+            sd[p + "self_attn.k_proj.weight"] = np.ascontiguousarray(
+                g[:, q_per_kv].reshape(n_kv * head_dim, n_embd))
+            sd[p + "self_attn.v_proj.weight"] = np.ascontiguousarray(
+                g[:, q_per_kv + 1].reshape(n_kv * head_dim, n_embd))
+        else:
+            sd[(k.replace("model.tok_embeddings", "model.embed_tokens")
+                .replace("attention.wo", "self_attn.o_proj")
+                .replace("attention_norm", "input_layernorm")
+                .replace("feed_forward.w1", "mlp.gate_proj")
+                .replace("feed_forward.w3", "mlp.up_proj")
+                .replace("feed_forward.w2", "mlp.down_proj")
+                .replace("ffn_norm", "post_attention_layernorm")
+                .replace("output.weight", "lm_head.weight")
+                if not k.startswith("model.norm") else k)] = v
+    return convert_hf_llama(sd, config, out_path, arch="internlm2", gtype=gtype,
+                            tokenizer_kv=tokenizer_kv)
 
 
 def convert_hf_bloom(
