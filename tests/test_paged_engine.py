@@ -113,3 +113,51 @@ def test_paged_slot_save_restore(model, tmp_path):
         assert out["n_past"] == info["n_past"]
     finally:
         eng.stop()
+
+
+def test_paged_context_shift_matches_contiguous(model):
+    """A paged slot overrunning max_len context-shifts by gather -> slide +
+    K re-rotation -> scatter through the page table, producing the same
+    greedy continuation as the contiguous engine's shift (reference: server
+    context-shift on the cell-indexed cache, server-context.cpp:1981-2010)."""
+    from zllm.server.engine import Engine, Request
+
+    r = np.random.default_rng(5)
+    prompt = list(r.integers(1, 100, size=90))
+
+    def run(layout):
+        eng = Engine(model, n_slots=2, max_len=128, prefill_chunk=16,
+                     kv_layout=layout, prefix_reuse=False)
+        eng.start()
+        try:
+            req = eng.submit(Request(prompt_tokens=prompt, max_new=80, temp=0.0))
+            deadline = time.time() + 120
+            while not req.done:
+                assert time.time() < deadline, "engine timed out"
+                time.sleep(0.02)
+            assert req.error == "", req.error
+            return list(req.out_tokens), eng.metrics["context_shifts_total"]
+        finally:
+            eng.stop()
+
+    want, shifts_c = run("contiguous")
+    got, shifts_p = run("paged")
+    assert shifts_p >= 1, "paged run never shifted"
+    assert shifts_p == shifts_c
+    assert got == want
+
+
+def test_paged_shift_refuses_shared_pages(model):
+    """A slot whose prefix pages are shared must finish by length instead
+    of corrupting the sharing slot's cache."""
+    from zllm.runtime.paged import PageAllocator
+
+    alloc = PageAllocator(n_slots=2, max_len=256, page_size=128)
+    alloc.assign_slot(0, None, 0)
+    alloc.assign_slot(1, 0, 1)  # slot 1 shares slot 0's first page
+    assert not alloc.exclusively_owned(0)
+    assert not alloc.exclusively_owned(1)
+    alloc.release_slot(1)
+    alloc.assign_slot(1, None, 0)
+    assert alloc.exclusively_owned(0)
+    assert alloc.exclusively_owned(1)

@@ -285,6 +285,10 @@ def shift_context_row(kv: KVCache, rope_params, row: int, n_keep: int, n_discard
     trash region — are preserved untouched)."""
     if isinstance(kv, KVCacheQ8):
         return _shift_context_row_q8(kv, rope_params, row, n_keep, n_discard, horizon)
+    if hasattr(kv, "page_size"):  # PagedKVCache: table-indexed row shift
+        from .paged import shift_context_row_paged
+
+        return shift_context_row_paged(kv, rope_params, row, n_keep, n_discard)
     from ..ops.layers import apply_rope
 
     s_total = kv.max_len

@@ -217,3 +217,40 @@ class PageAllocator:
     def shareable_pages(self, prefix_tokens: int) -> int:
         """How many FULL pages a common prefix of `prefix_tokens` covers."""
         return prefix_tokens // self.ps
+
+    def exclusively_owned(self, slot: int) -> bool:
+        """True when none of the slot's pages are shared — the context
+        shift rewrites page contents in place, which is only legal on
+        refcount-1 pages."""
+        return all(
+            int(self.refs[int(self.table[slot, j])]) == 1
+            for j in range(self.owned[slot])
+        )
+
+
+def shift_context_row_paged(kv: PagedKVCache, rope_params, row: int, n_keep: int,
+                            n_discard: int) -> PagedKVCache:
+    """Per-slot context shift on the paged pool (reference capability:
+    llama_memory_seq_add + seq_rm on the cell-indexed cache,
+    src/llama-kv-cache.cpp): gather the slot's logical row through its page
+    table, drop `n_discard` entries after `n_keep`, re-rotate the moved K
+    by -n_discard positions, scatter back into the SAME pages.  The table
+    is untouched (the slot keeps its pages and regrows into the freed
+    tail); pages must be exclusively owned (PageAllocator.exclusively_owned)
+    since contents are rewritten in place."""
+    import jax.numpy as jnp
+
+    from ..ops.layers import apply_rope
+
+    hz = kv.horizon
+    for il in range(kv.n_layers):
+        rk, rv = kv.gather_row(il, row, hz)  # [Hkv, hz, D]
+        mk = rk[:, n_keep + n_discard:, :].transpose(1, 0, 2)[None]  # [1, T, H, D]
+        delta = jnp.full((1, mk.shape[1]), -n_discard, jnp.int32)
+        mk = apply_rope(mk, delta, rope_params)[0].transpose(1, 0, 2)
+        zk = jnp.zeros_like(rk[:, :n_discard, :])
+        nk = jnp.concatenate([rk[:, :n_keep, :], mk, zk], axis=1)
+        nv = jnp.concatenate(
+            [rv[:, :n_keep, :], rv[:, n_keep + n_discard:, :], zk], axis=1)
+        kv = kv.scatter_row(il, row, nk, nv)
+    return kv

@@ -282,9 +282,9 @@ class Engine:
                 cfg.n_layers, n_slots, max_len, cfg.n_kv_heads, cfg.head_dim,
                 kv_dtype, page_size=page_size,
             ).with_table(self.alloc.table)
-            # the paged cache drops old pages by table surgery, not by
-            # sliding data — the K-re-rotation shift doesn't apply
-            self.context_shift = False
+            # context shift works through the page table (gather -> slide +
+            # re-rotate K -> scatter into the same pages); _shift_slot
+            # additionally requires the pages to be exclusively owned
         elif cfg.sliding_window > 0 and context_shift in ("auto", False):
             # pruned ring cache for SWA layers (reference: iswa dual cache)
             # — old context drops out of the ring natively, so the K-
@@ -695,6 +695,11 @@ class Engine:
     def _shift_slot(self, slot: _Slot):
         """Discard the oldest half of the slot's window, keep n_keep."""
         if not self.context_shift:
+            self._finish(slot, "length")
+            return
+        if self.paged and not self.alloc.exclusively_owned(slot.idx):
+            # shared prefix pages are rewritten in place by the shift —
+            # refuse rather than corrupt the sharing slots
             self._finish(slot, "length")
             return
         from ..runtime.kvcache import shift_context_row
