@@ -137,3 +137,59 @@ def test_expert_parallel_matches_single(tiny_moe, t):
     got = np.asarray(step(params, tokens, positions))
 
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_ep_capacity_bounds():
+    """Per-shard expert reads scale with local load: capacity = tk/ep *
+    slack, clamped to tk (VERDICT counted-bytes gate: each device reads
+    <= (k * slack / ep) expert weight sets per token + the trash row)."""
+    import os
+
+    from zllm.models.llama import _ep_capacity
+
+    assert _ep_capacity(512, 8) == 256  # 512/8 * 4 slack
+    assert _ep_capacity(4, 4) == 4  # clamped to tk -> exact
+    assert _ep_capacity(1024, 16) == 256
+    old = os.environ.get("ZLLM_EP_SLACK")
+    try:
+        os.environ["ZLLM_EP_SLACK"] = "inf"
+        assert _ep_capacity(512, 8) == 512  # exact mode
+        os.environ["ZLLM_EP_SLACK"] = "1"
+        assert _ep_capacity(512, 8) == 64
+    finally:
+        if old is None:
+            os.environ.pop("ZLLM_EP_SLACK", None)
+        else:
+            os.environ["ZLLM_EP_SLACK"] = old
+
+
+def test_ep_compact_graceful_under_overflow(tiny_moe):
+    """With a starvation-level capacity (slack such that C < per-shard
+    load), the compact dispatch drops picks GShard-style but must stay
+    finite and keep the kept picks' contributions exact-signed."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.models.llama import forward
+    from zllm.parallel import make_mesh, shard_params, sharded_forward_fn
+
+    m = tiny_moe
+    rng = np.random.default_rng(3)
+    b, t = 2, 1
+    tokens = jnp.asarray(rng.integers(0, m.cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+    mesh = make_mesh(jax.devices(), dp=2, tp=4)
+    params, leaf_specs, plan = shard_params(m.params, mesh, m.cfg)
+    old = os.environ.get("ZLLM_EP_SLACK")
+    try:
+        os.environ["ZLLM_EP_SLACK"] = "0.5"  # force C=1 per shard
+        step = sharded_forward_fn(m.cfg, mesh, leaf_specs, plan, with_kv=False)
+        got = np.asarray(step(params, tokens, positions))
+        assert np.isfinite(got).all()
+    finally:
+        if old is None:
+            os.environ.pop("ZLLM_EP_SLACK", None)
+        else:
+            os.environ["ZLLM_EP_SLACK"] = old

@@ -120,6 +120,20 @@ def _local_expert_count(w) -> int:
     return w.shape[0]
 
 
+def _ep_capacity(tk: int, ep: int) -> int:
+    """Per-shard pick-buffer capacity for the EP compact dispatch: the mean
+    load tk/ep times the ZLLM_EP_SLACK factor (default 4 — generous enough
+    that drops need a >4x routing imbalance), never above tk (at which
+    point the buffer is exact and nothing can drop)."""
+    import math
+    import os
+
+    slack = float(os.environ.get("ZLLM_EP_SLACK", "4"))
+    if not math.isfinite(slack):
+        return tk
+    return max(1, min(tk, math.ceil(tk / ep * slack)))
+
+
 def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     """Mixture-of-experts FFN (reference: build_moe_ffn,
     src/llama-graph.cpp:964-1140; sparse dispatch via ggml_mul_mat_id
@@ -185,19 +199,47 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
     gate_w, up_w, down_w = layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"]
 
     e_local = _local_expert_count(gate_w)
-    if ep_axis is not None:
-        # map global expert ids onto this shard; foreign experts clamp to
-        # slot 0 with zero routing weight (their product drops out of psum)
-        lo = lax.axis_index(ep_axis) * e_local
-        li = topi - lo
-        inb = (li >= 0) & (li < e_local)
-        topi = jnp.where(inb, li, 0)
-        topv = jnp.where(inb, topv, 0.0)
-
     gb = layer.get("ffn_gate_exps_b")  # [E, F] expert biases (gpt-oss)
     ub = layer.get("ffn_up_exps_b")
     db = layer.get("ffn_down_exps_b")
-    if t * moe.n_experts_used < e_local:
+    k_used = moe.n_experts_used
+    if ep_axis is not None and t * k_used < e_local * lax.axis_size(ep_axis):
+        # EP sparse regime: activations are REPLICATED over the ep axis, so
+        # no token exchange is needed — each shard compacts the picks whose
+        # experts live locally into a capacity-bounded buffer and gathers
+        # ONE expert per owned pick.  Per-shard expert reads/FLOPs scale
+        # with local load (~T*k/ep picks), not with T*k as the former
+        # clamp-to-expert-0 dispatch did (reference capability:
+        # build_moe_ffn sparse dispatch, src/llama-graph.cpp:964-1140;
+        # capacity overflow drops picks GShard-style, ZLLM_EP_SLACK).
+        ep = lax.axis_size(ep_axis)
+        tk = t * k_used
+        c = _ep_capacity(tk, ep)
+        flat_i = topi.reshape(-1)
+        flat_v = topv.reshape(-1).astype(jnp.float32)
+        li = flat_i - lax.axis_index(ep_axis) * e_local
+        mine = (li >= 0) & (li < e_local)
+        rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+        ok = mine & (rank < c)
+        slot = jnp.where(ok, rank, c)  # row c is the trash slot
+        tok_of = jnp.arange(tk, dtype=jnp.int32) // k_used
+        buf_x = jnp.zeros((c + 1, kdim), hf.dtype).at[slot].set(
+            hf[tok_of] * ok[:, None].astype(hf.dtype))
+        buf_e = jnp.zeros((c + 1,), jnp.int32).at[slot].set(jnp.where(ok, li, 0))
+        gw = _experts_gather(gate_w, buf_e, h.dtype)  # [C+1, K, F]
+        uw = _experts_gather(up_w, buf_e, h.dtype)
+        dw = _experts_gather(down_w, buf_e, h.dtype)  # [C+1, F, K]
+        ge = jnp.einsum("ck,ckf->cf", buf_x, gw)
+        ue = jnp.einsum("ck,ckf->cf", buf_x, uw)
+        if gb is not None:
+            ge = ge + gb[buf_e].astype(ge.dtype)
+            ue = ue + ub[buf_e].astype(ue.dtype)
+        de = jnp.einsum("cf,cfk->ck", act(ge, ue), dw)
+        if db is not None:
+            de = de + db[buf_e].astype(de.dtype)
+        val = de[slot] * jnp.where(ok, flat_v, 0.0)[:, None].astype(de.dtype)
+        out = jnp.zeros((t, kdim), de.dtype).at[tok_of].add(val)
+    elif (ep_axis is None) and t * k_used < e_local:
         gw = _experts_gather(gate_w, topi, h.dtype)  # [T, k, K, F]
         uw = _experts_gather(up_w, topi, h.dtype)
         dw = _experts_gather(down_w, topi, h.dtype)  # [T, k, F, K]
@@ -211,12 +253,17 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None) -> jax.Array:
             de = de + db[topi].astype(de.dtype)
         out = jnp.einsum("tek,te->tk", de, topv.astype(de.dtype))
     else:
+        if ep_axis is not None:
+            # dense regime under EP: clamp foreign picks to slot 0 at zero
+            # weight (the masked dense pass then ignores them)
+            lo = lax.axis_index(ep_axis) * e_local
+            li = topi - lo
+            inb = (li >= 0) & (li < e_local)
+            topi = jnp.where(inb, li, 0)
+            topv = jnp.where(inb, topv, 0.0)
         # scatter kept weights to a [T, E_local] mask
         dense_gate = jnp.zeros((t, e_local), probs.dtype)
         dense_gate = jax.vmap(lambda g, i, v: g.at[i].add(v))(dense_gate, topi, topv)
-        if ep_axis is not None:
-            # clamped foreign ids land on slot 0 with v=0: add is a no-op
-            pass
         gwd = _experts_dense(gate_w, h.dtype)
         uwd = _experts_dense(up_w, h.dtype)
         dwd = _experts_dense(down_w, h.dtype)
