@@ -86,3 +86,22 @@ def test_pp_kv_decode_parity(model):
     got1, kvk, kvv = step(shared, stages, tok1, pos1, kvk, kvv)
     want1, kv = forward(model.params, cfg, tok1, pos1, kv, logits_for="last")
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), rtol=2e-4, atol=2e-4)
+
+
+def test_pp_rejects_per_layer_variation(model):
+    """Archs whose layers differ by concrete index (interleaved SWA, NoPE
+    patterns, hybrid stacks) must be rejected, not silently mis-served."""
+    import jax
+    import pytest as _pytest
+
+    from zllm.parallel.pp import make_pp_mesh, pp_forward_fn
+
+    mesh = make_pp_mesh(jax.devices()[:2], pp=2)
+    base = model.cfg
+
+    swa = base.with_(sliding_window=32, swa_pattern=4)
+    with _pytest.raises(NotImplementedError):
+        pp_forward_fn(swa, mesh, 2)
+    nope = base.with_(nope_step=4)
+    with _pytest.raises(NotImplementedError):
+        pp_forward_fn(nope, mesh, 2)

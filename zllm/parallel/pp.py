@@ -172,6 +172,23 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
     from ..ops.layers import rms_norm
     from ..ops.linear import linear
 
+    # PP scans the layer stack with a TRACED layer index, so per-layer
+    # graph variation by concrete index is unavailable: reject archs whose
+    # layers differ (the silent-wrongness guard for e.g. gemma3's
+    # interleaved SWA or smollm3's NoPE pattern)
+    if cfg.swa_pattern > 1 and cfg.sliding_window > 0:
+        raise NotImplementedError(
+            f"{cfg.arch}: interleaved sliding-window patterns (swa_pattern="
+            f"{cfg.swa_pattern}) are not supported under pipeline parallelism")
+    if cfg.nope_step:
+        raise NotImplementedError(
+            f"{cfg.arch}: per-layer NoPE (nope_step={cfg.nope_step}) is not "
+            "supported under pipeline parallelism")
+    if cfg.attn_layers is not None or cfg.is_recurrent or cfg.is_hybrid:
+        raise NotImplementedError(
+            f"{cfg.arch}: recurrent/hybrid layer stacks are not supported "
+            "under pipeline parallelism")
+
     n_stages = mesh.shape["pp"]
 
     def fn(shared, stages, tokens, positions, kvk, kvv):
