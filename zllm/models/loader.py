@@ -325,6 +325,69 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
     return params
 
 
+# GGUF top-level tensor name -> (params key, transpose-back)
+_TOP_MAP = {
+    "token_embd.weight": ("tok_emb", False),
+    "output_norm.weight": ("out_norm", False),
+    "output_norm.bias": ("out_norm_b", False),
+    "output.weight": ("output", True),
+    "output.bias": ("output_b", False),
+    "rope_freqs.weight": ("rope_freqs", False),
+    "position_embd.weight": ("pos_emb", False),
+    "token_types.weight": ("type_emb", False),
+    "token_embd_norm.weight": ("tok_norm", False),
+    "token_embd_norm.bias": ("tok_norm_b", False),
+}
+
+
+def save_params_gguf(src_path: str, params: dict, out_path: str,
+                     gtype: GGMLType = GGMLType.F32) -> str:
+    """Inverse of load_params for DENSE, UNFUSED params — the model saver
+    behind full-weight fine-tuning (reference capability: the finetuned-
+    model write-out of examples/training/finetune.cpp via gguf_write).
+
+    Walks the SOURCE gguf's tensor list so metadata, ordering, and any
+    tensors the params tree doesn't carry (unmapped extras) pass through
+    byte-identical; mapped tensors are re-emitted from the trained arrays
+    (matmul weights transposed back to GGUF [N, K] row-major)."""
+    from ..gguf.writer import GGUFWriter
+
+    f = read_gguf(src_path)
+    w = GGUFWriter(out_path, alignment=f.alignment)
+    for key, val in f.metadata.items():
+        if key != "general.file_type":
+            w.add(key, val)
+    for name, meta in f.tensors.items():
+        val, transpose = None, False
+        if name in _TOP_MAP:
+            key, transpose = _TOP_MAP[name]
+            val = params.get(key)
+        elif name.startswith("blk."):
+            _, il_s, suffix = name.split(".", 2)
+            key = _LAYER_MAP.get(suffix)
+            if key is not None and int(il_s) < len(params.get("layers", [])):
+                val = params["layers"][int(il_s)].get(key)
+                transpose = (getattr(val, "ndim", 1) >= 2
+                             and key not in _VECTOR_KEYS)
+        if val is None or isinstance(val, (QTensor, QTensorE)):
+            raw = np.asarray(f.tensor_bytes(name))
+            w.add_tensor(name, raw, logical_shape=meta.shape, gtype=meta.gtype)
+            continue
+        x = np.asarray(val, np.float32)
+        if transpose:
+            x = np.ascontiguousarray(x.T if x.ndim == 2 else x.transpose(0, 2, 1))
+        if tuple(x.shape) != tuple(meta.shape):
+            raise ValueError(f"{name}: params shape {x.shape} != gguf {tuple(meta.shape)} "
+                             "(save requires a fuse=False-loaded model)")
+        if gtype == GGMLType.F32:
+            w.add_tensor(name, x)
+        else:
+            w.add_tensor(name, qb.quantize(x, gtype), logical_shape=x.shape, gtype=gtype)
+    w.write()
+    f.close()
+    return out_path
+
+
 def _fusable(ws) -> bool:
     if any(w is None for w in ws):
         return False
