@@ -67,6 +67,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "glm4moe": (transformers.Glm4MoeForCausalLM, transformers.Glm4MoeConfig),
         "dots1": (transformers.Dots1ForCausalLM, transformers.Dots1Config),
         "bloom": (transformers.BloomForCausalLM, transformers.BloomConfig),
+        "granitemoe": (transformers.GraniteMoeForCausalLM, transformers.GraniteMoeConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

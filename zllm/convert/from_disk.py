@@ -327,6 +327,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "BaiChuanForCausalLM": ("llama", "baichuan"),
     "InternLM2ForCausalLM": ("internlm2", "internlm2"),
     "BloomForCausalLM": ("bloom", "bloom"),
+    "GraniteMoeForCausalLM": ("llama", "granitemoe"),
 }
 
 

@@ -118,6 +118,9 @@ _ARCH_RULES = {
     "baichuan": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # internlm2: llama graph; grouped wqkv unpacked by convert_hf_internlm2
     "internlm2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # granitemoe: granite scalar multipliers + fused-input_linear MoE with
+    # softmax-over-selected gating (our gate_func 3)
+    "granitemoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -222,6 +225,9 @@ def convert_hf_llama(
     if arch == "gpt-oss":
         w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
         w.add(f"{arch}.expert_gating_func", 3)  # softmax over selected weights
+    if arch == "granitemoe":
+        w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
+        w.add(f"{arch}.expert_gating_func", 3)  # topk logits -> softmax(selected)
     # granite scalar multipliers (reference: llama-model.cpp:2039-2043)
     if "embedding_multiplier" in config:
         w.add(f"{arch}.embedding_scale", float(config["embedding_multiplier"]))
@@ -343,6 +349,15 @@ def convert_hf_llama(
                 _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_experts.gate_proj.weight"]), gtype)
                 _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_experts.up_proj.weight"]), gtype)
                 _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_experts.down_proj.weight"]), gtype)
+        elif p + "block_sparse_moe.router.layer.weight" in state_dict:  # granitemoe
+            _emit(w, o + "ffn_gate_inp.weight",
+                  npy(state_dict[p + "block_sparse_moe.router.layer.weight"]), GGMLType.F32)
+            il_w = npy(state_dict[p + "block_sparse_moe.input_linear.weight"])  # [E, 2F, K]
+            f2 = il_w.shape[1] // 2
+            _emit(w, o + "ffn_gate_exps.weight", np.ascontiguousarray(il_w[:, :f2]), gtype)
+            _emit(w, o + "ffn_up_exps.weight", np.ascontiguousarray(il_w[:, f2:]), gtype)
+            _emit(w, o + "ffn_down_exps.weight",
+                  npy(state_dict[p + "block_sparse_moe.output_linear.weight"]), gtype)
         elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
             n_exp = int(config["num_local_experts"])

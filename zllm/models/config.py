@@ -303,7 +303,7 @@ class ModelConfig:
             )
 
         logit_scale = float(kv("logit_scale", 1.0))
-        if arch == "granite" and logit_scale not in (0.0, 1.0):
+        if arch in ("granite", "granitemoe") and logit_scale not in (0.0, 1.0):
             # granite DIVIDES logits by the scale (reference granite.cpp:65);
             # cohere-style logit_scale multiplies
             logit_scale = 1.0 / logit_scale
@@ -434,4 +434,5 @@ _NEOX_ROPE_ARCHES = {
     "minicpm",
     "baichuan",
     "internlm2",
+    "granitemoe",
 }
