@@ -388,6 +388,59 @@ def save_params_gguf(src_path: str, params: dict, out_path: str,
     return out_path
 
 
+def _permute_cols(w, perm_n):
+    """Permute the output-feature (N) columns of a dense [K, N] weight or
+    every plane of a QTensor (all planes are [rows, N])."""
+    if isinstance(w, QTensor):
+        planes = {k: p[..., perm_n] for k, p in w.planes.items()}
+        return QTensor(fmt=w.fmt, shape=w.shape, planes=planes, fold=w.fold,
+                       psum_axis=w.psum_axis, gather_axis=w.gather_axis,
+                       npack=w.npack)
+    return w[..., perm_n]
+
+
+def rope_to_neox(params: dict, cfg) -> tuple[dict, object]:
+    """Convert adjacent-pair ("norm") rope models to half-split ("neox")
+    rope by permuting q/k head columns at load time — the inverse of the
+    GGUF conversion permute.  Attention scores are invariant to a shared
+    q/k permutation, but the neox rope path is strided-op free: the
+    adjacent-pair path's even/odd gathers + interleave stack cost ~2
+    relayout copies per layer per decode step (XLA profile), the neox path
+    splits contiguous halves.  Applied only to full-dim standard-attention
+    rope; per-head q/k norms and biases carry the same permutation."""
+    rope = cfg.rope
+    if (not cfg.use_rope or rope is None or rope.style != "norm"
+            or cfg.mla is not None or cfg.is_encoder
+            or rope.dim != cfg.head_dim):
+        return params, cfg
+    d = cfg.head_dim
+    # neox element i <- adjacent element (2i | 2(i-d/2)+1)
+    within = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+
+    def head_perm(n):
+        return (np.arange(n // d)[:, None] * d + within[None, :]).reshape(-1)
+
+    def vec_perm(v):
+        n = int(v.shape[-1])
+        return v[..., within] if n == d else v[..., head_perm(n)]
+
+    for layer in params.get("layers", []):
+        if "wq" not in layer or "wk" not in layer:
+            return params, cfg  # fused or exotic layout: leave as-is
+    for layer in params.get("layers", []):
+        for key in ("wq", "wk"):
+            w = layer[key]
+            n = w.shape[1] if not isinstance(w, QTensor) else w.shape[1]
+            layer[key] = _permute_cols(w, head_perm(n))
+        for key in ("bq", "bk", "attn_q_norm", "attn_k_norm"):
+            if key in layer:
+                layer[key] = vec_perm(layer[key])
+    new_rope = rope._replace(style="neox")
+    cfg = cfg.with_(rope=new_rope,
+                    rope_swa=cfg.rope_swa._replace(style="neox") if cfg.rope_swa else None)
+    return params, cfg
+
+
 def _fusable(ws) -> bool:
     if any(w is None for w in ws):
         return False
@@ -498,6 +551,8 @@ class Model:
             except NotImplementedError as e:
                 log.warning("tokenizer unavailable: %s", e)
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
+        if os.environ.get("ZLLM_ROPE_NEOX", "1") == "1":
+            params, cfg = rope_to_neox(params, cfg)
         if fuse and not cfg.is_encoder:
             params = fuse_projections(params, cfg)
         if isinstance(params.get("output"), QTensor):
