@@ -54,7 +54,7 @@ def main():
     losses = tr.fit(ids, seq_len=args.seq_len, batch=args.batch, epochs=args.epochs,
                     log=lambda i, l: print(f"step {i}: loss {l:.4f}", file=sys.stderr))
     out = args.out or (os.path.splitext(args.model)[0] + ".tuned.gguf")
-    save_params_gguf(args.model, m.params, out)
+    save_params_gguf(args.model, m.params, out, cfg=m.cfg)
     print(f"{len(losses)} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}; wrote {out}")
 
 

@@ -108,10 +108,21 @@ def load_lora(model, path: str, scale: float = 1.0):
 
         model.params = unfuse_projections(model.params, model.cfg)
 
+    # adapter GGUFs are in the on-disk norm-rope basis; when the model was
+    # load-time permuted to neox (loader.rope_to_neox) the q/k delta's
+    # OUTPUT columns must cross bases with it — permute lora_b the same way
+    # wq/wk were (lora_a contracts the unchanged input basis; untouched)
+    neox = bool(getattr(model.cfg, "neox_permuted", False))
+    if neox:
+        from .loader import neox_head_perm
+
     n = 0
     for (il, key), ab in pairs.items():
         if "lora_a" in ab and "lora_b" in ab:
-            model.params["layers"][il][key + ".lora"] = (ab["lora_a"], ab["lora_b"], eff)
+            b = ab["lora_b"]
+            if neox and key in ("wq", "wk"):
+                b = b[..., neox_head_perm(int(b.shape[-1]), model.cfg.head_dim)]
+            model.params["layers"][il][key + ".lora"] = (ab["lora_a"], b, eff)
             n += 1
     f.close()
     return n

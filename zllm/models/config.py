@@ -144,6 +144,13 @@ class ModelConfig:
     rel_buckets: int = 0
     rel_max_dist: int = 128
     dec_start_token: int = -1
+    # True when loader.rope_to_neox permuted wq/wk (+ bq/bk/q-k norms) into
+    # the half-split rope basis at load time.  Every path that crosses
+    # bases — runtime LoRA attach (adapter.load_lora) and the model saver
+    # (loader.save_params_gguf) — must consult this and apply/invert the
+    # same permutation (reference counterpart: none — the permute is a
+    # zllm load-time optimization; basis contract is ours to keep).
+    neox_permuted: bool = False
 
     @property
     def is_recurrent(self) -> bool:

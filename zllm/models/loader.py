@@ -340,8 +340,11 @@ _TOP_MAP = {
 }
 
 
+_NEOX_PERMUTED_KEYS = ("wq", "wk", "bq", "bk", "attn_q_norm", "attn_k_norm")
+
+
 def save_params_gguf(src_path: str, params: dict, out_path: str,
-                     gtype: GGMLType = GGMLType.F32) -> str:
+                     gtype: GGMLType = GGMLType.F32, cfg=None) -> str:
     """Inverse of load_params for DENSE, UNFUSED params — the model saver
     behind full-weight fine-tuning (reference capability: the finetuned-
     model write-out of examples/training/finetune.cpp via gguf_write).
@@ -349,16 +352,43 @@ def save_params_gguf(src_path: str, params: dict, out_path: str,
     Walks the SOURCE gguf's tensor list so metadata, ordering, and any
     tensors the params tree doesn't carry (unmapped extras) pass through
     byte-identical; mapped tensors are re-emitted from the trained arrays
-    (matmul weights transposed back to GGUF [N, K] row-major)."""
+    (matmul weights transposed back to GGUF [N, K] row-major).
+
+    `cfg` should be the loaded Model's config: when cfg.neox_permuted the
+    load-time rope_to_neox q/k column permute is INVERTED here so the
+    written file is in the GGUF norm-rope basis (reference analogue:
+    src/llama-model-saver.cpp writes the on-disk layout, so save must
+    undo any load-time relayout).  With cfg=None the flag is re-derived
+    from the source file + ZLLM_ROPE_NEOX, matching Model.load defaults."""
     from ..gguf.writer import GGUFWriter
 
     f = read_gguf(src_path)
+    if cfg is None:
+        src_cfg = ModelConfig.from_gguf(f)
+        neox = (os.environ.get("ZLLM_ROPE_NEOX", "1") == "1"
+                and _neox_eligible(src_cfg))
+        head_dim = src_cfg.head_dim
+    else:
+        neox = bool(getattr(cfg, "neox_permuted", False))
+        head_dim = cfg.head_dim
+    if neox and any("wq" not in l or "wk" not in l
+                    for l in params.get("layers", [])):
+        raise ValueError("save_params_gguf: params look fused (wqkv) but the "
+                         "neox basis inversion needs unfused wq/wk — load "
+                         "with fuse=False")
+
+    def unperm_neox(x, key):
+        n = int(x.shape[-1])
+        if x.ndim == 1 and n == head_dim:
+            return x[..., neox_within_perm(head_dim, inverse=True)]
+        return x[..., neox_head_perm(n, head_dim, inverse=True)]
+
     w = GGUFWriter(out_path, alignment=f.alignment)
     for key, val in f.metadata.items():
         if key != "general.file_type":
             w.add(key, val)
     for name, meta in f.tensors.items():
-        val, transpose = None, False
+        val, transpose, key = None, False, None
         if name in _TOP_MAP:
             key, transpose = _TOP_MAP[name]
             val = params.get(key)
@@ -374,6 +404,8 @@ def save_params_gguf(src_path: str, params: dict, out_path: str,
             w.add_tensor(name, raw, logical_shape=meta.shape, gtype=meta.gtype)
             continue
         x = np.asarray(val, np.float32)
+        if neox and key in _NEOX_PERMUTED_KEYS:
+            x = unperm_neox(x, key)
         if transpose:
             x = np.ascontiguousarray(x.T if x.ndim == 2 else x.transpose(0, 2, 1))
         if tuple(x.shape) != tuple(meta.shape):
@@ -399,6 +431,27 @@ def _permute_cols(w, perm_n):
     return w[..., perm_n]
 
 
+def neox_within_perm(d: int, inverse: bool = False) -> np.ndarray:
+    """Within-head column permutation of the load-time norm->neox rope
+    conversion: neox element i <- adjacent element (2i | 2(i-d/2)+1)."""
+    within = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    return np.argsort(within) if inverse else within
+
+
+def neox_head_perm(n: int, d: int, inverse: bool = False) -> np.ndarray:
+    """The within-head perm replicated across all n//d heads of an
+    n-column q/k projection (or its inverse)."""
+    within = neox_within_perm(d, inverse)
+    return (np.arange(n // d)[:, None] * d + within[None, :]).reshape(-1)
+
+
+def _neox_eligible(cfg) -> bool:
+    rope = cfg.rope
+    return (cfg.use_rope and rope is not None and rope.style == "norm"
+            and cfg.mla is None and not cfg.is_encoder
+            and rope.dim == cfg.head_dim)
+
+
 def rope_to_neox(params: dict, cfg) -> tuple[dict, object]:
     """Convert adjacent-pair ("norm") rope models to half-split ("neox")
     rope by permuting q/k head columns at load time — the inverse of the
@@ -407,22 +460,17 @@ def rope_to_neox(params: dict, cfg) -> tuple[dict, object]:
     adjacent-pair path's even/odd gathers + interleave stack cost ~2
     relayout copies per layer per decode step (XLA profile), the neox path
     splits contiguous halves.  Applied only to full-dim standard-attention
-    rope; per-head q/k norms and biases carry the same permutation."""
-    rope = cfg.rope
-    if (not cfg.use_rope or rope is None or rope.style != "norm"
-            or cfg.mla is not None or cfg.is_encoder
-            or rope.dim != cfg.head_dim):
+    rope; per-head q/k norms and biases carry the same permutation.
+    Sets cfg.neox_permuted so basis-crossing paths (load_lora,
+    save_params_gguf) can apply/invert the permutation."""
+    if not _neox_eligible(cfg):
         return params, cfg
     d = cfg.head_dim
-    # neox element i <- adjacent element (2i | 2(i-d/2)+1)
-    within = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
-
-    def head_perm(n):
-        return (np.arange(n // d)[:, None] * d + within[None, :]).reshape(-1)
+    within = neox_within_perm(d)
 
     def vec_perm(v):
         n = int(v.shape[-1])
-        return v[..., within] if n == d else v[..., head_perm(n)]
+        return v[..., within] if n == d else v[..., neox_head_perm(n, d)]
 
     for layer in params.get("layers", []):
         if "wq" not in layer or "wk" not in layer:
@@ -431,12 +479,12 @@ def rope_to_neox(params: dict, cfg) -> tuple[dict, object]:
         for key in ("wq", "wk"):
             w = layer[key]
             n = w.shape[1] if not isinstance(w, QTensor) else w.shape[1]
-            layer[key] = _permute_cols(w, head_perm(n))
+            layer[key] = _permute_cols(w, neox_head_perm(n, d))
         for key in ("bq", "bk", "attn_q_norm", "attn_k_norm"):
             if key in layer:
                 layer[key] = vec_perm(layer[key])
-    new_rope = rope._replace(style="neox")
-    cfg = cfg.with_(rope=new_rope,
+    new_rope = cfg.rope._replace(style="neox")
+    cfg = cfg.with_(rope=new_rope, neox_permuted=True,
                     rope_swa=cfg.rope_swa._replace(style="neox") if cfg.rope_swa else None)
     return params, cfg
 
