@@ -251,6 +251,111 @@ def test_attn_decode_update_matches_ref(case):
     np.testing.assert_allclose(np.asarray(vl), np.asarray(v_all), rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("style", ["neox", "norm", "partial", "none"])
+def test_rope_rot_matrix_matches_apply_rope(style):
+    """x @ R == apply_rope(x) for both pair styles and partial dims."""
+    import jax.numpy as jnp
+
+    from zllm.ops.layers import RopeParams, apply_rope, rope_rot_matrix
+
+    d = 64
+    p = None
+    if style != "none":
+        p = RopeParams(dim=32 if style == "partial" else d,
+                       style="norm" if style in ("norm", "partial") else "neox",
+                       base=10000.0, scaling="yarn", scale_factor=2.0,
+                       orig_ctx=2048)
+    x = jnp.asarray(RNG.standard_normal((2, 1, 4, d)).astype(np.float32))
+    positions = jnp.asarray([[17], [403]], jnp.int32)
+    want = apply_rope(x, positions, p) if p is not None else x
+    rot = rope_rot_matrix(positions[:, 0], p, d)  # [B, D, D]
+    got = jnp.einsum("bthd,bde->bthe", x, rot)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "case", ["g8", "g4_hpb2", "g1_hpb8", "mqa", "qknorm", "window", "b2",
+             "softcap", "norm_style", "partial"])
+def test_attn_decode_qkv_matches_ref(case):
+    """Fully-fused decode kernel (qkv split + per-head norms + rope + KV
+    insert + attention in one launch) vs the unfused reference pipeline;
+    checks the attention output and the cache write-back, including the
+    multi-kv-head-per-step (hpb>1) small-group path."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import _decode_hpb, attn_decode_qkv
+    from zllm.ops.layers import RopeParams, apply_rope, attention_ref, rms_norm, rope_rot_matrix
+    from zllm.runtime.kvcache import KVCache, causal_mask
+
+    d, s = 64, 512
+    hq, hkv = {"g8": (16, 2), "g4_hpb2": (16, 4), "g1_hpb8": (8, 8),
+               "mqa": (4, 1)}.get(case, (16, 2))
+    b = 2 if case == "b2" else 1
+    window = 128 if case == "window" else 0
+    softcap = 30.0 if case == "softcap" else 0.0
+    qk_norm = case == "qknorm"
+    style = {"norm_style": "norm", "partial": "norm"}.get(case, "neox")
+    rope = RopeParams(dim=32 if case == "partial" else d, style=style)
+    eps = 1e-5
+    g = hq // hkv
+    assert _decode_hpb(g, hq, hkv) >= 1
+
+    positions = jnp.asarray([[300]] if b == 1 else [[37], [450]], jnp.int32)
+    hist_k = jnp.asarray(RNG.standard_normal((b, hkv, s, d)).astype(np.float32))
+    hist_v = jnp.asarray(RNG.standard_normal((b, hkv, s, d)).astype(np.float32))
+    qkv3 = jnp.asarray(RNG.standard_normal((b, hq + 2 * hkv, d)).astype(np.float32))
+    qw = jnp.asarray(RNG.standard_normal((d,)).astype(np.float32)) if qk_norm else None
+    kw = jnp.asarray(RNG.standard_normal((d,)).astype(np.float32)) if qk_norm else None
+    scale = 1.0 / d**0.5
+
+    # reference: split -> norms -> rope -> DUS insert -> masked attention
+    q = qkv3[:, None, :hq, :]
+    kn = qkv3[:, None, hq : hq + hkv, :]
+    vn = qkv3[:, None, hq + hkv :, :]
+    if qk_norm:
+        q = rms_norm(q, qw, eps)
+        kn = rms_norm(kn, kw, eps)
+    q = apply_rope(q, positions, rope)
+    kn = apply_rope(kn, positions, rope)
+    kv_ref = KVCache(k=(hist_k,), v=(hist_v,)).update(0, kn, vn, positions)
+    k_all, v_all = kv_ref.layer(0)
+    mask = causal_mask(positions, s, window)
+    ref = attention_ref(q, k_all, v_all, mask, scale, logit_softcap=softcap)
+
+    rot = rope_rot_matrix(positions[:, 0], rope, d)
+    att, kl, vl = attn_decode_qkv(
+        qkv3, hist_k, hist_v, positions, rot, qw, kw,
+        scale=scale, softcap=softcap, window=window, eps=eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(att), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kl), np.asarray(k_all), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vl), np.asarray(v_all), rtol=1e-5, atol=1e-5)
+
+
+def test_attn_decode_qkv_trash_row_clamps():
+    """pos == max_len (engine trash-row convention) must clamp the write to
+    the last slot and not corrupt other slots."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import attn_decode_qkv
+    from zllm.ops.layers import RopeParams, rope_rot_matrix
+
+    b, hq, hkv, d, s = 1, 8, 1, 64, 256
+    hist_k = jnp.asarray(RNG.standard_normal((b, hkv, s, d)).astype(np.float32))
+    hist_v = jnp.asarray(RNG.standard_normal((b, hkv, s, d)).astype(np.float32))
+    qkv3 = jnp.asarray(RNG.standard_normal((b, hq + 2 * hkv, d)).astype(np.float32))
+    hk_np, hv_np = np.asarray(hist_k), np.asarray(hist_v)  # caches are donated
+    positions = jnp.asarray([[s]], jnp.int32)  # trash: one past the end
+    rot = rope_rot_matrix(positions[:, 0], RopeParams(dim=d, style="neox"), d)
+
+    _, kl, vl = attn_decode_qkv(
+        qkv3, hist_k, hist_v, positions, rot,
+        scale=0.125, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(kl)[0, 0, :-1], hk_np[0, 0, :-1])
+    np.testing.assert_array_equal(np.asarray(vl)[0, 0, :-1], hv_np[0, 0, :-1])
+
+
 def test_attn_decode_update_trash_row_clamps():
     """pos == max_len (engine trash-row convention) must clamp the write to
     the last slot, like dynamic_update_slice, and not corrupt other slots."""

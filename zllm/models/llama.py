@@ -361,8 +361,59 @@ def layer_forward(
         k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
         v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
 
-    if "attn_q_norm" in layer:
-        if layer["attn_q_norm"].shape[-1] == q.shape[-1]:
+    from ..ops.attention import (
+        attn_decode_qkv, attn_decode_update, use_decode_fused, use_decode_qkv,
+    )
+    from ..runtime.kvcache import KVCache as _KVC
+
+    # fully-fused decode step: head split + per-head norms + rope + KV-row
+    # insert + attention in ONE Pallas launch per layer; rope rides in as a
+    # per-position rotation matrix (zllm/ops/attention.attn_decode_qkv) —
+    # the round-4 replacement for the rope/split XLA glue that capped
+    # decode at 66% of roofline
+    att = None
+    nope_layer = bool(
+        cfg.nope_step and isinstance(il, int) and (il + 1) % cfg.nope_step == 0
+    )
+    qk_norm_perhead = "attn_q_norm" in layer and (
+        layer["attn_q_norm"].shape[-1] == q.shape[-1]
+    )
+    if (
+        kv is not None
+        and type(kv) is _KVC
+        and isinstance(il, int)
+        and t == 1
+        and cfg.alibi_bias_max <= 0
+        and layer.get("attn_sinks") is None
+        and ("attn_q_norm" not in layer or qk_norm_perhead)
+        and q.shape[2] % k.shape[2] == 0
+        and use_decode_qkv(
+            t, kv.max_len, cfg.head_dim, q.shape[2] // k.shape[2],
+            q.shape[2], k.shape[2], False,
+        )
+    ):
+        from ..ops.layers import rope_rot_matrix
+
+        d = cfg.head_dim
+        qkv3 = jnp.concatenate(
+            [q.reshape(b, -1, d), k.reshape(b, -1, d), v.reshape(b, -1, d)],
+            axis=1,
+        )
+        rope_p = None
+        if cfg.use_rope and not nope_layer:
+            rope_p = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
+        rot = rope_rot_matrix(positions[:, 0], rope_p, d)
+        att, kl, vl = attn_decode_qkv(
+            qkv3, kv.k[il], kv.v[il], positions, rot,
+            layer.get("attn_q_norm") if qk_norm_perhead else None,
+            layer.get("attn_k_norm") if qk_norm_perhead else None,
+            scale=scale, softcap=cfg.attn_logit_softcap, window=window,
+            eps=cfg.norm_eps,
+        )
+        kv = kv.replace_layer(il, kl, vl)
+
+    if att is None and "attn_q_norm" in layer:
+        if qk_norm_perhead:
             # qwen3/gemma3: per-head RMS over head_dim
             q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
@@ -376,7 +427,7 @@ def layer_forward(
     # layer (NoPE; reference hparams.n_no_rope_layer_step).  The per-layer
     # check needs a concrete index (PP stage scans pass a traced il; no
     # nope_step arch uses PP yet).
-    if cfg.nope_step and isinstance(il, int) and (il + 1) % cfg.nope_step == 0:
+    if att is not None or nope_layer:
         pass
     elif cfg.use_rope:
         rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
@@ -386,12 +437,9 @@ def layer_forward(
     # fused decode step: KV-row insert + attention in one Pallas launch per
     # layer (in-place cache update via aliased buffers) — T=1 only, plain
     # KVCache, no alibi/sinks (zllm/ops/attention.attn_decode_update)
-    from ..ops.attention import attn_decode_update, use_decode_fused
-    from ..runtime.kvcache import KVCache as _KVC
-
-    att = None
     if (
-        kv is not None
+        att is None
+        and kv is not None
         and type(kv) is _KVC
         and isinstance(il, int)
         and t == 1

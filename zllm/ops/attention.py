@@ -595,6 +595,275 @@ def attn_decode_update(
     return att, kc2.transpose(0, 1, 3, 2), vc2.transpose(0, 1, 3, 2)
 
 
+# ---------------------------------------------------------------------------
+# fully-fused decode step: qkv-split + q/k norms + rope + KV insert + attention
+# ---------------------------------------------------------------------------
+# One launch per layer consuming the RAW projection output [B, Hq+2Hkv, D]:
+# the q/k head split, optional per-head RMS norms (qwen3/gemma3), and rope
+# all happen in-kernel, so the ~10 XLA glue ops per layer (slices, rope
+# mul/concat chains, transposes) that capped decode at 66% of roofline in
+# round 3 disappear.  Rope arrives as a per-position [D, D] rotation matrix
+# (ops/layers.rope_rot_matrix): applying it is one tiny MXU matmul and the
+# same code path covers norm/neox/partial-dim styles (reference analogue:
+# ggml-cuda fuses rope into the graph per-op; TPU-native fusion happens
+# here instead).  Small GQA groups (g=4: llama-8B) that the plain fused
+# kernel rejects (Mosaic needs 8-row blocks) are handled by processing
+# `hpb` kv heads per grid step with their caches laid side-by-side on the
+# lane axis — same HBM bytes, scores masked block-diagonally.
+
+
+def _decode_hpb(g: int, hq: int, hkv: int) -> int:
+    """kv-heads per grid step so the q block is Mosaic-tileable (rows
+    multiple of 8, or the single-block g==hq case).  0 = unsupported."""
+    if g % 8 == 0 or (g == hq and hkv == 1):
+        return 1
+    for hpb in (2, 4, 8):
+        if hkv % hpb == 0 and (hpb * g) % 8 == 0:
+            return hpb
+    return 0
+
+
+def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
+                            qk_norm, eps, *refs):
+    if qk_norm:
+        (pos_ref, qh_ref, kvf_ref, rot_ref, qw_ref, kw_ref,
+         kc_ref, vc_ref, out_ref, kout_ref, vout_ref) = refs
+    else:
+        (pos_ref, qh_ref, kvf_ref, rot_ref,
+         kc_ref, vc_ref, out_ref, kout_ref, vout_ref) = refs
+        qw_ref = kw_ref = None
+    i = pl.program_id(0)
+    h = pl.program_id(1)
+    pos = pos_ref[i]
+    pw = jnp.minimum(pos, s - 1)  # trash rows (pos==max_len) clamp like DUS
+    rot = rot_ref[0]  # [D, D] f32
+    dtype = kc_ref.dtype
+
+    q = qh_ref[0].astype(jnp.float32)  # [hpb*G, D]
+    if qk_norm:  # per-head RMS before rope (qwen3/gemma3 attn_{q,k}_norm)
+        q = q * jax.lax.rsqrt(jnp.mean(q * q, axis=-1, keepdims=True) + eps)
+        q = q * qw_ref[0].astype(jnp.float32)
+    q = jax.lax.dot_general(
+        q, rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dtype)  # roped q, cache dtype (matches the old outside-rope path)
+
+    # new K/V rows live in the full [Hq+2Hkv, D] block (Mosaic can't tile
+    # sub-8-row blocks); extract each sub-head row by masked sublane reduce
+    full = kvf_ref[0].astype(jnp.float32)
+    hh = hq + 2 * hkv
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (hh, d), 0)
+
+    # per-sub-head new K (roped) / V as [D, 1] columns; the rot dot doubles
+    # as the [1, D] -> [D, 1] transpose Mosaic lacks a value op for
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)).astype(jnp.float32)
+    kcols, vcols = [], []
+    for jh in range(hpb):
+        knj = jnp.sum(jnp.where(rows_f == hq + h * hpb + jh, full, 0.0),
+                      axis=0, keepdims=True)  # [1, D]
+        vnj = jnp.sum(jnp.where(rows_f == hq + hkv + h * hpb + jh, full, 0.0),
+                      axis=0, keepdims=True)
+        if qk_norm:
+            knj = knj * jax.lax.rsqrt(jnp.mean(knj * knj, axis=-1, keepdims=True) + eps)
+            knj = knj * kw_ref[0].astype(jnp.float32)
+        kcols.append(jax.lax.dot_general(
+            rot, knj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+        vcols.append(jax.lax.dot_general(
+            eye, vnj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+
+    kt = kc_ref[0]  # [hpb, D, S] (cache transposed: S on lanes)
+    vt = vc_ref[0]
+    if hpb == 1:
+        k_wide, v_wide = kt[0], vt[0]  # [D, S]
+        kn_w, vn_w = kcols[0], vcols[0]  # [D, 1]
+    else:
+        # side-by-side on lanes: [D, hpb*S]; same HBM bytes, one big dot
+        k_wide = jnp.concatenate([kt[jh] for jh in range(hpb)], axis=1)
+        v_wide = jnp.concatenate([vt[jh] for jh in range(hpb)], axis=1)
+        colsw = jax.lax.broadcasted_iota(jnp.int32, (d, hpb * s), 1)
+        kn_w, vn_w = kcols[0], vcols[0]
+        for jh in range(1, hpb):
+            kn_w = jnp.where(colsw >= jh * s, kcols[jh], kn_w)
+            vn_w = jnp.where(colsw >= jh * s, vcols[jh], vn_w)
+    sw = hpb * s
+    cols_in = jax.lax.broadcasted_iota(jnp.int32, (d, sw), 1) % s
+    k_cur = jnp.where(cols_in == pw, kn_w.astype(dtype), k_wide)
+    v_cur = jnp.where(cols_in == pw, vn_w.astype(dtype), v_wide)
+
+    scores = jax.lax.dot_general(
+        q, k_cur, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [hpb*G, hpb*S]
+    if softcap > 0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    r = hpb * g
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (r, sw), 0) // g
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (r, sw), 1)
+    col_head = cols2 // s
+    col_in = cols2 % s
+    mask = (row_head == col_head) & (col_in <= pos)
+    if window > 0:
+        mask &= col_in > pos - window
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    out = jax.lax.dot_general(
+        probs, v_cur, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [hpb*G, D]
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    # write back only the BS-column block containing pos, per sub-head
+    pb = (pw // bs) * bs
+    cols_b = pb + jax.lax.broadcasted_iota(jnp.int32, (d, bs), 1)
+    hsel3 = jax.lax.broadcasted_iota(jnp.int32, (hpb, d, bs), 0)
+    kn3 = jnp.where(hsel3 == 0, kcols[0], 0.0)
+    vn3 = jnp.where(hsel3 == 0, vcols[0], 0.0)
+    for jh in range(1, hpb):
+        kn3 = jnp.where(hsel3 == jh, kcols[jh], kn3)
+        vn3 = jnp.where(hsel3 == jh, vcols[jh], vn3)
+    kout_ref[0] = jnp.where(cols_b[None] == pw, kn3.astype(dtype),
+                            kc_ref[0, :, :, pl.ds(pb, bs)])
+    vout_ref[0] = jnp.where(cols_b[None] == pw, vn3.astype(dtype),
+                            vc_ref[0, :, :, pl.ds(pb, bs)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "softcap", "window", "eps", "interpret"),
+    donate_argnums=(1, 2),
+)
+def attn_decode_qkv(
+    qkv3: jax.Array,  # [B, Hq + 2*Hkv, D] raw projection rows (pre-norm/rope)
+    kc: jax.Array,  # [B, Hkv, S, D] cache (donated; updated in place)
+    vc: jax.Array,
+    positions: jax.Array,  # [B, 1] int32
+    rot: jax.Array,  # [B, D, D] f32 rope rotation (ops/layers.rope_rot_matrix)
+    qw: jax.Array | None = None,  # [D] per-head q norm weight (with kw)
+    kw: jax.Array | None = None,
+    *,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    eps: float = 1e-5,
+    interpret: bool = False,
+):
+    """-> (att [B, 1, Hq, D], kc', vc').  The whole decode attention block
+    — head split, optional per-head RMS norms, rope, cache insert, online
+    attention — in one Pallas launch per layer."""
+    b, hh, d = qkv3.shape
+    hkv, s = kc.shape[1], kc.shape[2]
+    hq = hh - 2 * hkv
+    g = hq // hkv
+    hpb = _decode_hpb(g, hq, hkv)
+    bs = _DECODE_BS
+    qk_norm = qw is not None
+    pos0 = positions[:, 0].astype(jnp.int32)
+    kct = kc.transpose(0, 1, 3, 2)  # [B, Hkv, D, S] bitcast view
+    vct = vc.transpose(0, 1, 3, 2)
+
+    def q_map(i, h, pos):
+        return (i, h, 0)
+
+    def full_map(i, h, pos):
+        return (i, 0, 0)
+
+    def rot_map(i, h, pos):
+        return (i, 0, 0)
+
+    def w_map(i, h, pos):
+        return (0, 0)
+
+    def cache_map(i, h, pos):
+        return (i, h, 0, 0)
+
+    def out_map(i, h, pos):
+        return (i, 0, h, 0)
+
+    def wb_map(i, h, pos):
+        return (i, h, 0, jnp.minimum(pos[i], s - 1) // bs)
+
+    in_specs = [
+        pl.BlockSpec((1, hpb * g, d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hh, d), full_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), rot_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qkv3, qkv3, rot]
+    if qk_norm:
+        in_specs += [
+            pl.BlockSpec((1, d), w_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), w_map, memory_space=pltpu.VMEM),
+        ]
+        args += [qw.reshape(1, d), kw.reshape(1, d)]
+    in_specs += [
+        pl.BlockSpec((1, hpb, d, s), cache_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hpb, d, s), cache_map, memory_space=pltpu.VMEM),
+    ]
+    args += [kct, vct]
+    out_specs = [
+        pl.BlockSpec((1, 1, hpb * g, d), out_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hpb, d, bs), wb_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hpb, d, bs), wb_map, memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(
+        _attn_decode_qkv_kernel, scale, softcap, window, g, s, d, bs, hpb,
+        hq, hkv, qk_norm, eps,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv // hpb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    # operand indices include the scalar-prefetch arg (pos0 is 0)
+    kc_op = 4 + (2 if qk_norm else 0)
+    kv_bytes = 2 * b * hkv * s * d * kc.dtype.itemsize
+    att, kc2, vc2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, hq, d), qkv3.dtype),
+            jax.ShapeDtypeStruct(kct.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vct.shape, vc.dtype),
+        ],
+        input_output_aliases={kc_op: 1, kc_op + 1: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * s * d,
+            bytes_accessed=kv_bytes,
+            transcendentals=b * hq * s,
+        ),
+        interpret=interpret,
+    )(pos0, *args)
+    return att, kc2.transpose(0, 1, 3, 2), vc2.transpose(0, 1, 3, 2)
+
+
+def use_decode_qkv(t: int, s: int, d: int, g: int, hq: int, hkv: int,
+                   interpret: bool) -> bool:
+    """Fully-fused decode eligibility: T=1, block-divisible S, supported
+    head_dim, a Mosaic-tileable head grouping, VMEM-safe tiles."""
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("ZLLM_NO_FLASH", "0") == "1":
+        return False
+    if _os.environ.get("ZLLM_NO_DECODE_QKV", "0") == "1":
+        return False
+    on_tpu = _jax.default_backend() != "cpu"
+    hpb = _decode_hpb(g, hq, hkv)
+    return (
+        (on_tpu or interpret)
+        and t == 1
+        and s % _DECODE_BS == 0
+        and d in (64, 128)
+        and hpb > 0
+        and hpb * 2 * s * d * 2 < 8 * 2**20  # K+V tile per grid step in VMEM
+    )
+
+
 def use_decode_fused(t: int, s: int, d: int, g: int, hq: int, interpret: bool) -> bool:
     """Fused decode eligibility: T=1, block-divisible S, VMEM-safe tile,
     and a q-group block shape Mosaic accepts (G mult of 8, or all heads)."""

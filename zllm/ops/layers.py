@@ -116,6 +116,46 @@ def apply_rope(x: jax.Array, positions: jax.Array, p: RopeParams) -> jax.Array:
     return jnp.concatenate([out.astype(dtype), rest], axis=-1) if rest.shape[-1] else out.astype(dtype)
 
 
+def rope_rot_matrix(positions: jax.Array, p: RopeParams | None, head_dim: int) -> jax.Array:
+    """Per-position rope as a [D, D] matrix: x @ R == apply_rope(x) at that
+    position.  R has two nonzeros per rotated column (cos on the diagonal,
+    +/-sin on the partner dim) and identity on pass-through dims, so the
+    fused decode kernel applies rope as ONE tiny MXU matmul instead of the
+    slice/mul/concat chain XLA emits (the per-layer relayout glue the
+    round-3 profile blamed for the 66%-of-roofline decode).  Handles both
+    "norm" (adjacent pairs) and "neox" (split halves) styles and partial
+    rotary dims; `positions` [B] -> R [B, D, D] f32.  p=None -> identity
+    (NoPE layers)."""
+    b = positions.shape[0]
+    if p is None or p.dim == 0:
+        return jnp.broadcast_to(jnp.eye(head_dim, dtype=jnp.float32), (b, head_dim, head_dim))
+    inv_freq, mscale = _rope_freqs(p)  # [dim/2]
+    theta = positions.astype(jnp.float32)[:, None] * inv_freq  # [B, dim/2]
+    cos = jnp.cos(theta) * mscale
+    sin = jnp.sin(theta) * mscale
+    half = p.dim // 2
+    import numpy as np
+
+    j = np.arange(half)
+    if p.style == "neox":
+        i1, i2 = j, j + half  # partner dims (x1, x2)
+    else:  # "norm": adjacent (even, odd) pairs
+        i1, i2 = 2 * j, 2 * j + 1
+    # out[i1] = x[i1]*cos - x[i2]*sin ; out[i2] = x[i2]*cos + x[i1]*sin
+    rows = np.concatenate([i1, i2, i2, i1])
+    cols = np.concatenate([i1, i2, i1, i2])
+    vals = jnp.concatenate([cos, cos, -sin, sin], axis=-1)  # [B, 2*dim]
+    base = jnp.zeros((b, head_dim, head_dim), jnp.float32)
+    if p.dim < head_dim:  # pass-through dims stay identity
+        rest = np.arange(p.dim, head_dim)
+        rows = np.concatenate([rows, rest])
+        cols = np.concatenate([cols, rest])
+        vals = jnp.concatenate(
+            [vals, jnp.ones((b, head_dim - p.dim), jnp.float32)], axis=-1
+        )
+    return base.at[:, rows, cols].set(vals)
+
+
 def attention_ref(
     q: jax.Array,  # [B, T, Hq, D]
     k: jax.Array,  # [B, Hkv, S, D]
