@@ -275,7 +275,7 @@ def test_rope_rot_matrix_matches_apply_rope(style):
 
 @pytest.mark.parametrize(
     "case", ["g8", "g4_hpb2", "g1_hpb8", "mqa", "qknorm", "window", "b2",
-             "softcap", "norm_style", "partial"])
+             "softcap", "norm_style", "partial", "d128", "d128_qknorm"])
 def test_attn_decode_qkv_matches_ref(case):
     """Fully-fused decode kernel (qkv split + per-head norms + rope + KV
     insert + attention in one launch) vs the unfused reference pipeline;
@@ -287,13 +287,14 @@ def test_attn_decode_qkv_matches_ref(case):
     from zllm.ops.layers import RopeParams, apply_rope, attention_ref, rms_norm, rope_rot_matrix
     from zllm.runtime.kvcache import KVCache, causal_mask
 
-    d, s = 64, 512
+    d = 128 if case.startswith("d128") else 64  # d128 = native orientation
+    s = 512
     hq, hkv = {"g8": (16, 2), "g4_hpb2": (16, 4), "g1_hpb8": (8, 8),
-               "mqa": (4, 1)}.get(case, (16, 2))
+               "mqa": (4, 1), "d128": (16, 4)}.get(case, (16, 2))
     b = 2 if case == "b2" else 1
     window = 128 if case == "window" else 0
     softcap = 30.0 if case == "softcap" else 0.0
-    qk_norm = case == "qknorm"
+    qk_norm = case in ("qknorm", "d128_qknorm")
     style = {"norm_style": "norm", "partial": "norm"}.get(case, "neox")
     rope = RopeParams(dim=32 if case == "partial" else d, style=style)
     eps = 1e-5

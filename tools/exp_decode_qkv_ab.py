@@ -47,16 +47,28 @@ def main():
     batch, max_len, pp = 1, 1024, 512
     rng = np.random.default_rng(0)
 
-    def decode_fn(params, tok, positions, kv):
-        logits, kv = forward(params, cfg, tok, positions, kv, logits_for="last")
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32).reshape(batch, 1)
-        return nxt, positions + 1, kv
+    unroll = int(os.environ.get("ZLLM_AB_UNROLL", "1"))
+
+    def make_decode_fn():
+        # fresh closure per variant: jax's global trace cache is keyed on
+        # the function object, so reusing one function would serve the
+        # FIRST variant's lowering to both (the env flag is read at trace)
+        def decode_fn(params, tok, positions, kv):
+            # ZLLM_AB_UNROLL>1 chains steps inside one dispatch, exposing
+            # device-side deltas the tunnel's launch latency would hide
+            for _ in range(unroll):
+                logits, kv = forward(params, cfg, tok, positions, kv, logits_for="last")
+                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32).reshape(batch, 1)
+                positions = positions + 1
+            return tok, positions, kv
+        return decode_fn
 
     tok0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 1)).astype(np.int32))
 
     variants = {}
     for name, envval in (("old", "1"), ("new", "0")):
         os.environ["ZLLM_NO_DECODE_QKV"] = envval
+        decode_fn = make_decode_fn()
         kv = KVCache.create(cfg.n_layers, batch, max_len, cfg.n_kv_heads,
                             cfg.head_dim, jnp.bfloat16)
         fn = jax.jit(decode_fn, donate_argnums=(3,))
@@ -74,7 +86,7 @@ def main():
         int(st[1][0, 0])
 
     rounds = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 8
-    steps = 64
+    steps = max(1, 64 // unroll)
     times = {"old": [], "new": []}
     for r in range(rounds):
         for name, st in variants.items():
@@ -83,7 +95,7 @@ def main():
             for _ in range(steps):
                 st[1], st[2], st[3] = fn(m.params, st[1], st[2], st[3])
             int(st[1][0, 0])
-            times[name].append((time.perf_counter() - t0) / steps)
+            times[name].append((time.perf_counter() - t0) / (steps * unroll))
     for name in ("old", "new"):
         ts = np.array(times[name]) * 1e6
         print(f"{name}: best {ts.min():.0f}us  p50 {np.median(ts):.0f}us  "

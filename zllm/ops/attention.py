@@ -612,25 +612,48 @@ def attn_decode_update(
 # lane axis — same HBM bytes, scores masked block-diagonally.
 
 
-def _decode_hpb(g: int, hq: int, hkv: int) -> int:
-    """kv-heads per grid step so the q block is Mosaic-tileable (rows
-    multiple of 8, or the single-block g==hq case).  0 = unsupported."""
-    if g % 8 == 0 or (g == hq and hkv == 1):
-        return 1
-    for hpb in (2, 4, 8):
-        if hkv % hpb == 0 and (hpb * g) % 8 == 0:
-            return hpb
-    return 0
+def _decode_hpb(g: int, hq: int, hkv: int, s: int = 0, d: int = 0) -> int:
+    """kv-heads per grid step: the LARGEST hpb whose q block is
+    Mosaic-tileable (rows multiple of 8, or all of q) and whose side-by-side
+    K+V tiles + f32 score rows fit VMEM.  Bigger hpb = fewer grid steps per
+    layer = less per-step setup (measured 78us -> 48us/step at 22 layers
+    going from 4 steps to 1).  0 = unsupported."""
+    def fits(hpb):
+        if s and d:
+            tiles = hpb * 2 * s * d * 2  # bf16 K+V
+            scores = 3 * (hpb * g) * (hpb * s) * 4  # scores/e/probs f32
+            return tiles + scores < 10 * 2**20
+        return True
+
+    best = 1 if (g % 8 == 0 or (g == hq and hkv == 1)) and fits(1) else 0
+    for hpb in (2, 4, 8, 16):
+        if hkv % hpb == 0 and (hpb * g) % 8 == 0 and fits(hpb):
+            best = hpb
+    return best
 
 
 def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
-                            qk_norm, eps, *refs):
+                            qk_norm, eps, native, *refs):
+    # `native`: caches arrive [.., S, D] (d on lanes) — the XLA-default
+    # layout for d == 128, where the transposed trick below would force a
+    # full relayout copy per layer (measured 336us/step at 22 layers).
+    # Otherwise caches arrive logically transposed [.., D, S]: for d < 128
+    # that logical shape's default layout IS the S-minor packing XLA picks
+    # for the stored cache, so both are copy-free at the jit boundary.
+    #
+    # The caches stay in HBM (memory_space ANY) and are pulled into VMEM
+    # scratch by explicit in-kernel DMA: VMEM-blocked cache operands made
+    # XLA's memory-space-assignment pre-stage every layer's cache through
+    # S(1) at ~80GB/s (measured ~68us/step); the in-kernel copy runs at
+    # full DMA bandwidth and overlaps the q-side prep below.
     if qk_norm:
         (pos_ref, qh_ref, kvf_ref, rot_ref, qw_ref, kw_ref,
-         kc_ref, vc_ref, out_ref, kout_ref, vout_ref) = refs
+         kc_ref, vc_ref, out_ref, kout_ref, vout_ref,
+         kbuf, vbuf, wkbuf, wvbuf, sems) = refs
     else:
         (pos_ref, qh_ref, kvf_ref, rot_ref,
-         kc_ref, vc_ref, out_ref, kout_ref, vout_ref) = refs
+         kc_ref, vc_ref, out_ref, kout_ref, vout_ref,
+         kbuf, vbuf, wkbuf, wvbuf, sems) = refs
         qw_ref = kw_ref = None
     i = pl.program_id(0)
     h = pl.program_id(1)
@@ -638,6 +661,13 @@ def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
     pw = jnp.minimum(pos, s - 1)  # trash rows (pos==max_len) clamp like DUS
     rot = rot_ref[0]  # [D, D] f32
     dtype = kc_ref.dtype
+
+    kdma = pltpu.make_async_copy(
+        kc_ref.at[i, pl.ds(h * hpb, hpb)], kbuf, sems.at[0])
+    vdma = pltpu.make_async_copy(
+        vc_ref.at[i, pl.ds(h * hpb, hpb)], vbuf, sems.at[1])
+    kdma.start()
+    vdma.start()
 
     q = qh_ref[0].astype(jnp.float32)  # [hpb*G, D]
     if qk_norm:  # per-head RMS before rope (qwen3/gemma3 attn_{q,k}_norm)
@@ -653,10 +683,12 @@ def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
     hh = hq + 2 * hkv
     rows_f = jax.lax.broadcasted_iota(jnp.int32, (hh, d), 0)
 
-    # per-sub-head new K (roped) / V as [D, 1] columns; the rot dot doubles
-    # as the [1, D] -> [D, 1] transpose Mosaic lacks a value op for
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)).astype(jnp.float32)
+    if not native:
+        # per-sub-head new K (roped) / V as [D, 1] columns; the rot dot
+        # doubles as the [1, D] -> [D, 1] transpose Mosaic lacks a value op
+        # for
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)).astype(jnp.float32)
     kcols, vcols = [], []
     for jh in range(hpb):
         knj = jnp.sum(jnp.where(rows_f == hq + h * hpb + jh, full, 0.0),
@@ -666,32 +698,43 @@ def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
         if qk_norm:
             knj = knj * jax.lax.rsqrt(jnp.mean(knj * knj, axis=-1, keepdims=True) + eps)
             knj = knj * kw_ref[0].astype(jnp.float32)
-        kcols.append(jax.lax.dot_general(
-            rot, knj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
-        vcols.append(jax.lax.dot_general(
-            eye, vnj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+        if native:
+            kcols.append(jax.lax.dot_general(  # roped, stays a [1, D] row
+                knj, rot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+            vcols.append(vnj)
+        else:
+            kcols.append(jax.lax.dot_general(
+                rot, knj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+            vcols.append(jax.lax.dot_general(
+                eye, vnj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
 
-    kt = kc_ref[0]  # [hpb, D, S] (cache transposed: S on lanes)
-    vt = vc_ref[0]
+    kdma.wait()
+    vdma.wait()
+    kt = kbuf  # [hpb, D, S] transposed | [hpb, S, D] native
+    vt = vbuf
+    cat_axis = 0 if native else 1
     if hpb == 1:
-        k_wide, v_wide = kt[0], vt[0]  # [D, S]
-        kn_w, vn_w = kcols[0], vcols[0]  # [D, 1]
+        k_wide, v_wide = kt[0], vt[0]
+        kn_w, vn_w = kcols[0], vcols[0]
     else:
-        # side-by-side on lanes: [D, hpb*S]; same HBM bytes, one big dot
-        k_wide = jnp.concatenate([kt[jh] for jh in range(hpb)], axis=1)
-        v_wide = jnp.concatenate([vt[jh] for jh in range(hpb)], axis=1)
-        colsw = jax.lax.broadcasted_iota(jnp.int32, (d, hpb * s), 1)
+        # side-by-side (lanes transposed / sublanes native); same HBM bytes
+        k_wide = jnp.concatenate([kt[jh] for jh in range(hpb)], axis=cat_axis)
+        v_wide = jnp.concatenate([vt[jh] for jh in range(hpb)], axis=cat_axis)
+        wshape = (hpb * s, d) if native else (d, hpb * s)
+        posw = jax.lax.broadcasted_iota(jnp.int32, wshape, 0 if native else 1)
         kn_w, vn_w = kcols[0], vcols[0]
         for jh in range(1, hpb):
-            kn_w = jnp.where(colsw >= jh * s, kcols[jh], kn_w)
-            vn_w = jnp.where(colsw >= jh * s, vcols[jh], vn_w)
+            kn_w = jnp.where(posw >= jh * s, kcols[jh], kn_w)
+            vn_w = jnp.where(posw >= jh * s, vcols[jh], vn_w)
     sw = hpb * s
-    cols_in = jax.lax.broadcasted_iota(jnp.int32, (d, sw), 1) % s
-    k_cur = jnp.where(cols_in == pw, kn_w.astype(dtype), k_wide)
-    v_cur = jnp.where(cols_in == pw, vn_w.astype(dtype), v_wide)
+    wshape = (sw, d) if native else (d, sw)
+    pos_in = jax.lax.broadcasted_iota(jnp.int32, wshape, 0 if native else 1) % s
+    k_cur = jnp.where(pos_in == pw, kn_w.astype(dtype), k_wide)
+    v_cur = jnp.where(pos_in == pw, vn_w.astype(dtype), v_wide)
 
+    kdims = ((1,), (1,)) if native else ((1,), (0,))
     scores = jax.lax.dot_general(
-        q, k_cur, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        q, k_cur, (kdims, ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [hpb*G, hpb*S]
     if softcap > 0:
         scores = jnp.tanh(scores / softcap) * softcap
@@ -708,10 +751,37 @@ def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    vdims = ((1,), (0,)) if native else ((1,), (1,))
     out = jax.lax.dot_general(
-        probs, v_cur, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        probs, v_cur, (vdims, ((), ())), preferred_element_type=jnp.float32
     )  # [hpb*G, D]
     out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    if native:
+        # write back only the BS-row block containing pos, per sub-head
+        pb = (pw // bs) * bs
+        rows_b = pb + jax.lax.broadcasted_iota(jnp.int32, (bs, d), 0)
+        hsel3 = jax.lax.broadcasted_iota(jnp.int32, (hpb, bs, d), 0)
+        kn3 = jnp.where(hsel3 == 0, kcols[0], 0.0)
+        vn3 = jnp.where(hsel3 == 0, vcols[0], 0.0)
+        for jh in range(1, hpb):
+            kn3 = jnp.where(hsel3 == jh, kcols[jh], kn3)
+            vn3 = jnp.where(hsel3 == jh, vcols[jh], vn3)
+        wkbuf[:] = jnp.where(rows_b[None] == pw, kn3.astype(dtype),
+                             kbuf[:, pl.ds(pb, bs), :])
+        wvbuf[:] = jnp.where(rows_b[None] == pw, vn3.astype(dtype),
+                             vbuf[:, pl.ds(pb, bs), :])
+        wk = pltpu.make_async_copy(
+            wkbuf, kout_ref.at[i, pl.ds(h * hpb, hpb), pl.ds(pb, bs), :],
+            sems.at[2])
+        wv = pltpu.make_async_copy(
+            wvbuf, vout_ref.at[i, pl.ds(h * hpb, hpb), pl.ds(pb, bs), :],
+            sems.at[3])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+        return
 
     # write back only the BS-column block containing pos, per sub-head
     pb = (pw // bs) * bs
@@ -722,10 +792,20 @@ def _attn_decode_qkv_kernel(scale, softcap, window, g, s, d, bs, hpb, hq, hkv,
     for jh in range(1, hpb):
         kn3 = jnp.where(hsel3 == jh, kcols[jh], kn3)
         vn3 = jnp.where(hsel3 == jh, vcols[jh], vn3)
-    kout_ref[0] = jnp.where(cols_b[None] == pw, kn3.astype(dtype),
-                            kc_ref[0, :, :, pl.ds(pb, bs)])
-    vout_ref[0] = jnp.where(cols_b[None] == pw, vn3.astype(dtype),
-                            vc_ref[0, :, :, pl.ds(pb, bs)])
+    wkbuf[:] = jnp.where(cols_b[None] == pw, kn3.astype(dtype),
+                         kbuf[:, :, pl.ds(pb, bs)])
+    wvbuf[:] = jnp.where(cols_b[None] == pw, vn3.astype(dtype),
+                         vbuf[:, :, pl.ds(pb, bs)])
+    wk = pltpu.make_async_copy(
+        wkbuf, kout_ref.at[i, pl.ds(h * hpb, hpb), :, pl.ds(pb, bs)],
+        sems.at[2])
+    wv = pltpu.make_async_copy(
+        wvbuf, vout_ref.at[i, pl.ds(h * hpb, hpb), :, pl.ds(pb, bs)],
+        sems.at[3])
+    wk.start()
+    wv.start()
+    wk.wait()
+    wv.wait()
 
 
 @functools.partial(
@@ -755,12 +835,16 @@ def attn_decode_qkv(
     hkv, s = kc.shape[1], kc.shape[2]
     hq = hh - 2 * hkv
     g = hq // hkv
-    hpb = _decode_hpb(g, hq, hkv)
+    hpb = _decode_hpb(g, hq, hkv, s, d)
     bs = _DECODE_BS
     qk_norm = qw is not None
+    native = d >= 128  # match XLA's stored-cache layout (see kernel note)
     pos0 = positions[:, 0].astype(jnp.int32)
-    kct = kc.transpose(0, 1, 3, 2)  # [B, Hkv, D, S] bitcast view
-    vct = vc.transpose(0, 1, 3, 2)
+    if native:
+        kct, vct = kc, vc  # [B, Hkv, S, D]
+    else:
+        kct = kc.transpose(0, 1, 3, 2)  # [B, Hkv, D, S] bitcast view
+        vct = vc.transpose(0, 1, 3, 2)
 
     def q_map(i, h, pos):
         return (i, h, 0)
@@ -774,14 +858,11 @@ def attn_decode_qkv(
     def w_map(i, h, pos):
         return (0, 0)
 
-    def cache_map(i, h, pos):
-        return (i, h, 0, 0)
-
     def out_map(i, h, pos):
         return (i, 0, h, 0)
 
-    def wb_map(i, h, pos):
-        return (i, h, 0, jnp.minimum(pos[i], s - 1) // bs)
+    buf_shape = (hpb, s, d) if native else (hpb, d, s)
+    wb_shape = (hpb, bs, d) if native else (hpb, d, bs)
 
     in_specs = [
         pl.BlockSpec((1, hpb * g, d), q_map, memory_space=pltpu.VMEM),
@@ -795,25 +876,35 @@ def attn_decode_qkv(
             pl.BlockSpec((1, d), w_map, memory_space=pltpu.VMEM),
         ]
         args += [qw.reshape(1, d), kw.reshape(1, d)]
+    # caches stay in HBM (ANY): the kernel DMAs the head block to scratch
+    # itself — VMEM-blocked cache operands made XLA pre-stage them at
+    # ~80GB/s through alternate memory (see kernel docstring)
     in_specs += [
-        pl.BlockSpec((1, hpb, d, s), cache_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, d, s), cache_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args += [kct, vct]
     out_specs = [
         pl.BlockSpec((1, 1, hpb * g, d), out_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, d, bs), wb_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hpb, d, bs), wb_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     kernel = functools.partial(
         _attn_decode_qkv_kernel, scale, softcap, window, g, s, d, bs, hpb,
-        hq, hkv, qk_norm, eps,
+        hq, hkv, qk_norm, eps, native,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv // hpb),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM(buf_shape, kc.dtype),
+            pltpu.VMEM(buf_shape, vc.dtype),
+            pltpu.VMEM(wb_shape, kc.dtype),
+            pltpu.VMEM(wb_shape, vc.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
     )
     # operand indices include the scalar-prefetch arg (pos0 is 0)
     kc_op = 4 + (2 if qk_norm else 0)
@@ -837,6 +928,8 @@ def attn_decode_qkv(
         ),
         interpret=interpret,
     )(pos0, *args)
+    if native:
+        return att, kc2, vc2
     return att, kc2.transpose(0, 1, 3, 2), vc2.transpose(0, 1, 3, 2)
 
 
@@ -853,14 +946,13 @@ def use_decode_qkv(t: int, s: int, d: int, g: int, hq: int, hkv: int,
     if _os.environ.get("ZLLM_NO_DECODE_QKV", "0") == "1":
         return False
     on_tpu = _jax.default_backend() != "cpu"
-    hpb = _decode_hpb(g, hq, hkv)
+    hpb = _decode_hpb(g, hq, hkv, s, d)
     return (
         (on_tpu or interpret)
         and t == 1
         and s % _DECODE_BS == 0
         and d in (64, 128)
         and hpb > 0
-        and hpb * 2 * s * d * 2 < 8 * 2**20  # K+V tile per grid step in VMEM
     )
 
 
