@@ -49,6 +49,10 @@ def main():
                     help="tensor-parallel devices (shards weights + KV heads over the mesh) [ZLLM_ARG_TP]")
     ap.add_argument("--dp", action=EnvDefault, type=int, default=1,
                     help="data-parallel devices (shards the slot batch) [ZLLM_ARG_DP]")
+    ap.add_argument("--pp", action=EnvDefault, type=int, default=1,
+                    help="pipeline-parallel devices (layer-split stages + GPipe "
+                         "microbatch rotation; the reference's LLAMA_SPLIT_MODE_LAYER) "
+                         "[ZLLM_ARG_PP]")
     args = parse_with_presets(ap)
 
     if not args.model and args.models_dir:
@@ -77,7 +81,7 @@ def main():
     srv = ZllmServer(m, n_slots=int(args.slots), max_len=int(args.ctx), host=args.host,
                      port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
                      kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja,
-                     tp=int(args.tp), dp=int(args.dp),
+                     tp=int(args.tp), dp=int(args.dp), pp=int(args.pp),
                      kv_dtype={"bf16": None, "f16": jnp.float16, "q8": "q8"}[args.kv_type])
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()

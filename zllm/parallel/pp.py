@@ -97,11 +97,15 @@ class StageKV:
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     def update(self, il, k_new, v_new, positions):
-        kt = k_new.transpose(0, 2, 1, 3).astype(self.k.dtype)  # [mb, H, T, D]
-        vt = v_new.transpose(0, 2, 1, 3).astype(self.v.dtype)
-        pos0 = positions[0, 0]
-        k = lax.dynamic_update_slice(self.k, kt[None], (il, self.batch_off, 0, pos0, 0))
-        v = lax.dynamic_update_slice(self.v, vt[None], (il, self.batch_off, 0, pos0, 0))
+        # per-row positions [mb, T]: continuous-batching slots each carry
+        # their own position (idle rows use the engine's past-horizon trash
+        # convention), so the write is a row-wise scatter, not one DUS
+        kt = k_new.astype(self.k.dtype)  # [mb, T, H, D]
+        vt = v_new.astype(self.v.dtype)
+        mb = positions.shape[0]
+        rows = self.batch_off + jnp.arange(mb, dtype=jnp.int32)
+        k = self.k.at[il, rows[:, None], :, positions, :].set(kt, mode="drop")
+        v = self.v.at[il, rows[:, None], :, positions, :].set(vt, mode="drop")
         return StageKV(k, v, self.batch_off)
 
     def layer(self, il):
@@ -112,18 +116,38 @@ class StageKV:
         )
 
 
-def _run_stage(stage_stack, cfg, x, positions, kvk, kvv, batch_off, mb):
-    """Scan this device's layer stack over activation x [mb, T, K]."""
+def _run_stage(stage_stack, cfg, x, positions, kvk, kvv, batch_off, mb, base=0):
+    """Scan this device's layer stack over activation x [mb, T, K].
+
+    `base` is the stage's global layer offset (sid * layers_per_stage,
+    traced): interleaved sliding-window stacks (gemma2/3-style
+    swa_pattern) dispatch per layer through lax.cond on the GLOBAL index,
+    so both the SWA and the full-attention graph stay uniform across the
+    scan (the round-3 guard rejected these outright)."""
     from ..models.llama import layer_forward
 
     lp = jax.tree_util.tree_leaves(stage_stack)[0].shape[0]
+    interleaved = cfg.sliding_window > 0 and cfg.swa_pattern > 1
     window = cfg.sliding_window or 0  # uniform-window models under PP
+
+    def run_layer(layer, x, kvk, kvv, i):
+        def go(w):
+            kv = _MBView(StageKV(kvk, kvv, batch_off), mb) if kvk is not None else None
+            x2, kv2 = layer_forward(layer, cfg, x, positions, kv, i, window=w)
+            if kvk is None:
+                return x2
+            return x2, kv2.kv.k, kv2.kv.v
+
+        if not interleaved:
+            return go(window)
+        is_swa = ((base + i) + 1) % cfg.swa_pattern != 0
+        return lax.cond(is_swa, lambda: go(cfg.sliding_window), lambda: go(0))
 
     if kvk is None:
         def body(carry, i):
             x = carry
             layer = _layer_view(stage_stack, i)
-            x, _ = layer_forward(layer, cfg, x, positions, None, i, window=window)
+            x = run_layer(layer, x, None, None, i)
             return x, None
 
         x, _ = lax.scan(body, x, jnp.arange(lp))
@@ -132,11 +156,10 @@ def _run_stage(stage_stack, cfg, x, positions, kvk, kvv, batch_off, mb):
     def body(carry, i):
         x, kvk, kvv = carry
         layer = _layer_view(stage_stack, i)
-        kv = StageKV(kvk, kvv, batch_off)
-        # slice the full stage cache down to this microbatch's rows for
-        # attention reads: [Lp, mb, H, S, D] view at batch_off
-        x, kv = layer_forward(layer, cfg, x, positions, _MBView(kv, mb), i, window=window)
-        return (x, kv.kv.k, kv.kv.v), None
+        # the _MBView inside run_layer slices the full stage cache down to
+        # this microbatch's rows for attention reads
+        x, kvk, kvv = run_layer(layer, x, kvk, kvv, i)
+        return (x, kvk, kvv), None
 
     (x, kvk, kvv), _ = lax.scan(body, (x, kvk, kvv), jnp.arange(lp))
     return x, kvk, kvv
@@ -172,14 +195,11 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
     from ..ops.layers import rms_norm
     from ..ops.linear import linear
 
-    # PP scans the layer stack with a TRACED layer index, so per-layer
-    # graph variation by concrete index is unavailable: reject archs whose
-    # layers differ (the silent-wrongness guard for e.g. gemma3's
-    # interleaved SWA or smollm3's NoPE pattern)
-    if cfg.swa_pattern > 1 and cfg.sliding_window > 0:
-        raise NotImplementedError(
-            f"{cfg.arch}: interleaved sliding-window patterns (swa_pattern="
-            f"{cfg.swa_pattern}) are not supported under pipeline parallelism")
+    # PP scans the layer stack with a TRACED layer index.  Interleaved
+    # sliding-window patterns (gemma2/3) dispatch per layer via lax.cond on
+    # the global index (_run_stage.run_layer); per-layer NoPE and
+    # recurrent/hybrid stacks still vary the graph in ways the scan body
+    # can't express, so those stay rejected rather than silently wrong.
     if cfg.nope_step:
         raise NotImplementedError(
             f"{cfg.arch}: per-layer NoPE (nope_step={cfg.nope_step}) is not "
@@ -198,6 +218,8 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
         mb = b // n_micro
         kdim = shared["tok_emb"].shape[1]
         dtype = shared["tok_emb"].dtype
+        lp = cfg.n_layers // n_stages
+        base = sid * lp  # global layer offset of this stage
         if kvk is not None:
             kvk, kvv = kvk[0], kvv[0]
 
@@ -215,7 +237,8 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
             x_in = jnp.where(sid == 0, x0, recv).astype(dtype)
             # invalid slots write KV into the trash rows at batch B
             batch_off = jnp.where(valid, mc * mb, n_micro * mb)
-            x_out, kvk, kvv = _run_stage(local, cfg, x_in, pos_m[mc], kvk, kvv, batch_off, mb)
+            x_out, kvk, kvv = _run_stage(local, cfg, x_in, pos_m[mc], kvk, kvv,
+                                         batch_off, mb, base=base)
             last = (sid == n_stages - 1) & valid
             out = out.at[mc].set(jnp.where(last, x_out, out[mc]))
             if s < n_micro + n_stages - 2:

@@ -149,7 +149,7 @@ class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
                  speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous",
-                 draft_model=None, tp: int = 1, dp: int = 1, mesh=None,
+                 draft_model=None, tp: int = 1, dp: int = 1, pp: int = 1, mesh=None,
                  coordinated: bool = False):
         import functools
 
@@ -172,6 +172,30 @@ class Engine:
         # counterpart of the reference's LLAMA_SPLIT_MODE_LAYER/ROW serving,
         # include/llama.h:193-196 + ggml-backend.cpp sched pipelining)
         self.mesh = mesh
+        # pipeline-parallel serving: layer-split stages over a "pp" mesh
+        # axis, GPipe microbatch rotation inside one jitted shard_map step
+        # (the reference's DEFAULT multi-device mode — LLAMA_SPLIT_MODE_LAYER,
+        # include/llama.h:193-196 + ggml-backend.cpp:712-718 microbatch
+        # overlap).  Slots map 1:1 to pipeline KV rows, so the slot loop,
+        # sampling, and prefix reuse run unchanged; context shift, state
+        # save, speculation, and q8/paged layouts are rejected explicitly.
+        self.pp = int(pp or 1)
+        if self.pp > 1:
+            if mesh is not None or (tp or 1) * (dp or 1) > 1:
+                raise ValueError("pp serving does not compose with --tp/--dp yet")
+            if self.recurrent or self.hybrid:
+                raise ValueError("pp serving supports standard attention models only")
+            if self.paged:
+                raise ValueError("pp serving requires the contiguous KV layout")
+            if isinstance(kv_dtype, str):
+                raise ValueError("pp serving does not support the q8 KV cache")
+            if speculative or draft_model is not None:
+                raise ValueError("pp serving does not support speculative decoding")
+            if coordinated:
+                raise ValueError("pp serving does not compose with coordinated mode")
+            if n_slots % self.pp != 0:
+                raise ValueError(f"n_slots ({n_slots}) must divide by pp ({self.pp})")
+            context_shift = False
         if mesh is None and (tp or 1) * (dp or 1) > 1:
             from ..parallel import make_mesh
 
@@ -231,7 +255,35 @@ class Engine:
                               or cfg.sliding_window > 0):
             raise ValueError("kv_dtype='q8' requires a standard-attention model "
                              "with the contiguous KV layout")
-        if self.hybrid:
+        if self.pp > 1:
+            from ..parallel.pp import (
+                make_pp_mesh, pp_forward_fn, pp_kv_create, pp_put, stage_params,
+            )
+
+            self.context_shift = False
+            self.pp_mesh = make_pp_mesh(jax.devices()[: self.pp], pp=self.pp)
+            n_micro = self.pp  # one microbatch in flight per stage
+            shared, stages = stage_params(model.params, self.pp)
+            shared, stages = pp_put(shared, stages, self.pp_mesh)
+            self._p = (shared, stages)
+            # KV rows = slots (+ the per-microbatch trash rows pp_kv_create
+            # appends); S carries the engine's past-horizon trash region
+            self.kv = pp_kv_create(cfg, self.pp_mesh, n_micro, n_slots,
+                                   max_len + prefill_chunk, kv_dtype)
+            _pp_all = pp_forward_fn(cfg, self.pp_mesh, n_micro,
+                                    with_kv=True, logits_for="all")
+            _pp_last = pp_forward_fn(cfg, self.pp_mesh, n_micro,
+                                     with_kv=True, logits_for="last")
+
+            def _ppstep(params, tokens, positions, kv, logits_for="last"):
+                sh, stg = params
+                logits, kvk, kvv = (
+                    _pp_all if logits_for == "all" else _pp_last
+                )(sh, stg, tokens, positions, *kv)
+                return logits, (kvk, kvv)
+
+            self._step = _ppstep
+        elif self.hybrid:
             # jamba: KV cache over the attention-layer subset + per-slot
             # recurrent state for the mamba layers (reference:
             # llama_memory_hybrid, src/llama-memory-hybrid.cpp)
@@ -304,7 +356,8 @@ class Engine:
                 cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim, kv_dtype
             )
 
-        self._p = model.params
+        if self.pp == 1:
+            self._p = model.params
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -329,7 +382,7 @@ class Engine:
                 )
 
             self._step = _step
-        elif not self.recurrent and not self.hybrid:
+        elif self.pp == 1 and not self.recurrent and not self.hybrid:
             @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
             def _step(params, tokens, positions, kv, logits_for="last"):
                 return forward(params, cfg, tokens, positions, kv, logits_for=logits_for)
@@ -488,6 +541,8 @@ class Engine:
 
         if self.recurrent or self.hybrid:
             raise ValueError("slot save/restore is not supported for recurrent models")
+        if self.pp > 1:
+            raise ValueError("slot save/restore is not supported under pp serving")
 
         def do():
             s = self.slots[idx]
@@ -501,6 +556,8 @@ class Engine:
 
         if self.recurrent or self.hybrid:
             raise ValueError("slot save/restore is not supported for recurrent models")
+        if self.pp > 1:
+            raise ValueError("slot save/restore is not supported under pp serving")
 
         def do():
             s = self.slots[idx]

@@ -27,12 +27,13 @@ class ZllmServer:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080,
                  slot_save_path: str = "", speculative: bool = False, n_draft: int = 6,
                  kv_layout: str = "contiguous", draft_model=None, jinja: bool = False,
-                 tp: int = 1, dp: int = 1, kv_dtype=None):
+                 tp: int = 1, dp: int = 1, pp: int = 1, kv_dtype=None):
         self.model = model
         self.jinja = jinja
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len,
                              speculative=speculative, n_draft=n_draft, kv_layout=kv_layout,
-                             draft_model=draft_model, tp=tp, dp=dp, kv_dtype=kv_dtype)
+                             draft_model=draft_model, tp=tp, dp=dp, pp=pp,
+                             kv_dtype=kv_dtype)
         self.slot_save_path = slot_save_path
         self.host = host
         self.port = port
