@@ -333,6 +333,64 @@ def test_attn_decode_qkv_matches_ref(case):
     np.testing.assert_allclose(np.asarray(vl), np.asarray(v_all), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("case", ["mid", "page_edge", "start", "b2", "window", "trash"])
+def test_paged_attn_decode_update_matches_ref(case):
+    """Fused paged decode (page insert + attend in one launch) vs the
+    unfused PagedKVCache.update + gather + reference attention; checks the
+    attention output and that ONLY the insert page changed in the pool."""
+    import jax.numpy as jnp
+
+    from zllm.ops.attention import paged_attn_decode_update
+    from zllm.ops.layers import attention_ref
+    from zllm.runtime.kvcache import causal_mask
+    from zllm.runtime.paged import PagedKVCache
+
+    b = 2 if case == "b2" else 1
+    hq, hkv, d, ps, lp = 8, 2, 64, 128, 4  # horizon 512
+    window = 96 if case == "window" else 0
+    hz = lp * ps
+    pos_vals = {"mid": [300], "page_edge": [255], "start": [0],
+                "b2": [37, 450], "window": [400], "trash": [hz]}[case]
+    positions = jnp.asarray([[p] for p in pos_vals], jnp.int32)
+
+    kv = PagedKVCache.create(1, b, hz, hkv, d, jnp.float32, page_size=ps)
+    # scramble the table so physical != logical (tests real table indirection)
+    import numpy as np_
+
+    tbl = np_.asarray(kv.table).copy()
+    tbl[:, :lp] = tbl[:, :lp][:, ::-1]
+    kv = kv.with_table(tbl)
+    rng = np.random.default_rng(5)
+    kv = PagedKVCache(
+        k=(jnp.asarray(rng.standard_normal(kv.k[0].shape), jnp.float32),),
+        v=(jnp.asarray(rng.standard_normal(kv.v[0].shape), jnp.float32),),
+        table=kv.table, page_size=ps, horizon=hz,
+    )
+
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((b, 1, hkv, d)).astype(np.float32))
+    scale = 1.0 / d**0.5
+
+    # reference: scatter update then gather + masked attention
+    kv_ref = kv.update(0, kn, vn, positions)
+    k_all, v_all = kv_ref.layer(0)[0].gather()
+    mask = causal_mask(positions, hz, window)
+    ref = attention_ref(q, k_all, v_all, mask, scale)
+
+    att, kp, vp = paged_attn_decode_update(
+        q, kn, vn, jnp.array(kv.k[0]), jnp.array(kv.v[0]), kv.table, positions,
+        page_size=ps, scale=scale, window=window, interpret=True,
+    )
+    if case != "trash":
+        np.testing.assert_allclose(np.asarray(att), np.asarray(ref), rtol=2e-3, atol=2e-3)
+    # pool contents: every non-trash page must match the reference pool
+    np.testing.assert_allclose(
+        np.asarray(kp)[:, ps:], np.asarray(kv_ref.k[0])[:, ps:], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vp)[:, ps:], np.asarray(kv_ref.v[0])[:, ps:], rtol=1e-6, atol=1e-6)
+
+
 def test_attn_decode_qkv_trash_row_clamps():
     """pos == max_len (engine trash-row convention) must clamp the write to
     the last slot and not corrupt other slots."""

@@ -161,3 +161,79 @@ def test_paged_shift_refuses_shared_pages(model):
     alloc.assign_slot(1, None, 0)
     assert alloc.exclusively_owned(0)
     assert alloc.exclusively_owned(1)
+
+
+def test_paged_cow_unshare(model):
+    """Copy-on-write unshare: the slot gets private pages holding the same
+    contents; the source slot's mapping and refcounts are restored."""
+    import jax.numpy as jnp
+
+    from zllm.runtime.paged import PageAllocator, PagedKVCache
+
+    ps = 128
+    alloc = PageAllocator(n_slots=2, max_len=256, page_size=ps)
+    alloc.assign_slot(0, None, 0)
+    alloc.assign_slot(1, 0, 2)  # slot 1 shares BOTH of slot 0's pages
+    kv = PagedKVCache.create(1, 2, 256, 2, 64, jnp.float32, page_size=ps,
+                             n_pages=alloc.n_pages).with_table(alloc.table)
+    r = np.random.default_rng(0)
+    kv = PagedKVCache(
+        k=(jnp.asarray(r.standard_normal(kv.k[0].shape), jnp.float32),),
+        v=(jnp.asarray(r.standard_normal(kv.v[0].shape), jnp.float32),),
+        table=kv.table, page_size=ps, horizon=256,
+    )
+    before = np.asarray(kv.k[0]).copy()
+    shared = [int(alloc.table[1, j]) for j in range(2)]
+
+    copies = alloc.unshare_slot(1)
+    assert len(copies) == 2
+    kv = kv.copy_pages(copies).with_table(alloc.table)
+    now = [int(alloc.table[1, j]) for j in range(2)]
+    assert set(now).isdisjoint(shared)
+    assert alloc.exclusively_owned(0) and alloc.exclusively_owned(1)
+    after = np.asarray(kv.k[0])
+    for (src, dst) in copies:
+        np.testing.assert_array_equal(
+            after[:, dst * ps:(dst + 1) * ps], before[:, src * ps:(src + 1) * ps])
+
+
+def test_paged_shift_cow_survives_sharing(model):
+    """A generating slot whose prefix pages are shared must context-shift
+    via copy-on-write unsharing and KEEP generating (round 3 killed it with
+    finish_reason=length), without corrupting the sharing slot."""
+    from zllm.server.engine import Engine, Request
+
+    r = np.random.default_rng(7)
+    # long shared prefix (>= 1 full page at ps=128) + distinct tails
+    shared = list(r.integers(1, 100, size=70))
+    pa = shared + list(r.integers(1, 100, size=8))
+    pb = shared + list(r.integers(100, 200, size=8))
+
+    def run(layout):
+        eng = Engine(model, n_slots=2, max_len=128, prefill_chunk=16,
+                     kv_layout=layout, prefix_reuse=(layout == "paged"))
+        eng.start()
+        try:
+            ra = eng.submit(Request(prompt_tokens=pa, max_new=70, temp=0.0))
+            deadline = time.time() + 120
+            while not ra.done:
+                assert time.time() < deadline, "engine timed out"
+                time.sleep(0.02)
+            assert ra.error == "", ra.error
+            # second request shares the prefix pages of slot 0's prompt,
+            # then overruns the window -> must CoW-unshare and shift
+            rb = eng.submit(Request(prompt_tokens=pb, max_new=70, temp=0.0))
+            while not rb.done:
+                assert time.time() < deadline, "engine timed out"
+                time.sleep(0.02)
+            assert rb.error == "", rb.error
+            cow = eng.metrics["pages_cow_unshared_total"]
+            return list(ra.out_tokens), list(rb.out_tokens), cow
+        finally:
+            eng.stop()
+
+    want_a, want_b, _ = run("contiguous")
+    got_a, got_b, cow = run("paged")
+    assert len(got_b) == 70, f"shared-prefix slot died early ({len(got_b)} tokens)"
+    assert got_a == want_a
+    assert got_b == want_b

@@ -163,6 +163,58 @@ def test_ep_capacity_bounds():
             os.environ["ZLLM_EP_SLACK"] = old
 
 
+def test_ep_drop_counter(tiny_moe):
+    """with_stats surfaces EP capacity drops: zero at the default slack
+    even under a hot-expert skew, positive when capacity is starved
+    (VERDICT r3 weak #5: drops must be observable, not silent)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zllm.parallel import kv_spec, make_mesh, shard_params, sharded_forward_fn
+    from zllm.runtime.kvcache import KVCache
+
+    m = tiny_moe
+    rng = np.random.default_rng(9)
+    mesh = make_mesh(jax.devices(), dp=2, tp=4)
+    params, leaf_specs, plan = shard_params(m.params, mesh, m.cfg)
+    assert plan.moe
+
+    b, t, s = 2, 4, 16
+    # a REPEATED token is the realistic worst skew: every position routes
+    # to (nearly) the same experts, concentrating picks on few shards
+    tok = int(rng.integers(0, m.cfg.vocab_size))
+    tokens = jnp.full((b, t), tok, jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+    dsh = NamedSharding(mesh, P("dp", None))
+    tokens = jax.device_put(tokens, dsh)
+    positions = jax.device_put(positions, dsh)
+
+    def run():
+        step = sharded_forward_fn(m.cfg, mesh, leaf_specs, plan,
+                                  with_kv=True, with_stats=True)
+        kv = KVCache.create(m.cfg.n_layers, b, s, m.cfg.n_kv_heads,
+                            m.cfg.head_dim, jnp.float32)
+        kv = jax.device_put(kv, NamedSharding(mesh, kv_spec(plan)))
+        logits, kv, dropped = step(params, tokens, positions, kv)
+        assert np.isfinite(np.asarray(logits)).all()
+        return int(dropped)
+
+    old = os.environ.get("ZLLM_EP_SLACK")
+    try:
+        os.environ.pop("ZLLM_EP_SLACK", None)  # default slack 4
+        assert run() == 0, "drops at default slack under repeated-token skew"
+        os.environ["ZLLM_EP_SLACK"] = "0.5"  # starved: C=1 per shard
+        assert run() > 0, "starved capacity must report drops"
+    finally:
+        if old is None:
+            os.environ.pop("ZLLM_EP_SLACK", None)
+        else:
+            os.environ["ZLLM_EP_SLACK"] = old
+
+
 def test_ep_compact_graceful_under_overflow(tiny_moe):
     """With a starvation-level capacity (slack such that C < per-shard
     load), the compact dispatch drops picks GShard-style but must stay

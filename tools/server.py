@@ -38,8 +38,8 @@ def main():
                     help="router mode: max simultaneously loaded models [ZLLM_ARG_MODELS_MAX]")
     ap.add_argument("--replicas", action=EnvDefault, type=int, default=1,
                     help="router mode: data-parallel replicas per model, round-robin [ZLLM_ARG_REPLICAS]")
-    ap.add_argument("--kv-layout", action=EnvDefault, default="contiguous",
-                    choices=["contiguous", "paged"],
+    ap.add_argument("--kv-layout", action=EnvDefault, default="auto",
+                    choices=["auto", "contiguous", "paged"],
                     help="KV cache layout: paged = shared page pool + cross-slot prefix sharing [ZLLM_ARG_KV_LAYOUT]")
     ap.add_argument("--kv-type", action=EnvDefault, default="bf16",
                     choices=["bf16", "f16", "q8"],

@@ -337,22 +337,72 @@ def flash_attention_blockwise(
 # ---------------------------------------------------------------------------
 # paged attention (page-table-indexed blockwise online softmax)
 # ---------------------------------------------------------------------------
-# Same math as _attnb_kernel, but the K/V blocks live in a shared page
-# pool [Hkv, P*ps, D] and each (slot, logical page) resolves through a
-# scalar-prefetched page table (runtime/paged.PagedKVCache).  The index
-# maps read the table, so the DMA engine fetches the right physical page
-# while the previous block computes — the TPU-native counterpart of the
-# reference's cell-indexed unified cache reads (set_input_k_idxs,
-# src/llama-kv-cache.h:194-200).
+# Same math as _attnb_kernel, but the K/V blocks live in a shared
+# token-minor page pool [Hkv, D, P*ps] and each (slot, logical page)
+# resolves through a scalar-prefetched page table
+# (runtime/paged.PagedKVCache).  The index maps read the table, so the DMA
+# engine fetches the right physical page while the previous block computes
+# — the TPU-native counterpart of the reference's cell-indexed unified
+# cache reads (set_input_k_idxs, src/llama-kv-cache.h:194-200).
 
 
 def _paged_attn_kernel(scale, softcap, window, g, t, ps, d, hkv, nlp,
                        pos_ref, tbl_ref, q_ref, k_ref, v_ref, out_ref,
                        m_ref, l_ref, acc_ref):
-    _attnb_kernel(
-        scale, softcap, window, g, t, ps, d, hkv, nlp, False, False,
-        pos_ref, q_ref, k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref,
-    )
+    # token-minor page tiles [D, ps]: scores contract q's lanes with the
+    # tile's sublanes, PV contracts both on lanes
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tg = q_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos0 = pos_ref[i]
+    col0 = j * ps
+    run = col0 <= pos0 + (t - 1)
+    if window > 0:
+        run &= (col0 + ps) > (pos0 - window + 1)
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)  # [TG, D]
+        kt = k_ref[0].astype(jnp.float32)  # [D, ps]
+        scores = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [TG, ps]
+        if softcap > 0:
+            scores = jnp.tanh(scores / softcap) * softcap
+
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tg, ps), 0) // g
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tg, ps), 1)
+        qp = pos0 + t_idx
+        mask = cols <= qp
+        if window > 0:
+            mask &= cols > qp - window
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vt = v_ref[0]  # [D, ps]
+        pv = jax.lax.dot_general(
+            p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nlp - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -361,7 +411,7 @@ def _paged_attn_kernel(scale, softcap, window, g, t, ps, d, hkv, nlp,
 )
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
-    k_pool: jax.Array,  # [Hkv, P * ps, D]
+    k_pool: jax.Array,  # [Hkv, D, P * ps] (token-minor)
     v_pool: jax.Array,
     table: jax.Array,  # int32 [B, LP + 1]
     positions: jax.Array,  # [B, T]; consecutive per row
@@ -386,12 +436,12 @@ def paged_attention(
         return (i, 0, 0)
 
     def kv_map(i, j, pos, tbl):
-        return (i % hkv, tbl[i // hkv, j], 0)
+        return (i % hkv, 0, tbl[i // hkv, j])
 
     in_specs = [
         pl.BlockSpec((1, tg, d), q_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ps, d), kv_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ps, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, ps), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, ps), kv_map, memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(
         _paged_attn_kernel, scale, softcap, window, g, t, ps, d, hkv, nlp
@@ -593,6 +643,290 @@ def attn_decode_update(
         interpret=interpret,
     )(pos0, q, knt, vnt, kct, vct)
     return att, kc2.transpose(0, 1, 3, 2), vc2.transpose(0, 1, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# fused paged decode step: page insert + attention, one kernel per layer
+# ---------------------------------------------------------------------------
+# The paged pool's decode step used to pay a measured 10.6%/step penalty vs
+# the contiguous cache because the token scatter (PagedKVCache.update) and
+# the attention ran as separate XLA programs.  This kernel does both in one
+# launch: page blocks stream through VMEM via the scalar-prefetched page
+# table exactly like paged_attention (the DMA engine fetches page j+1
+# during page j's compute), the new K/V row is inserted into the VMEM tile
+# of the page containing `pos`, and ONLY that physical page is written back
+# through an aliased pool output whose index map is constant over the page
+# grid axis (one flush per (batch, head) row).  Reference analogue: the
+# cell-indexed unified cache consumed directly by fattn
+# (ggml-cuda/fattn-vec.cuh + src/llama-kv-cache.h:182-200).
+
+
+def _paged_decode_kernel(scale, softcap, window, hq, hkv, g, ps, d, nlp,
+                         pos_ref, tbl_ref, q_ref, kn_ref, vn_ref,
+                         kp_ref, vp_ref, out_ref, kout_ref, vout_ref,
+                         kbuf, vbuf, wkbuf, wvbuf, m_ref, l_ref, acc_ref,
+                         rsem, wsem):
+    i = pl.program_id(0)  # batch row
+    j = pl.program_id(1)  # logical page
+    pos = pos_ref[i]
+    po = pos % ps  # offset within the insert page
+
+    def page_of(lp):
+        return tbl_ref[i, lp]
+
+    def running(lp):
+        r = lp * ps <= pos
+        if window > 0:
+            r &= (lp + 1) * ps > pos - window + 1
+        return r & (lp < nlp)
+
+    def start_fetch(lp, slot):
+        page = page_of(lp)
+        pltpu.make_async_copy(
+            kp_ref.at[:, :, pl.ds(page * ps, ps)], kbuf.at[slot], rsem.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            vp_ref.at[:, :, pl.ds(page * ps, ps)], vbuf.at[slot], rsem.at[slot, 1]
+        ).start()
+
+    run = running(j)
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(run)
+        def _():
+            start_fetch(j, slot)
+
+    # double buffering: kick page j+1's fetch before computing page j
+    @pl.when(running(j + 1))
+    def _():
+        start_fetch(j + 1, 1 - slot)
+
+    is_ins = j == pos // ps  # the page receiving this step's K/V row
+
+    @pl.when(run)
+    def _():
+        pltpu.make_async_copy(kp_ref.at[:, :, pl.ds(0, ps)], kbuf.at[slot],
+                              rsem.at[slot, 0]).wait()
+        pltpu.make_async_copy(vp_ref.at[:, :, pl.ds(0, ps)], vbuf.at[slot],
+                              rsem.at[slot, 1]).wait()
+        dtype = kp_ref.dtype
+        sw = hkv * ps
+        kt = kbuf[slot]  # [hkv, d, ps] token-minor page tiles
+        vt = vbuf[slot]
+        # new K/V rows as [d, 1] columns (eye-dot = the [1,d]->[d,1]
+        # transpose Mosaic lacks a value op for), then head-segment select
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)).astype(jnp.float32)
+        knr = kn_ref[0].astype(jnp.float32)  # [hkv, d]
+        vnr = vn_ref[0].astype(jnp.float32)
+        hsel = jax.lax.broadcasted_iota(jnp.int32, (hkv, d), 0)
+        kcols, vcols = [], []
+        for jh in range(hkv):
+            knj = jnp.sum(jnp.where(hsel == jh, knr, 0.0), axis=0, keepdims=True)
+            vnj = jnp.sum(jnp.where(hsel == jh, vnr, 0.0), axis=0, keepdims=True)
+            kcols.append(jax.lax.dot_general(
+                eye, knj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+            vcols.append(jax.lax.dot_general(
+                eye, vnj, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32))
+
+        # heads side-by-side on lanes: [d, hkv*ps]
+        if hkv == 1:
+            k_wide, v_wide = kt[0], vt[0]
+            kn_w, vn_w = kcols[0], vcols[0]
+        else:
+            k_wide = jnp.concatenate([kt[jh] for jh in range(hkv)], axis=1)
+            v_wide = jnp.concatenate([vt[jh] for jh in range(hkv)], axis=1)
+            colsw = jax.lax.broadcasted_iota(jnp.int32, (d, sw), 1)
+            kn_w, vn_w = kcols[0], vcols[0]
+            for jh in range(1, hkv):
+                kn_w = jnp.where(colsw >= jh * ps, kcols[jh], kn_w)
+                vn_w = jnp.where(colsw >= jh * ps, vcols[jh], vn_w)
+        cols_in = jax.lax.broadcasted_iota(jnp.int32, (d, sw), 1) % ps
+        ins = is_ins & (cols_in == po)
+        k_wide = jnp.where(ins, kn_w.astype(dtype), k_wide)
+        v_wide = jnp.where(ins, vn_w.astype(dtype), v_wide)
+
+        @pl.when(is_ins)
+        def _():
+            cols_p = jax.lax.broadcasted_iota(jnp.int32, (hkv, d, ps), 2)
+            hsel3 = jax.lax.broadcasted_iota(jnp.int32, (hkv, d, ps), 0)
+            kn3 = jnp.where(hsel3 == 0, kcols[0], 0.0)
+            vn3 = jnp.where(hsel3 == 0, vcols[0], 0.0)
+            for jh in range(1, hkv):
+                kn3 = jnp.where(hsel3 == jh, kcols[jh], kn3)
+                vn3 = jnp.where(hsel3 == jh, vcols[jh], vn3)
+            wkbuf[:] = jnp.where(cols_p == po, kn3.astype(dtype), kt)
+            wvbuf[:] = jnp.where(cols_p == po, vn3.astype(dtype), vt)
+            page = page_of(j)
+            wk = pltpu.make_async_copy(
+                wkbuf, kout_ref.at[:, :, pl.ds(page * ps, ps)], wsem.at[0])
+            wv = pltpu.make_async_copy(
+                wvbuf, vout_ref.at[:, :, pl.ds(page * ps, ps)], wsem.at[1])
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+        q = q_ref[0].astype(jnp.float32)  # [hq, d]
+        scores = jax.lax.dot_general(
+            q, k_wide.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [hq, hkv*ps]
+        if softcap > 0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        rr = jax.lax.broadcasted_iota(jnp.int32, (hq, sw), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (hq, sw), 1)
+        cols = j * ps + cc % ps
+        mask = (rr // g == cc // ps) & (cols <= pos)
+        if window > 0:
+            mask &= cols > pos - window
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(dtype), v_wide, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nlp - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("page_size", "scale", "softcap", "window", "interpret"),
+    donate_argnums=(3, 4),
+)
+def paged_attn_decode_update(
+    q: jax.Array,  # [B, 1, Hq, D] (roped)
+    k_new: jax.Array,  # [B, 1, Hkv, D] (roped)
+    v_new: jax.Array,
+    k_pool: jax.Array,  # [Hkv, D, P * ps] token-minor (donated; updated in place)
+    v_pool: jax.Array,
+    table: jax.Array,  # int32 [B, LP + 1]; last column = trash page 0
+    positions: jax.Array,  # [B, 1] int32; >= horizon rows skip the insert
+    *,
+    page_size: int,
+    scale: float,
+    softcap: float = 0.0,
+    window: int = 0,
+    interpret: bool = False,
+):
+    """-> (att [B, 1, Hq, D], k_pool', v_pool').
+
+    Grid (B, LP): one step per (slot, logical page), ALL kv heads together
+    (a [Hkv, ps, D] strided DMA per page, hand-double-buffered, pools in
+    HBM via memory-space ANY — VMEM-blocked pool operands made XLA's
+    memory-space assignment stage every layer's pool at ~120GB/s).  Scores
+    run block-diagonal over the heads stacked on sublanes, so there is no
+    query-group tiling constraint (g=4 llama-8B included).  Pages past
+    `pos` (and outside the sliding window) are neither fetched nor
+    computed — decode reads scale with the actual context, not the
+    horizon."""
+    b, _, hq, d = q.shape
+    hkv = k_pool.shape[0]
+    ps = page_size
+    g = hq // hkv
+    nlp = table.shape[1] - 1
+
+    qg = q.reshape(b, hq, d)
+    knr = k_new.astype(k_pool.dtype).reshape(b, hkv, d)
+    vnr = v_new.astype(v_pool.dtype).reshape(b, hkv, d)
+    pos0 = positions[:, 0].astype(jnp.int32)
+
+    def row_map(i, j, pos, tbl):
+        return (i, 0, 0)
+
+    hbm = pltpu.MemorySpace.HBM
+    in_specs = [
+        pl.BlockSpec((1, hq, d), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, d), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hkv, d), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=hbm),
+        pl.BlockSpec(memory_space=hbm),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, hq, d), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=hbm),
+        pl.BlockSpec(memory_space=hbm),
+    ]
+    kernel = functools.partial(
+        _paged_decode_kernel, scale, softcap, window, hq, hkv, g, ps, d, nlp
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nlp),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, d, ps), k_pool.dtype),
+            pltpu.VMEM((2, hkv, d, ps), v_pool.dtype),
+            pltpu.VMEM((hkv, d, ps), k_pool.dtype),
+            pltpu.VMEM((hkv, d, ps), v_pool.dtype),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    att, kp2, vp2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        # operand indices count the two scalar-prefetch args
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * nlp * ps * d,
+            bytes_accessed=2 * b * hkv * nlp * ps * d * k_pool.dtype.itemsize,
+            transcendentals=b * hq * nlp * ps,
+        ),
+        interpret=interpret,
+    )(pos0, table.astype(jnp.int32), qg, knr, vnr, k_pool, v_pool)
+    return att.reshape(b, 1, hq, d), kp2, vp2
+
+
+def use_paged_decode_fused(t: int, ps: int, d: int, g: int, hq: int,
+                           interpret: bool) -> bool:
+    """Fused paged-decode eligibility: T=1, lane-aligned pages, supported
+    head_dim (all heads ride one grid step, so no query-group constraint)."""
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("ZLLM_NO_FLASH", "0") == "1":
+        return False
+    if _os.environ.get("ZLLM_NO_PAGED_FUSED", "0") == "1":
+        return False
+    on_tpu = _jax.default_backend() != "cpu"
+    return (
+        (on_tpu or interpret)
+        and t == 1
+        and ps % 128 == 0
+        and d in (64, 128)
+    )
 
 
 # ---------------------------------------------------------------------------

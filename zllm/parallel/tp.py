@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -197,34 +198,49 @@ def _batch_axes(mesh: Mesh | None):
 
 
 def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True,
-                       logits_for="all", replicate_logits: bool = False):
+                       logits_for="all", replicate_logits: bool = False,
+                       with_stats: bool = False):
     """Jitted shard_map forward: (params, tokens, positions[, kv]) ->
-    (logits, kv) | logits.  Batch shards over dp; activations replicate
-    over tp; weight collectives fire inside linear().
+    (logits, kv[, stats]) | logits.  Batch shards over dp; activations
+    replicate over tp; weight collectives fire inside linear().
 
     replicate_logits: all-gather the batch-sharded logits inside the
     shard_map so every process holds the full tensor — required by the
     multi-host coordinated engine, whose rank-0 slot machine samples all
-    rows but only addresses its local shards."""
+    rows but only addresses its local shards.
+
+    with_stats: additionally return the per-step EP capacity-drop count
+    (int32 scalar, replicated) so the serving engine can surface silent
+    GShard drops as a metric."""
     from ..models.llama import forward
 
     data_spec = P(_batch_axes(mesh), None)
     ep = "tp" if plan.moe else None
     baxes = _batch_axes(mesh)
+    with_stats = with_stats and plan.moe
 
     if with_kv:
         def fn(params, tokens, positions, kv):
+            stats = {} if with_stats else None
             logits, kv = forward(params, cfg, tokens, positions, kv,
-                                 logits_for=logits_for, ep_axis=ep)
+                                 logits_for=logits_for, ep_axis=ep, stats=stats)
             if replicate_logits:
                 logits = jax.lax.all_gather(logits, baxes, axis=0, tiled=True)
+            if with_stats:
+                # drops are already psum'd over the ep axis; sum over the
+                # batch axes for a fully-replicated global count
+                dropped = stats.get("ep_dropped", jnp.zeros((), jnp.int32))
+                if baxes:
+                    dropped = jax.lax.psum(dropped, baxes)
+                return logits, kv, dropped
             return logits, kv
 
         lspec = P(None, None, None) if replicate_logits else P(baxes, None, None)
+        out_specs = (lspec, kv_spec(plan, mesh)) + ((P(),) if with_stats else ())
         mapped = jax.shard_map(
             fn, mesh=mesh,
             in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan, mesh)),
-            out_specs=(lspec, kv_spec(plan, mesh)),
+            out_specs=out_specs,
             check_vma=False,
         )
         return jax.jit(mapped, donate_argnums=(3,))

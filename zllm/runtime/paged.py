@@ -4,8 +4,11 @@ The TPU-native counterpart of the reference's cell-based unified KV cache
 (reference: src/llama-kv-cache.{h,cpp} — find_slot free-run scan,
 per-cell seq metadata, apply_ubatch) crossed with vLLM-style paging:
 
-  * one physical page pool per layer, [Hkv, P * page_size, D], shared by
-    every slot — no per-slot max_len stripe
+  * one physical page pool per layer, [Hkv, D, P * page_size] (tokens on
+    the MINOR axis — for head_dim < 128 a token-major pool would be
+    lane-padded to 128 in HBM, doubling pool bytes and making page-granular
+    DMA slices illegal; token-minor is the layout XLA picks for caches
+    anyway), shared by every slot — no per-slot max_len stripe
   * a per-slot page table [n_slots, LP + 1] int32 maps logical page ->
     physical page; the last logical column is pinned to the reserved
     trash page 0, absorbing the engine's inactive-row writes (positions
@@ -40,7 +43,7 @@ class PagedKV(NamedTuple):
     """One layer's attention view: page pools + this step's page table.
     ops.attention dispatches on this type like QuantKV."""
 
-    k: jax.Array  # [Hkv, P * ps, D]
+    k: jax.Array  # [Hkv, D, P * ps]
     v: jax.Array
     table: jax.Array  # int32 [B, LP + 1]
     page_size: int
@@ -50,7 +53,7 @@ class PagedKV(NamedTuple):
         # advertised as [B, Hkv, S, D] like a dense cache view
         b = self.table.shape[0]
         s = (self.table.shape[1] - 1) * self.page_size
-        return (b, self.k.shape[0], s, self.k.shape[2])
+        return (b, self.k.shape[0], s, self.k.shape[1])
 
     def gather(self, dtype=None):
         """Materialize contiguous [B, Hkv, S, D] K/V (CPU fallback and
@@ -62,8 +65,8 @@ class PagedKV(NamedTuple):
         off = jnp.arange(s, dtype=jnp.int32)
         phys = self.table[:, :lp]  # [B, LP]
         idx = phys[:, off // ps] * ps + (off % ps)[None, :]  # [B, S]
-        k = jnp.take(self.k, idx.reshape(-1), axis=1).reshape(h, b, s, d).transpose(1, 0, 2, 3)
-        v = jnp.take(self.v, idx.reshape(-1), axis=1).reshape(h, b, s, d).transpose(1, 0, 2, 3)
+        k = jnp.take(self.k, idx.reshape(-1), axis=2).reshape(h, d, b, s).transpose(2, 0, 3, 1)
+        v = jnp.take(self.v, idx.reshape(-1), axis=2).reshape(h, d, b, s).transpose(2, 0, 3, 1)
         if dtype is not None:
             k, v = k.astype(dtype), v.astype(dtype)
         return k, v
@@ -72,7 +75,7 @@ class PagedKV(NamedTuple):
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PagedKVCache:
-    k: tuple  # L x [Hkv, P * ps, D]
+    k: tuple  # L x [Hkv, D, P * ps]
     v: tuple
     table: jax.Array  # int32 [n_slots, LP + 1]; last col = trash page 0
     page_size: int
@@ -96,7 +99,7 @@ class PagedKVCache:
         assert max_len % page_size == 0, (max_len, page_size)
         lp = max_len // page_size
         p = n_pages if n_pages is not None else n_slots * lp + 1  # +1 trash
-        pool = lambda: jnp.zeros((n_kv_heads, p * page_size, head_dim), dtype)
+        pool = lambda: jnp.zeros((n_kv_heads, head_dim, p * page_size), dtype)
         # identity-ish initial table: slot b owns pages [1 + b*lp, 1 + (b+1)*lp)
         tbl = np.zeros((n_slots, lp + 1), np.int32)
         for b in range(n_slots):
@@ -138,13 +141,33 @@ class PagedKVCache:
         idx = (phys * ps + off).reshape(-1)  # [B*T]; trash rows hit page 0
 
         b, t, h, d = k_new.shape
-        kt = k_new.transpose(2, 0, 1, 3).reshape(h, b * t, d).astype(self.k[il].dtype)
-        vt = v_new.transpose(2, 0, 1, 3).reshape(h, b * t, d).astype(self.v[il].dtype)
+        kt = k_new.transpose(2, 3, 0, 1).reshape(h, d, b * t).astype(self.k[il].dtype)
+        vt = v_new.transpose(2, 3, 0, 1).reshape(h, d, b * t).astype(self.v[il].dtype)
         k = list(self.k)
         v = list(self.v)
-        k[il] = self.k[il].at[:, idx, :].set(kt, mode="drop")
-        v[il] = self.v[il].at[:, idx, :].set(vt, mode="drop")
+        k[il] = self.k[il].at[:, :, idx].set(kt, mode="drop")
+        v[il] = self.v[il].at[:, :, idx].set(vt, mode="drop")
         return PagedKVCache(tuple(k), tuple(v), self.table, ps, self.horizon)
+
+    def copy_pages(self, copies: list[tuple[int, int]]) -> "PagedKVCache":
+        """Copy page contents src->dst in every layer's pools (the device
+        half of PageAllocator.unshare_slot)."""
+        if not copies:
+            return self
+        ps = self.page_size
+        src = np.concatenate([np.arange(o * ps, (o + 1) * ps) for o, _ in copies])
+        dst = np.concatenate([np.arange(n * ps, (n + 1) * ps) for _, n in copies])
+        src, dst = jnp.asarray(src), jnp.asarray(dst)
+        k = tuple(p.at[:, :, dst].set(p[:, :, src]) for p in self.k)
+        v = tuple(p.at[:, :, dst].set(p[:, :, src]) for p in self.v)
+        return PagedKVCache(k, v, self.table, ps, self.horizon)
+
+    def replace_layer(self, il: int, k, v) -> "PagedKVCache":
+        """Swap one layer's pools (the fused decode kernel returns the
+        in-place-updated, donated pool buffers)."""
+        ks, vs = list(self.k), list(self.v)
+        ks[il], vs[il] = k, v
+        return PagedKVCache(tuple(ks), tuple(vs), self.table, self.page_size, self.horizon)
 
     def layer(self, il: int) -> tuple[PagedKV, PagedKV]:
         kv_k = PagedKV(self.k[il], self.v[il], self.table, self.page_size)
@@ -155,7 +178,8 @@ class PagedKVCache:
         ps = self.page_size
         off = jnp.arange(length, dtype=jnp.int32)
         idx = self.table[row, off // ps] * ps + (off % ps)
-        return jnp.take(self.k[il], idx, axis=1), jnp.take(self.v[il], idx, axis=1)
+        return (jnp.take(self.k[il], idx, axis=2).transpose(0, 2, 1),
+                jnp.take(self.v[il], idx, axis=2).transpose(0, 2, 1))
 
     def scatter_row(self, il: int, row: int, k_row, v_row) -> "PagedKVCache":
         """Inverse of gather_row (state restore): write [Hkv, L, D] into
@@ -166,8 +190,8 @@ class PagedKVCache:
         idx = self.table[row, off // ps] * ps + (off % ps)
         k = list(self.k)
         v = list(self.v)
-        k[il] = self.k[il].at[:, idx, :].set(k_row.astype(self.k[il].dtype))
-        v[il] = self.v[il].at[:, idx, :].set(v_row.astype(self.v[il].dtype))
+        k[il] = self.k[il].at[:, :, idx].set(k_row.transpose(0, 2, 1).astype(self.k[il].dtype))
+        v[il] = self.v[il].at[:, :, idx].set(v_row.transpose(0, 2, 1).astype(self.v[il].dtype))
         return PagedKVCache(tuple(k), tuple(v), self.table, ps, self.horizon)
 
 
@@ -226,6 +250,26 @@ class PageAllocator:
             int(self.refs[int(self.table[slot, j])]) == 1
             for j in range(self.owned[slot])
         )
+
+    def unshare_slot(self, slot: int) -> list[tuple[int, int]]:
+        """Copy-on-write unshare: remap every page `slot` shares
+        (refcount > 1) to a fresh private page, decref'ing the shared one.
+        Returns [(src_pid, dst_pid), ...]; the caller must copy page
+        contents src -> dst in the device pools (PagedKVCache.copy_pages)
+        BEFORE any write through the new mapping.  Raises IndexError when
+        the free list can't cover the copies (caller falls back to
+        finishing the request).  Reference analogue: the unified cache has
+        no sharing to break — this is the paged-prefix-sharing counterpart
+        of seq_cp followed by in-place seq_add."""
+        copies = []
+        for j in range(self.owned[slot]):
+            pid = int(self.table[slot, j])
+            if self.refs[pid] > 1:
+                new = self._alloc()
+                self.refs[pid] -= 1
+                self.table[slot, j] = new
+                copies.append((pid, new))
+        return copies
 
 
 def shift_context_row_paged(kv: PagedKVCache, rope_params, row: int, n_keep: int,

@@ -148,7 +148,7 @@ def _common_prefix(a: list[int], b: list[int]) -> int:
 class Engine:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, prefill_chunk: int = 128,
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
-                 speculative: bool = False, n_draft: int = 6, kv_layout: str = "contiguous",
+                 speculative: bool = False, n_draft: int = 6, kv_layout: str = "auto",
                  draft_model=None, tp: int = 1, dp: int = 1, pp: int = 1, mesh=None,
                  coordinated: bool = False):
         import functools
@@ -166,6 +166,20 @@ class Engine:
         self.prefill_chunk = prefill_chunk
         self.recurrent = model.cfg.is_recurrent
         self.hybrid = model.cfg.is_hybrid
+        # "auto" kv layout: the paged pool decodes at parity with the
+        # contiguous stripe since the fused page-insert+attend kernel
+        # (round 4 A/B: 828 vs 827 tok/s) and adds cross-slot prefix-page
+        # sharing, so it is the default wherever it is supported; features
+        # that require the contiguous stripe (mesh/pp serving, q8 KV,
+        # SWA ring, speculation, coordination) fall back automatically.
+        if kv_layout == "auto":
+            kv_layout = "paged" if (
+                not self.recurrent and not self.hybrid
+                and mesh is None and (tp or 1) * (dp or 1) <= 1 and (pp or 1) <= 1
+                and not isinstance(kv_dtype, str)
+                and model.cfg.sliding_window == 0
+                and not speculative and draft_model is None and not coordinated
+            ) else "contiguous"
         self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
         # multi-device serving: shard weights/KV over a (dp, tp) mesh and run
         # the jitted shard_map step inside the same slot loop (the TPU-native
@@ -371,15 +385,27 @@ class Engine:
             # only addresses its local shards -> gather logits in-map
             _s_all = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
                                         with_kv=True, logits_for="all",
-                                        replicate_logits=coordinated)
+                                        replicate_logits=coordinated,
+                                        with_stats=plan.moe)
             _s_last = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
                                          with_kv=True, logits_for="last",
-                                         replicate_logits=coordinated)
+                                         replicate_logits=coordinated,
+                                         with_stats=plan.moe)
+            if plan.moe:
+                # EP capacity-drop counter accumulates ON DEVICE (a host
+                # fetch per step would add a tunnel roundtrip); /metrics
+                # reads it lazily via metrics_view()
+                self._ep_dropped = jnp.zeros((), jnp.int32)
 
             def _step(params, tokens, positions, kv, logits_for="last"):
-                return (_s_all if logits_for == "all" else _s_last)(
+                out = (_s_all if logits_for == "all" else _s_last)(
                     params, tokens, positions, kv
                 )
+                if len(out) == 3:
+                    logits, kv, dropped = out
+                    self._ep_dropped = self._ep_dropped + dropped
+                    return logits, kv
+                return out
 
             self._step = _step
         elif self.pp == 1 and not self.recurrent and not self.hybrid:
@@ -473,6 +499,7 @@ class Engine:
             "decode_steps_total": 0,
             "prefill_steps_total": 0,
             "context_shifts_total": 0,
+            "pages_cow_unshared_total": 0,
             "engine_errors_total": 0,
             "spec_drafted_total": 0,
             "spec_accepted_total": 0,
@@ -522,6 +549,13 @@ class Engine:
         if "error" in box:
             raise box["error"]
         return box.get("result")
+
+    def metrics_view(self) -> dict:
+        """Counters incl. lazily-fetched device accumulators (EP drops)."""
+        m = dict(self.metrics)
+        if getattr(self, "_ep_dropped", None) is not None:
+            m["ep_dropped_total"] = int(self._ep_dropped)
+        return m
 
     def slot_info(self) -> list[dict]:
         return [
@@ -755,10 +789,17 @@ class Engine:
             self._finish(slot, "length")
             return
         if self.paged and not self.alloc.exclusively_owned(slot.idx):
-            # shared prefix pages are rewritten in place by the shift —
-            # refuse rather than corrupt the sharing slots
-            self._finish(slot, "length")
-            return
+            # shared prefix pages would be rewritten in place by the shift:
+            # copy-on-write unshare them first (fresh private pages + device
+            # page copies) so long-running slots that once shared a prefix
+            # keep generating instead of dying at the window edge
+            try:
+                copies = self.alloc.unshare_slot(slot.idx)
+            except IndexError:
+                self._finish(slot, "length")  # page pool exhausted
+                return
+            self.kv = self.kv.copy_pages(copies).with_table(self.alloc.table)
+            self.metrics["pages_cow_unshared_total"] += len(copies)
         from ..runtime.kvcache import shift_context_row
 
         n_keep = slot.req.n_keep if slot.req else 0

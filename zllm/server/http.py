@@ -26,7 +26,7 @@ def _sse(obj) -> bytes:
 class ZllmServer:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080,
                  slot_save_path: str = "", speculative: bool = False, n_draft: int = 6,
-                 kv_layout: str = "contiguous", draft_model=None, jinja: bool = False,
+                 kv_layout: str = "auto", draft_model=None, jinja: bool = False,
                  tp: int = 1, dp: int = 1, pp: int = 1, kv_dtype=None):
         self.model = model
         self.jinja = jinja
@@ -207,7 +207,7 @@ class ZllmServer:
                 elif self.path == "/slots":
                     self._json(200, server.engine.slot_info())
                 elif self.path == "/metrics":
-                    m = server.engine.metrics
+                    m = server.engine.metrics_view()
                     lines = []
                     for k, v in m.items():
                         lines.append(f"# TYPE zllm_{k} counter")
