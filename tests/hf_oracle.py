@@ -68,6 +68,16 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "dots1": (transformers.Dots1ForCausalLM, transformers.Dots1Config),
         "bloom": (transformers.BloomForCausalLM, transformers.BloomConfig),
         "granitemoe": (transformers.GraniteMoeForCausalLM, transformers.GraniteMoeConfig),
+        # GlmForCausalLM (glm-4-9b lineage) converts to the reference's
+        # chatglm arch (convert_hf_to_gguf.py ChatGLMModel registration)
+        "chatglm": (transformers.GlmForCausalLM, transformers.GlmConfig),
+        "dbrx": (transformers.DbrxForCausalLM, transformers.DbrxConfig),
+        "hunyuan-moe": (transformers.HunYuanMoEV1ForCausalLM, transformers.HunYuanMoEV1Config),
+        "hunyuan-dense": (transformers.HunYuanDenseV1ForCausalLM, transformers.HunYuanDenseV1Config),
+        "apertus": (transformers.ApertusForCausalLM, transformers.ApertusConfig),
+        "ernie4_5-moe": (transformers.Ernie4_5_MoeForCausalLM, transformers.Ernie4_5_MoeConfig),
+        "granitemoeshared": (transformers.GraniteMoeSharedForCausalLM,
+                             transformers.GraniteMoeSharedConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

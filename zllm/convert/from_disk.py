@@ -328,6 +328,13 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "InternLM2ForCausalLM": ("internlm2", "internlm2"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
+    "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
+    "GlmForCausalLM": ("llama", "chatglm"),
+    "DbrxForCausalLM": ("dbrx", "dbrx"),
+    "HunYuanMoEV1ForCausalLM": ("llama", "hunyuan-moe"),
+    "HunYuanDenseV1ForCausalLM": ("llama", "hunyuan-dense"),
+    "ApertusForCausalLM": ("llama", "apertus"),
+    "Ernie4_5_MoeForCausalLM": ("llama", "ernie4_5-moe"),
 }
 
 

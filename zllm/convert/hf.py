@@ -121,6 +121,21 @@ _ARCH_RULES = {
     # granitemoe: granite scalar multipliers + fused-input_linear MoE with
     # softmax-over-selected gating (our gate_func 3)
     "granitemoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # chatglm (GLM-4 lineage, HF GlmForCausalLM): adjacent-pair partial
+    # rotary kept unpermuted, qkv biases, fused [gate|up] stored as ffn_up
+    # (reference chatglm.cpp LLM_FFN_SWIGLU with no gate tensor)
+    "chatglm": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False,
+                    gateup_as_up=True),
+    # hunyuan: neox rope + per-head q/k norms applied AFTER rope; MoE
+    # variant adds softmax-gated experts + ungated shared expert
+    "hunyuan-dense": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    "hunyuan-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # apertus: neox rope, per-head q/k norms, non-gated xIELU MLP with
+    # per-layer activation scalars hoisted into xielu.* KV arrays
+    "apertus": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # ernie 4.5 MoE: llama attention + interleaved dense/MoE layers with
+    # shared experts and a deepseek3-style selection-bias router
+    "ernie4_5-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -188,7 +203,8 @@ def convert_hf_llama(
     if "num_experts" in config:  # qwen2moe/qwen3moe naming
         w.add(f"{arch}.expert_count", int(config["num_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
-    if "moe_intermediate_size" in config:
+    if "moe_intermediate_size" in config and not isinstance(
+            config["moe_intermediate_size"], (list, tuple)):  # hunyuan: per-layer list
         w.add(f"{arch}.expert_feed_forward_length", int(config["moe_intermediate_size"]))
     if "shared_expert_intermediate_size" in config:
         w.add(f"{arch}.expert_shared_count", 1)
@@ -228,6 +244,38 @@ def convert_hf_llama(
     if arch == "granitemoe":
         w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
         w.add(f"{arch}.expert_gating_func", 3)  # topk logits -> softmax(selected)
+        if config.get("shared_intermediate_size"):  # granitemoeshared
+            w.add(f"{arch}.expert_shared_count", 1)
+            w.add(f"{arch}.expert_shared_feed_forward_length",
+                  int(config["shared_intermediate_size"]))
+    if arch == "hunyuan-moe":
+        topk = config.get("moe_topk", 2)
+        w.add(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add(f"{arch}.expert_used_count", int(topk[0] if isinstance(topk, list) else topk))
+        mi = config.get("moe_intermediate_size", config["intermediate_size"])
+        w.add(f"{arch}.expert_feed_forward_length", int(mi[0] if isinstance(mi, list) else mi))
+        w.add(f"{arch}.expert_shared_count", 1)
+        w.add(f"{arch}.expert_weights_norm", True)
+        w.add(f"{arch}.expert_shared_feed_forward_length", int(config["intermediate_size"]))
+    if arch == "ernie4_5-moe":
+        w.add(f"{arch}.expert_count", int(config["moe_num_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config.get("moe_k", 2)))
+        w.add(f"{arch}.expert_weights_norm", True)
+        w.add(f"{arch}.leading_dense_block_count", int(config.get("moe_layer_start_index", 0)))
+        if config.get("moe_num_shared_experts"):
+            w.add(f"{arch}.expert_shared_count", int(config["moe_num_shared_experts"]))
+            w.add(f"{arch}.expert_shared_feed_forward_length",
+                  int(config["moe_intermediate_size"]) * int(config["moe_num_shared_experts"]))
+    if arch == "apertus":
+        # per-layer xIELU scalars -> KV arrays of the RAW parameters, the
+        # reference converter's convention (convert_hf_to_gguf.py
+        # ApertusModel; the loader applies the HF softplus transform)
+        nl = int(config["num_hidden_layers"])
+        for hf_key, kv_key in (("alpha_n", "xielu.alpha_n"), ("alpha_p", "xielu.alpha_p"),
+                               ("beta", "xielu.beta"), ("eps", "xielu.eps")):
+            vals = [float(_npy(state_dict[f"model.layers.{il}.mlp.act_fn.{hf_key}"]).reshape(-1)[0])
+                    for il in range(nl)]
+            w.add(kv_key, vals)
     # granite scalar multipliers (reference: llama-model.cpp:2039-2043)
     if "embedding_multiplier" in config:
         w.add(f"{arch}.embedding_scale", float(config["embedding_multiplier"]))
@@ -263,6 +311,9 @@ def convert_hf_llama(
     for il in range(n_layer):
         p = f"model.layers.{il}."
         o = f"blk.{il}."
+        if p + "attention_layernorm.weight" in state_dict:  # apertus naming
+            _emit(w, o + "attn_norm.weight", norm(state_dict[p + "attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "feedforward_layernorm.weight"]), GGMLType.F32)
         if p + "input_layernorm.weight" in state_dict:  # olmo2 has none
             _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
         elif rules.get("ones_norms"):  # olmo v1: non-parametric LayerNorm
@@ -303,6 +354,9 @@ def convert_hf_llama(
         if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2/gemma3 QK-norm
             _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
             _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
+        if p + "self_attn.query_layernorm.weight" in state_dict:  # hunyuan QK-norm
+            _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.query_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.key_layernorm.weight"]), GGMLType.F32)
         if p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
             _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)
@@ -315,7 +369,35 @@ def convert_hf_llama(
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             if p + "post_attention_layernorm.bias" in state_dict:
                 _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "post_attention_layernorm.bias"]), GGMLType.F32)
-        if p + "mlp.router.weight" in state_dict:  # gpt-oss fused experts
+        if p + "mlp.gate.wg.weight" in state_dict:  # hunyuan-moe router
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.wg.weight"]), GGMLType.F32)
+            n_exp = int(config["num_experts"])
+            gate = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.gate_proj.weight"]) for e in range(n_exp)])
+            up = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.up_proj.weight"]) for e in range(n_exp)])
+            down = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.down_proj.weight"]) for e in range(n_exp)])
+            _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+            _emit(w, o + "ffn_up_exps.weight", up, gtype)
+            _emit(w, o + "ffn_down_exps.weight", down, gtype)
+            _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_mlp.gate_proj.weight"]), gtype)
+            _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_mlp.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_mlp.down_proj.weight"]), gtype)
+        elif p + "mlp.moe_statics.e_score_correction_bias" in state_dict and p + "mlp.gate.weight" in state_dict:
+            # ernie 4.5 MoE layer (interleaved with dense layers)
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.weight"]), GGMLType.F32)
+            _emit(w, o + "exp_probs_b.bias",
+                  npy(state_dict[p + "mlp.moe_statics.e_score_correction_bias"]).reshape(-1), GGMLType.F32)
+            n_exp = int(config["moe_num_experts"])
+            gate = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.gate_proj.weight"]) for e in range(n_exp)])
+            up = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.up_proj.weight"]) for e in range(n_exp)])
+            down = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.down_proj.weight"]) for e in range(n_exp)])
+            _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+            _emit(w, o + "ffn_up_exps.weight", up, gtype)
+            _emit(w, o + "ffn_down_exps.weight", down, gtype)
+            if p + "mlp.shared_experts.gate_proj.weight" in state_dict:
+                _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_experts.gate_proj.weight"]), gtype)
+                _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_experts.up_proj.weight"]), gtype)
+                _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_experts.down_proj.weight"]), gtype)
+        elif p + "mlp.router.weight" in state_dict:  # gpt-oss fused experts
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.router.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_gate_inp.bias", npy(state_dict[p + "mlp.router.bias"]), GGMLType.F32)
             gu = npy(state_dict[p + "mlp.experts.gate_up_proj"]).transpose(0, 2, 1)  # [E, 2F, K]
@@ -358,6 +440,13 @@ def convert_hf_llama(
             _emit(w, o + "ffn_up_exps.weight", np.ascontiguousarray(il_w[:, f2:]), gtype)
             _emit(w, o + "ffn_down_exps.weight",
                   npy(state_dict[p + "block_sparse_moe.output_linear.weight"]), gtype)
+            if p + "shared_mlp.input_linear.weight" in state_dict:  # granitemoeshared
+                sh = npy(state_dict[p + "shared_mlp.input_linear.weight"])  # [2F, K]
+                fs = sh.shape[0] // 2
+                _emit(w, o + "ffn_gate_shexp.weight", np.ascontiguousarray(sh[:fs]), gtype)
+                _emit(w, o + "ffn_up_shexp.weight", np.ascontiguousarray(sh[fs:]), gtype)
+                _emit(w, o + "ffn_down_shexp.weight",
+                      npy(state_dict[p + "shared_mlp.output_linear.weight"]), gtype)
         elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
             n_exp = int(config["num_local_experts"])
@@ -372,6 +461,11 @@ def convert_hf_llama(
             _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+        elif p + "mlp.gate_up_proj.weight" in state_dict and rules.get("gateup_as_up"):
+            # chatglm: the fused [gate|up] stays ONE tensor named ffn_up
+            # (reference format; the loader remaps it to the gateup kernel)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.gate_up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
         elif p + "mlp.gate_up_proj.weight" in state_dict:  # glm4 fused gate|up
             gu = npy(state_dict[p + "mlp.gate_up_proj.weight"])
             half = gu.shape[0] // 2
@@ -864,6 +958,76 @@ def convert_hf_gptneox(
     _emit(w, "output_norm.weight", npy(state_dict["gpt_neox.final_layer_norm.weight"]), GGMLType.F32)
     _emit(w, "output_norm.bias", npy(state_dict["gpt_neox.final_layer_norm.bias"]), GGMLType.F32)
     _emit(w, "output.weight", npy(state_dict["embed_out.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_dbrx(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF DbrxForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    DbrxModel; graph src/models/dbrx.cpp: LayerNorm, fused clamped Wqkv,
+    norm_2 as the pre-FFN norm, flattened expert stacks w1/v1/w2)."""
+    npy = _npy
+    arch = "dbrx"
+    attn_cfg = config["attn_config"]
+    ffn_cfg = config["ffn_config"]
+    n_layer = int(config["n_layers"])
+    n_embd = int(config["d_model"])
+    n_head = int(config["n_heads"])
+    n_kv = int(attn_cfg["kv_n_heads"])
+    n_ff = int(ffn_cfg["ffn_hidden_size"])
+    n_exp = int(ffn_cfg["moe_num_experts"])
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_seq_len", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add(f"{arch}.attention.clamp_kqv", float(attn_cfg.get("clip_qkv") or 0.0))
+    w.add(f"{arch}.rope.freq_base", float(attn_cfg.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", n_embd // n_head)
+    w.add(f"{arch}.expert_count", n_exp)
+    w.add(f"{arch}.expert_used_count", int(ffn_cfg.get("moe_top_k", 2)))
+    w.add(f"{arch}.expert_feed_forward_length", n_ff)
+    w.add(f"{arch}.expert_weights_norm", True)  # build_moe_ffn norm=true
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"transformer.blocks.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight",
+              npy(state_dict[p + "norm_attn_norm.norm_1.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_qkv.weight",
+              npy(state_dict[p + "norm_attn_norm.attn.Wqkv.weight"]), gtype)
+        _emit(w, o + "attn_output.weight",
+              npy(state_dict[p + "norm_attn_norm.attn.out_proj.weight"]), gtype)
+        _emit(w, o + "attn_output_norm.weight",
+              npy(state_dict[p + "norm_attn_norm.norm_2.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate_inp.weight",
+              npy(state_dict[p + "ffn.router.layer.weight"]), GGMLType.F32)
+        # flattened [E*F, D] expert stacks -> [E, F, D]; down transposed
+        gate = npy(state_dict[p + "ffn.experts.mlp.w1"]).reshape(n_exp, n_ff, n_embd)
+        up = npy(state_dict[p + "ffn.experts.mlp.v1"]).reshape(n_exp, n_ff, n_embd)
+        down = npy(state_dict[p + "ffn.experts.mlp.w2"]).reshape(n_exp, n_ff, n_embd)
+        down = np.ascontiguousarray(down.transpose(0, 2, 1))  # [E, D, F]
+        _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+        _emit(w, o + "ffn_up_exps.weight", up, gtype)
+        _emit(w, o + "ffn_down_exps.weight", down, gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.norm_f.weight"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
 

@@ -144,6 +144,16 @@ class ModelConfig:
     rel_buckets: int = 0
     rel_max_dist: int = 128
     dec_start_token: int = -1
+    # dbrx: clamp the fused qkv projection output to [-clamp, clamp]
+    # (reference: hparams.f_clamp_kqv, src/models/dbrx.cpp ggml_clamp)
+    clamp_kqv: float = 0.0
+    # hunyuan: per-head q/k RMS norms apply AFTER rope, not before
+    # (reference src/models/hunyuan-moe.cpp: rope_ext then build_norm)
+    qk_norm_post_rope: bool = False
+    # apertus xIELU activation: per-layer (alpha_n, alpha_p, beta, eps)
+    # EFFECTIVE values (softplus already applied — the GGUF stores the raw
+    # HF parameters; see from_gguf)
+    xielu: tuple | None = None
     # True when loader.rope_to_neox permuted wq/wk (+ bq/bk/q-k norms) into
     # the half-split rope basis at load time.  Every path that crosses
     # bases — runtime LoRA attach (adapter.load_lora) and the model saver
@@ -257,7 +267,8 @@ class ModelConfig:
                 # llama.cpp GGUFs carry this as expert_weights_norm
                 norm_topk_prob=bool(kv("expert_weights_norm",
                                        kv("norm_topk_prob",
-                                          arch in ("llama", "mixtral", "qwen3moe")))),
+                                          arch in ("llama", "mixtral", "qwen3moe",
+                                                   "hunyuan-moe", "ernie4_5-moe")))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
                 n_expert_groups=int(kv("expert_group_count", 1) or 1),
@@ -352,6 +363,9 @@ class ModelConfig:
             swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2,
                          "olmo3": 4, "exaone4": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
+            clamp_kqv=float(kv("attention.clamp_kqv", 0.0) or 0.0),
+            qk_norm_post_rope=arch in ("hunyuan-moe", "hunyuan-dense"),
+            xielu=_xielu_params(f, int(kv("block_count"))) if arch == "apertus" else None,
             act=(
                 "swiglu_oai" if arch == "gpt-oss"
                 else "gelu" if arch.startswith("gemma")
@@ -359,6 +373,7 @@ class ModelConfig:
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
                 else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
                 else "relu2" if arch in ("nemotron", "arcee")
+                else "xielu" if arch == "apertus"
                 else "silu"
             ),
             attn_scale=attn_scale_override
@@ -374,7 +389,7 @@ class ModelConfig:
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
-                            "phi2", "cohere2", "bloom")
+                            "phi2", "cohere2", "bloom", "dbrx")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
@@ -404,10 +419,40 @@ class ModelConfig:
         return replace(self, **kw)
 
 
+def _xielu_params(f, n_layers: int) -> tuple:
+    """Per-layer xIELU parameters (apertus; reference KVs xielu.alpha_*,
+    src/llama-model.cpp:2339-2346).  The GGUF carries the RAW HF
+    parameters (reference convert ApertusModel stores .item() of the
+    learnable scalars); HF's activation applies softplus —
+    alpha_p = softplus(raw_p), alpha_n = beta + softplus(raw_n)
+    (transformers activations.XIELU) — so the effective values are
+    computed here and the forward uses them directly."""
+    import math
+
+    def arr(key, default):
+        v = f.kv(key)
+        if v is None:
+            return [default] * n_layers
+        return [float(x) for x in (v if hasattr(v, "__len__") else [v] * n_layers)]
+
+    an = arr("xielu.alpha_n", 0.8)
+    ap = arr("xielu.alpha_p", 0.8)
+    beta = arr("xielu.beta", 0.5)
+    eps = arr("xielu.eps", -1e-6)
+    sp = lambda x: math.log1p(math.exp(x))
+    return tuple(
+        (beta[i] + sp(an[i]), sp(ap[i]), beta[i], eps[i]) for i in range(n_layers)
+    )
+
+
 # arches whose GGUF weights expect half-split (NeoX) rotary embedding;
 # llama-family GGUFs are permuted at conversion to use adjacent-pair rope
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
+    "dbrx",
+    "hunyuan-moe",
+    "hunyuan-dense",
+    "apertus",
     "qwen2",
     "qwen2moe",
     "qwen3",

@@ -350,7 +350,7 @@ def layer_forward(
         att, kv = _mla_attention(layer, cfg, h, positions, kv, il, scale)
         att = lora_linear(layer, "wo", att.reshape(b, t, -1))
         x = x + att
-        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats), kv
+        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
     if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
         if fused_qkv is not None:
             qkv = fused_qkv.reshape(b, t, -1)
@@ -358,6 +358,8 @@ def layer_forward(
                 qkv = qkv + layer["bqkv"].astype(qkv.dtype)
         else:
             qkv = lora_linear(layer, "wqkv", h, layer.get("bqkv"))
+        if cfg.clamp_kqv > 0:  # dbrx (reference ggml_clamp on wqkv output)
+            qkv = jnp.clip(qkv, -cfg.clamp_kqv, cfg.clamp_kqv)
         qd, kvd = cfg.q_dim, cfg.kv_dim
         q, k, v = qkv[..., :qd], qkv[..., qd : qd + kvd], qkv[..., qd + kvd :]
         q = q.reshape(b, t, -1, cfg.head_dim)
@@ -368,6 +370,10 @@ def layer_forward(
         q = lora_linear(layer, "wq", h, layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
         k = lora_linear(layer, "wk", h, layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
         v = lora_linear(layer, "wv", h, layer.get("bv")).reshape(b, t, -1, cfg.head_dim)
+        if cfg.clamp_kqv > 0:  # dbrx (reference ggml_clamp on wqkv output)
+            q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
+            k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
+            v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
 
     from ..ops.attention import (
         attn_decode_qkv, attn_decode_update, use_decode_fused, use_decode_qkv,
@@ -393,7 +399,7 @@ def layer_forward(
         and t == 1
         and cfg.alibi_bias_max <= 0
         and layer.get("attn_sinks") is None
-        and ("attn_q_norm" not in layer or qk_norm_perhead)
+        and ("attn_q_norm" not in layer or (qk_norm_perhead and not cfg.qk_norm_post_rope))
         and q.shape[2] % k.shape[2] == 0
         and use_decode_qkv(
             t, kv.max_len, cfg.head_dim, q.shape[2] // k.shape[2],
@@ -421,7 +427,9 @@ def layer_forward(
         kv = kv.replace_layer(il, kl, vl)
 
     if att is None and "attn_q_norm" in layer:
-        if qk_norm_perhead:
+        if qk_norm_perhead and cfg.qk_norm_post_rope:
+            pass  # hunyuan: norms apply AFTER rope (below)
+        elif qk_norm_perhead:
             # qwen3/gemma3: per-head RMS over head_dim
             q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
             k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
@@ -441,6 +449,11 @@ def layer_forward(
         rope = cfg.rope_swa if (window > 0 and cfg.rope_swa is not None) else cfg.rope
         q = apply_rope(q, positions, rope)
         k = apply_rope(k, positions, rope)
+    if att is None and cfg.qk_norm_post_rope and "attn_q_norm" in layer:
+        # hunyuan: per-head RMS applies AFTER rope (reference
+        # src/models/hunyuan-moe.cpp: rope_ext then build_norm)
+        q = rms_norm(q, layer["attn_q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["attn_k_norm"], cfg.norm_eps)
 
     # fused paged decode step: page insert + attention in one launch per
     # layer (page blocks stream via the scalar-prefetched table; only the
@@ -550,14 +563,14 @@ def layer_forward(
         # A separate ffn norm is used when the layer carries one,
         # otherwise the attention norm output feeds both branches.
         h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else h
-        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats)
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il)
         return x + att + ff, kv
     x = x + att
 
-    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats), kv
+    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
 
 
-def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None):
+def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None):
     """FFN/MoE on an already-normalized input."""
     if taps is not None:
         taps[f"{tapname}.ffn_gate.weight"] = h2
@@ -577,6 +590,16 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None):
         uf = up.astype(jnp.float32)
         if cfg.act == "relu2":
             gu = jnp.square(jax.nn.relu(uf)).astype(up.dtype)
+        elif cfg.act == "xielu":
+            # apertus xIELU (reference ggml_xielu, ggml-cpu/unary-ops.cpp:55;
+            # effective alphas precomputed in ModelConfig.from_gguf):
+            # x>0: ap*x^2 + b*x ; else (expm1(min(x,eps)) - x)*an + b*x
+            an, ap, bb, eps = cfg.xielu[il if isinstance(il, int) else 0]
+            gu = jnp.where(
+                uf > 0,
+                ap * uf * uf + bb * uf,
+                (jnp.expm1(jnp.minimum(uf, eps)) - uf) * an + bb * uf,
+            ).astype(up.dtype)
         else:
             gu = jax.nn.gelu(uf, approximate=cfg.act != "gelu_exact").astype(up.dtype)
     if taps is not None:
@@ -587,7 +610,7 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None):
     return ff
 
 
-def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None):
+def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None):
     """Post-attention half of a block: FFN/MoE + residual + cvector."""
     from ..ops import linear as linmod
     from ..quant.repack import QTensor as _QT
@@ -619,7 +642,7 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None):
                 ff = ff + layer["ffn_down_b"].astype(ff.dtype)
     if ff is None:
         h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
-        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats)
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:

@@ -599,6 +599,20 @@ class Model:
             except NotImplementedError as e:
                 log.warning("tokenizer unavailable: %s", e)
         params = load_params(f, cfg, quantized=quantized, dtype=dtype)
+        if cfg.arch == "dbrx":
+            # dbrx's norm_2 (GGUF attn_output_norm) is the PRE-FFN norm of
+            # its graph (reference src/models/dbrx.cpp build_norm on
+            # ffn_inp), not an encoder-style post-attention norm
+            for layer in params.get("layers", []):
+                if "attn_out_norm" in layer:
+                    layer["ffn_norm"] = layer.pop("attn_out_norm")
+        if cfg.arch == "chatglm":
+            # reference chatglm GGUFs store the fused [gate|up] projection
+            # as ffn_up (build_ffn LLM_FFN_SWIGLU with no gate tensor,
+            # src/models/chatglm.cpp); our graph consumes it as ffn_gateup
+            for layer in params.get("layers", []):
+                if "ffn_up" in layer and "ffn_gate" not in layer:
+                    layer["ffn_gateup"] = layer.pop("ffn_up")
         if os.environ.get("ZLLM_ROPE_NEOX", "1") == "1":
             params, cfg = rope_to_neox(params, cfg)
         if fuse and not cfg.is_encoder:

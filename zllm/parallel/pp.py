@@ -204,6 +204,10 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
         raise NotImplementedError(
             f"{cfg.arch}: per-layer NoPE (nope_step={cfg.nope_step}) is not "
             "supported under pipeline parallelism")
+    if cfg.xielu is not None:
+        raise NotImplementedError(
+            f"{cfg.arch}: per-layer xIELU parameters need a concrete layer "
+            "index, unavailable under the PP layer scan")
     if cfg.attn_layers is not None or cfg.is_recurrent or cfg.is_hybrid:
         raise NotImplementedError(
             f"{cfg.arch}: recurrent/hybrid layer stacks are not supported "
