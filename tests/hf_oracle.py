@@ -78,6 +78,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "ernie4_5-moe": (transformers.Ernie4_5_MoeForCausalLM, transformers.Ernie4_5_MoeConfig),
         "granitemoeshared": (transformers.GraniteMoeSharedForCausalLM,
                              transformers.GraniteMoeSharedConfig),
+        "qwen3next": (transformers.Qwen3NextForCausalLM, transformers.Qwen3NextConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -962,6 +962,123 @@ def convert_hf_gptneox(
     return out_path
 
 
+def convert_hf_qwen3next(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF Qwen3NextForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    Qwen3NextModel): gated-deltanet linear layers + every-4th gated full
+    attention + qwen2moe-style MoE.  Conversion contract matched to the
+    reference: in_proj_qkvz reordered to [q|k|v] (attn_qkv) + z
+    (attn_gate), in_proj_ba passed through RAW (ssm_ba), A_log baked to
+    -exp(A_log) (ssm_a), dt_bias -> ssm_dt.bias, conv1d squeezed, and all
+    norms EXCEPT linear_attn.norm stored zero-centered +1."""
+    npy = _npy
+    arch = "qwen3next"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config["num_key_value_heads"])
+    head_dim = int(config.get("head_dim", n_embd // n_head))
+    hk = int(config["linear_num_key_heads"])
+    hv = int(config["linear_num_value_heads"])
+    dk = int(config["linear_key_head_dim"])
+    dv = int(config["linear_value_head_dim"])
+    n_exp = int(config["num_experts"])
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-6)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count",
+          int(head_dim * float(config.get("partial_rotary_factor", 0.25))))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add(f"{arch}.expert_count", n_exp)
+    w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    w.add(f"{arch}.expert_feed_forward_length", int(config["moe_intermediate_size"]))
+    w.add(f"{arch}.expert_shared_count", 1)
+    w.add(f"{arch}.expert_shared_feed_forward_length",
+          int(config["shared_expert_intermediate_size"]))
+    w.add(f"{arch}.expert_weights_norm", bool(config.get("norm_topk_prob", True)))
+    w.add(f"{arch}.ssm.conv_kernel", int(config["linear_conv_kernel_dim"]))
+    w.add(f"{arch}.ssm.state_size", dk)
+    w.add(f"{arch}.ssm.group_count", hk)
+    w.add(f"{arch}.ssm.time_step_rank", hv)
+    w.add(f"{arch}.ssm.inner_size", dv * hv)
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def norm1(t):  # zero-centered norms: store w+1
+        return npy(t) + 1.0
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", norm1(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_post_norm.weight",
+              norm1(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        if p + "linear_attn.in_proj_qkvz.weight" in state_dict:
+            # deltanet layer: reorder [q,k,v,z]*head -> [q*|k*|v*] + z
+            qkvz = npy(state_dict[p + "linear_attn.in_proj_qkvz.weight"])  # [N, K]
+            r = hv // hk
+            per = 2 * dk + 2 * r * dv
+            blk = qkvz.reshape(hk, per, n_embd)
+            q = blk[:, :dk].reshape(hk * dk, n_embd)
+            k = blk[:, dk : 2 * dk].reshape(hk * dk, n_embd)
+            v = blk[:, 2 * dk : 2 * dk + r * dv].reshape(hv * dv, n_embd)
+            z = blk[:, 2 * dk + r * dv :].reshape(hv * dv, n_embd)
+            _emit(w, o + "attn_qkv.weight",
+                  np.ascontiguousarray(np.concatenate([q, k, v], axis=0)), gtype)
+            _emit(w, o + "attn_gate.weight", np.ascontiguousarray(z), gtype)
+            _emit(w, o + "ssm_ba.weight",
+                  npy(state_dict[p + "linear_attn.in_proj_ba.weight"]), gtype)
+            _emit(w, o + "ssm_conv1d.weight",
+                  npy(state_dict[p + "linear_attn.conv1d.weight"]).squeeze(1), GGMLType.F32)
+            _emit(w, o + "ssm_a", -np.exp(npy(state_dict[p + "linear_attn.A_log"])), GGMLType.F32)
+            _emit(w, o + "ssm_dt.bias", npy(state_dict[p + "linear_attn.dt_bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_norm.weight",
+                  npy(state_dict[p + "linear_attn.norm.weight"]), GGMLType.F32)
+            _emit(w, o + "ssm_out.weight",
+                  npy(state_dict[p + "linear_attn.out_proj.weight"]), gtype)
+        else:  # gated full-attention layer
+            _emit(w, o + "attn_q.weight", npy(state_dict[p + "self_attn.q_proj.weight"]), gtype)
+            _emit(w, o + "attn_k.weight", npy(state_dict[p + "self_attn.k_proj.weight"]), gtype)
+            _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
+            _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+            _emit(w, o + "attn_q_norm.weight", norm1(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_k_norm.weight", norm1(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.gate.weight"]), GGMLType.F32)
+        gate = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.gate_proj.weight"]) for e in range(n_exp)])
+        up = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.up_proj.weight"]) for e in range(n_exp)])
+        down = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.down_proj.weight"]) for e in range(n_exp)])
+        _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+        _emit(w, o + "ffn_up_exps.weight", up, gtype)
+        _emit(w, o + "ffn_down_exps.weight", down, gtype)
+        _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_expert.gate_proj.weight"]), gtype)
+        _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_expert.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_expert.down_proj.weight"]), gtype)
+        _emit(w, o + "ffn_gate_inp_shexp.weight",
+              npy(state_dict[p + "mlp.shared_expert_gate.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", norm1(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
 def convert_hf_dbrx(
     state_dict: Mapping[str, Any],
     config: Mapping[str, Any],

@@ -337,6 +337,12 @@ class ModelConfig:
             attn_layers = tuple(v > 0 for v in vals)
             hckv = max(vals) if any(vals) else 1
 
+        if arch == "qwen3next":
+            # linear-attention (gated deltanet) layers everywhere except
+            # every 4th full-attention layer (reference
+            # llama-model.cpp:2393-2396 recurrent_layer_arr)
+            attn_layers = tuple((i + 1) % 4 == 0 for i in range(int(kv("block_count"))))
+
         qpas = kv("attention.query_pre_attn_scalar")
         return cls(
             arch=arch,
@@ -449,6 +455,7 @@ def _xielu_params(f, n_layers: int) -> tuple:
 # llama-family GGUFs are permuted at conversion to use adjacent-pair rope
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
+    "qwen3next",
     "dbrx",
     "hunyuan-moe",
     "hunyuan-dense",

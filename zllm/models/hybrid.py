@@ -21,6 +21,17 @@ from .mamba import RecurrentState, mamba_layer
 def make_hybrid_state(cfg, batch: int, dtype=jnp.float32) -> RecurrentState:
     """Recurrent memory sized to the recurrent-layer subset: mamba
     conv+ssm states (jamba) or shortconv tails (lfm2, ssm slots empty)."""
+    if cfg.arch == "qwen3next":
+        # deltanet states: conv tail over the q|k|v channels + the
+        # [Hv, dk, dv] delta-rule memory per linear layer
+        n = cfg.n_recurrent_layers
+        sc = cfg.ssm
+        hk, hv, dk = sc.n_group, sc.dt_rank, sc.d_state
+        dv = sc.d_inner // hv
+        conv_dim = 2 * hk * dk + hv * dv
+        conv = tuple(jnp.zeros((batch, conv_dim, sc.d_conv - 1), dtype) for _ in range(n))
+        ssm = tuple(jnp.zeros((batch, hv, dk, dv), jnp.float32) for _ in range(n))
+        return RecurrentState(conv=conv, ssm=ssm)
     if cfg.shortconv_l > 0:
         n = cfg.n_recurrent_layers
         conv = tuple(
@@ -57,7 +68,22 @@ def hybrid_forward(
         )
     ai = ri = 0
     for il, layer in enumerate(params["layers"]):
-        if "ssm_in" in layer or "shortconv_in" in layer:
+        if "ssm_qkv" in layer:  # qwen3next gated-deltanet mixer
+            from .deltanet import deltanet_layer
+
+            h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+            y, conv, ssm = deltanet_layer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
+            state = state.with_layer(ri, conv, ssm)
+            ri += 1
+            x = x + y
+            x = _ffn_block(layer, cfg, x, f"blk.{il}", taps, ep_axis)
+        elif cfg.arch == "qwen3next":
+            from .deltanet import gated_attn_layer
+
+            x, kv = gated_attn_layer(layer, cfg, x, positions, kv, ai, taps=taps)
+            ai += 1
+            x = _ffn_block(layer, cfg, x, f"blk.{il}", taps, ep_axis)
+        elif "ssm_in" in layer or "shortconv_in" in layer:
             h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
             if "shortconv_in" in layer:  # lfm2 conv mixer
                 from .lfm2 import shortconv_layer

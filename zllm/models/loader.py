@@ -63,6 +63,8 @@ _LAYER_MAP = {
     "attn_sinks.weight": "attn_sinks",
     # mamba SSM mixer (reference: src/llama-arch.cpp LLM_ARCH_MAMBA table)
     "ssm_in.weight": "ssm_in",
+    "attn_gate.weight": "ssm_z",
+    "ssm_ba.weight": "ssm_ba",
     "ssm_conv1d.weight": "ssm_conv1d",
     "ssm_conv1d.bias": "ssm_conv1d_b",
     "ssm_x.weight": "ssm_x",
@@ -268,6 +270,11 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             _, il_s, suffix = name.split(".", 2)
             il = int(il_s)
             key = _LAYER_MAP.get(suffix)
+            if suffix == "attn_qkv.weight" and cfg.arch == "qwen3next":
+                # deltanet q|k|v projection (conversion-reordered); head
+                # layout differs from the attention layers — keep whole
+                params["layers"][il]["ssm_qkv"] = _load_matmul(f, name, quantized, dtype)
+                continue
             if suffix == "attn_qkv.weight":  # phi3-style fused QKV
                 qd, kvd = cfg.q_dim, cfg.kv_dim
                 wq, wk, wv = _load_matmul_rows(
@@ -606,6 +613,21 @@ class Model:
             for layer in params.get("layers", []):
                 if "attn_out_norm" in layer:
                     layer["ffn_norm"] = layer.pop("attn_out_norm")
+        if cfg.arch == "qwen3next":
+            hv, hk = cfg.ssm.dt_rank, cfg.ssm.n_group
+            r = hv // hk
+            # reference ssm_ba keeps HF's per-k-head [b_0..b_{r-1}, a_0..a_{r-1}]
+            # interleave (convert_hf_to_gguf.py passes in_proj_ba through);
+            # reorder columns to [all b | all a] for the mixer's simple split
+            idx = ([kh * 2 * r + j for kh in range(hk) for j in range(r)]
+                   + [kh * 2 * r + r + j for kh in range(hk) for j in range(r)])
+            for layer in params.get("layers", []):
+                if "ssm_ba" in layer:
+                    layer["ssm_ba"] = _permute_cols(layer["ssm_ba"], np.asarray(idx))
+                # the stack's pre-FFN norm ships as attn_post_norm
+                # (qwen3next tensor table has no FFN_NORM)
+                if "attn_post_norm" in layer:
+                    layer["ffn_norm"] = layer.pop("attn_post_norm")
         if cfg.arch == "chatglm":
             # reference chatglm GGUFs store the fused [gate|up] projection
             # as ffn_up (build_ffn LLM_FFN_SWIGLU with no gate tensor,
@@ -615,7 +637,9 @@ class Model:
                     layer["ffn_gateup"] = layer.pop("ffn_up")
         if os.environ.get("ZLLM_ROPE_NEOX", "1") == "1":
             params, cfg = rope_to_neox(params, cfg)
-        if fuse and not cfg.is_encoder:
+        if fuse and not cfg.is_encoder and cfg.arch != "qwen3next":
+            # (qwen3next attention layers carry the [query|gate] wq whose
+            # width breaks the fused-projection split contract)
             params = fuse_projections(params, cfg)
         if isinstance(params.get("output"), QTensor):
             from ..quant.repack import pad_n
