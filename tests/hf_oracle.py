@@ -79,6 +79,7 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         "granitemoeshared": (transformers.GraniteMoeSharedForCausalLM,
                              transformers.GraniteMoeSharedConfig),
         "qwen3next": (transformers.Qwen3NextForCausalLM, transformers.Qwen3NextConfig),
+        "gemma3n": (transformers.Gemma3nForCausalLM, transformers.Gemma3nTextConfig),
     }[arch]
     hf = cls[0](cls[1](**cfg, attn_implementation="eager")).eval()
 

@@ -962,6 +962,126 @@ def convert_hf_gptneox(
     return out_path
 
 
+def convert_hf_gemma3n(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    gtype: GGMLType = GGMLType.F32,
+    tokenizer_kv: Mapping[str, Any] | None = None,
+) -> str:
+    """HF Gemma3nForCausalLM (text) -> GGUF (reference:
+    convert_hf_to_gguf.py Gemma3nModel): AltUp stacks, LAuReL, per-layer
+    input embeddings, shared-KV tail, activation-sparsity std multipliers
+    (icdf of the sparsity fractions), zero-centered norms stored +1."""
+    import math
+
+    npy = _npy
+    arch = "gemma3n"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config["num_key_value_heads"])
+    head_dim = int(config.get("head_dim", 256))
+    per = int(config["hidden_size_per_layer_input"])
+    n_altup = int(config.get("altup_num_inputs", 4))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-6)))
+    w.add(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 1e6)))
+    w.add(f"{arch}.rope.freq_base_swa", float(config.get("rope_local_base_freq", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if config.get("final_logit_softcapping"):
+        w.add(f"{arch}.final_logit_softcapping", float(config["final_logit_softcapping"]))
+    w.add(f"{arch}.altup.active_idx", int(config.get("altup_active_idx", 0)))
+    w.add(f"{arch}.altup.num_inputs", n_altup)
+    w.add(f"{arch}.embedding_length_per_layer_input", per)
+    w.add(f"{arch}.attention.shared_kv_layers", int(config.get("num_kv_shared_layers", 0)))
+    # sparsity fractions -> std multipliers (icdf); 0 -> -inf = "off"
+    from statistics import NormalDist
+
+    scale = [
+        (NormalDist().inv_cdf(s) if 0.0 < s < 1.0 else float("-inf"))
+        for s in config.get("activation_sparsity_pattern", [0.0] * n_layer)
+    ]
+    w.add(f"{arch}.activation_sparsity_scale", scale)
+    w.add(f"{arch}.attention.sliding_window_pattern",
+          [t == "sliding_attention" for t in config["layer_types"]])
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def norm1(t):
+        return npy(t)  # gemma3n norms are NOT zero-centered (norm_shift=0)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    _emit(w, "per_layer_token_embd.weight",
+          npy(state_dict["model.embed_tokens_per_layer.weight"]), gtype)
+    _emit(w, "per_layer_model_proj.weight",
+          npy(state_dict["model.per_layer_model_projection.weight"]), gtype)
+    _emit(w, "per_layer_proj_norm.weight",
+          norm1(state_dict["model.per_layer_projection_norm.weight"]), GGMLType.F32)
+    _emit(w, "altup_proj.weight", np.stack(
+        [npy(state_dict[f"model.altup_projections.{i}.weight"]) for i in range(n_altup - 1)]
+    ), gtype)
+    _emit(w, "altup_unembd_proj.weight", np.stack(
+        [npy(state_dict[f"model.altup_unembed_projections.{i}.weight"]) for i in range(n_altup - 1)]
+    ), gtype)
+
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", norm1(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "post_attention_norm.weight",
+              norm1(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight",
+              norm1(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "post_ffw_norm.weight",
+              norm1(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_q.weight", npy(state_dict[p + "self_attn.q_proj.weight"]), gtype)
+        _emit(w, o + "attn_k.weight", npy(state_dict[p + "self_attn.k_proj.weight"]), gtype)
+        _emit(w, o + "attn_v.weight", npy(state_dict[p + "self_attn.v_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+        _emit(w, o + "attn_q_norm.weight", norm1(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_k_norm.weight", norm1(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+        _emit(w, o + "laurel_l.weight", npy(state_dict[p + "laurel.linear_left.weight"]), gtype)
+        _emit(w, o + "laurel_r.weight", npy(state_dict[p + "laurel.linear_right.weight"]), gtype)
+        _emit(w, o + "laurel_post_norm.weight",
+              norm1(state_dict[p + "laurel.post_laurel_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "altup_correct_scale.weight",
+              npy(state_dict[p + "altup.correct_output_scale"]), GGMLType.F32)
+        _emit(w, o + "altup_correct_coef.weight",
+              npy(state_dict[p + "altup.correction_coefs.weight"]), gtype)
+        _emit(w, o + "altup_predict_coef.weight",
+              npy(state_dict[p + "altup.prediction_coefs.weight"]), gtype)
+        _emit(w, o + "altup_router.weight",
+              npy(state_dict[p + "altup.modality_router.weight"]), gtype)
+        _emit(w, o + "altup_router_norm.weight",
+              norm1(state_dict[p + "altup.router_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "inp_gate.weight", npy(state_dict[p + "per_layer_input_gate.weight"]), gtype)
+        _emit(w, o + "proj.weight", npy(state_dict[p + "per_layer_projection.weight"]), gtype)
+        _emit(w, o + "post_norm.weight",
+              norm1(state_dict[p + "post_per_layer_input_norm.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", norm1(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
 def convert_hf_qwen3next(
     state_dict: Mapping[str, Any],
     config: Mapping[str, Any],

@@ -69,6 +69,19 @@ class WkvConfig:
 
 
 @dataclass(frozen=True)
+class AltUpConfig:
+    """gemma3n AltUp/MatFormer hparams (reference: hparams.n_altup /
+    i_altup_act / n_embd_altup / n_layer_kv_from_start,
+    src/llama-model.cpp LLM_ARCH_GEMMA3N)."""
+
+    n_altup: int
+    active_idx: int
+    per_layer_dim: int
+    n_kv_shared: int
+    sparsity: tuple  # per-layer gaussian-topk std multipliers (<=0: off)
+
+
+@dataclass(frozen=True)
 class MlaConfig:
     """Multi-head latent attention dims (deepseek2).  With the absorption
     optimization the KV cache is MQA over [rope | latent] vectors:
@@ -154,6 +167,9 @@ class ModelConfig:
     # EFFECTIVE values (softplus already applied — the GGUF stores the raw
     # HF parameters; see from_gguf)
     xielu: tuple | None = None
+    # gemma3n AltUp stack (multi-stream hidden state + per-layer inputs +
+    # shared-KV tail layers); None for every other arch
+    altup: "AltUpConfig | None" = None
     # True when loader.rope_to_neox permuted wq/wk (+ bq/bk/q-k norms) into
     # the half-split rope basis at load time.  Every path that crosses
     # bases — runtime LoRA attach (adapter.load_lora) and the model saver
@@ -337,6 +353,19 @@ class ModelConfig:
             attn_layers = tuple(v > 0 for v in vals)
             hckv = max(vals) if any(vals) else 1
 
+        altup = None
+        if arch == "gemma3n":
+            spars = f.kv("gemma3n.activation_sparsity_scale")
+            spars = tuple(float(x) for x in spars) if spars is not None else ()
+            # -inf markers (sparsity fraction 0 -> icdf(0)) mean "off"
+            spars = tuple(s if s > -1e30 else 0.0 for s in spars)
+            altup = AltUpConfig(
+                n_altup=int(kv("altup.num_inputs", 4)),
+                active_idx=int(kv("altup.active_idx", 0)),
+                per_layer_dim=int(kv("embedding_length_per_layer_input", 256)),
+                n_kv_shared=int(kv("attention.shared_kv_layers", 0) or 0),
+                sparsity=spars,
+            )
         if arch == "qwen3next":
             # linear-attention (gated deltanet) layers everywhere except
             # every 4th full-attention layer (reference
@@ -366,8 +395,8 @@ class ModelConfig:
             emb_scale=float(kv("embedding_scale", 1.0)),
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
-            swa_pattern={"gemma2": 2, "gemma3": 6, "cohere2": 4, "gpt-oss": 2,
-                         "olmo3": 4, "exaone4": 4}.get(arch, 1),
+            swa_pattern={"gemma2": 2, "gemma3": 6, "gemma3n": 5, "cohere2": 4,
+                         "gpt-oss": 2, "olmo3": 4, "exaone4": 4}.get(arch, 1),
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             clamp_kqv=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             qk_norm_post_rope=arch in ("hunyuan-moe", "hunyuan-dense"),
@@ -389,6 +418,7 @@ class ModelConfig:
                 int(kv("pooling_type", 0)), "none"
             ),
             mla=mla,
+            altup=altup,
             ssm=ssm,
             wkv=wkv,
             norm_kind=(
@@ -455,6 +485,7 @@ def _xielu_params(f, n_layers: int) -> tuple:
 # llama-family GGUFs are permuted at conversion to use adjacent-pair rope
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
+    "gemma3n",
     "qwen3next",
     "dbrx",
     "hunyuan-moe",

@@ -725,6 +725,12 @@ def forward(
     keyed by GGUF tensor name — the analogue of the reference's eval
     callback (ggml_backend_sched_eval_callback, used by imatrix); the
     caller must return/consume them inside the same trace."""
+    if cfg.altup is not None:  # gemma3n AltUp stack (own layer loop)
+        from .gemma3n import gemma3n_forward
+
+        return gemma3n_forward(params, cfg, tokens, positions, kv,
+                               logits_for=logits_for, taps=taps,
+                               ep_axis=ep_axis, stats=stats)
     x = embed(params, cfg, tokens, positions)
 
     for il, layer in enumerate(params["layers"]):

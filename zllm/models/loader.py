@@ -61,6 +61,19 @@ _LAYER_MAP = {
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
     "attn_sinks.weight": "attn_sinks",
+    # gemma3n AltUp / LAuReL / per-layer-input blocks (reference:
+    # src/llama-arch.cpp LLM_ARCH_GEMMA3N table)
+    "altup_correct_coef.weight": "altup_correct_coef",
+    "altup_correct_scale.weight": "altup_correct_scale",
+    "altup_predict_coef.weight": "altup_predict_coef",
+    "altup_router.weight": "altup_router",
+    "altup_router_norm.weight": "altup_router_norm",
+    "laurel_l.weight": "laurel_l",
+    "laurel_r.weight": "laurel_r",
+    "laurel_post_norm.weight": "laurel_post_norm",
+    "inp_gate.weight": "pli_gate",
+    "proj.weight": "pli_proj",
+    "post_norm.weight": "pli_post_norm",
     # mamba SSM mixer (reference: src/llama-arch.cpp LLM_ARCH_MAMBA table)
     "ssm_in.weight": "ssm_in",
     "attn_gate.weight": "ssm_z",
@@ -145,6 +158,7 @@ _VECTOR_KEYS = {
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
     "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
     "ffn_gate_inp_b", "ffn_gate_exps_b", "ffn_up_exps_b", "ffn_down_exps_b",
+    "altup_correct_scale", "altup_router_norm", "laurel_post_norm", "pli_post_norm",
 }
 
 # rwkv lerp coefficients: GGUF stores them {C, 1, 1}; flatten to [C]
@@ -227,6 +241,17 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             params["output_b"] = _load_dense(f, name, jnp.float32)
         elif name == "rope_freqs.weight":
             params["rope_freqs"] = _load_dense(f, name, jnp.float32)
+        # gemma3n model-level AltUp / per-layer-input tensors
+        elif name == "per_layer_token_embd.weight":
+            params["plt_emb"] = _load_dense(f, name, dtype)
+        elif name == "per_layer_model_proj.weight":
+            params["pl_model_proj"] = _load_matmul(f, name, quantized, dtype)
+        elif name == "per_layer_proj_norm.weight":
+            params["pl_proj_norm"] = _load_dense(f, name, jnp.float32)
+        elif name == "altup_proj.weight":
+            params["altup_proj"] = jnp.asarray(f.tensor_f32(name), dtype=dtype)
+        elif name == "altup_unembd_proj.weight":
+            params["altup_unembd_proj"] = jnp.asarray(f.tensor_f32(name), dtype=dtype)
         # bert-family encoder extras (reference LLM_TENSOR_* names,
         # src/llama-arch.cpp:349-356)
         elif name == "token_types.weight":
@@ -637,9 +662,10 @@ class Model:
                     layer["ffn_gateup"] = layer.pop("ffn_up")
         if os.environ.get("ZLLM_ROPE_NEOX", "1") == "1":
             params, cfg = rope_to_neox(params, cfg)
-        if fuse and not cfg.is_encoder and cfg.arch != "qwen3next":
+        if fuse and not cfg.is_encoder and cfg.arch not in ("qwen3next", "gemma3n"):
             # (qwen3next attention layers carry the [query|gate] wq whose
-            # width breaks the fused-projection split contract)
+            # width breaks the fused-projection split contract; gemma3n's
+            # custom AltUp loop consumes the separate projections)
             params = fuse_projections(params, cfg)
         if isinstance(params.get("output"), QTensor):
             from ..quant.repack import pad_n

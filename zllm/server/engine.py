@@ -265,6 +265,11 @@ class Engine:
         # live slot of a stalled GENERATING row (attendable slots are
         # strictly < max_len)
         self.context_shift = context_shift if context_shift != "auto" else True
+        if getattr(cfg, "altup", None) is not None:
+            # gemma3n: shared-KV tail layers read earlier layers' full
+            # cache rows — the SWA ring and the re-rotating shift would
+            # desync them, so the contiguous cache + length-finish is used
+            self.context_shift = False
         if self.kv_quant and (self.hybrid or self.recurrent or kv_layout == "paged"
                               or cfg.sliding_window > 0):
             raise ValueError("kv_dtype='q8' requires a standard-attention model "
@@ -351,7 +356,7 @@ class Engine:
             # context shift works through the page table (gather -> slide +
             # re-rotate K -> scatter into the same pages); _shift_slot
             # additionally requires the pages to be exclusively owned
-        elif cfg.sliding_window > 0 and context_shift in ("auto", False):
+        elif cfg.sliding_window > 0 and cfg.altup is None and context_shift in ("auto", False):
             # pruned ring cache for SWA layers (reference: iswa dual cache)
             # — old context drops out of the ring natively, so the K-
             # re-rotating context shift is neither needed nor supported
