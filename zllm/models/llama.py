@@ -310,6 +310,8 @@ def layer_forward(
     taps: dict | None = None,
     ep_axis: str | None = None,
     stats: dict | None = None,
+    mask: jax.Array | None = None,  # [B, T, S] explicit attention mask
+    kv_positions: jax.Array | None = None,  # cache STORAGE slots (lookahead)
 ):
     """One transformer block (the loop body of src/models/llama.cpp:29-147):
     pre-norm attention with RoPE'd GQA + KV-cache insert, then SwiGLU/MoE
@@ -397,6 +399,7 @@ def layer_forward(
         and type(kv) is _KVC
         and isinstance(il, int)
         and t == 1
+        and mask is None and kv_positions is None
         and cfg.alibi_bias_max <= 0
         and layer.get("attn_sinks") is None
         and ("attn_q_norm" not in layer or (qk_norm_perhead and not cfg.qk_norm_post_rope))
@@ -468,6 +471,7 @@ def layer_forward(
         and type(kv) is _PKV
         and isinstance(il, int)
         and t == 1
+        and mask is None and kv_positions is None
         and cfg.alibi_bias_max <= 0
         and layer.get("attn_sinks") is None
         and q.shape[2] % k.shape[2] == 0
@@ -491,6 +495,7 @@ def layer_forward(
         and type(kv) is _KVC
         and isinstance(il, int)
         and t == 1
+        and mask is None and kv_positions is None
         and cfg.alibi_bias_max <= 0
         and layer.get("attn_sinks") is None
         and q.shape[2] % k.shape[2] == 0
@@ -506,7 +511,8 @@ def layer_forward(
 
     if att is None:
         if kv is not None:
-            kv = kv.update(il, k, v, positions)
+            kv = kv.update(il, k, v,
+                           kv_positions if kv_positions is not None else positions)
             k_all, v_all = kv.layer(il)  # [B, Hkv, S, D]
         else:
             k_all, v_all = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
@@ -514,6 +520,18 @@ def layer_forward(
     ring = kv.ring_size(il) if (kv is not None and hasattr(kv, "ring_size")) else 0
     if att is not None:
         pass  # fused decode kernel above
+    elif mask is not None:
+        # explicit block mask (lookahead/tree speculation: Jacobi branch
+        # and verification columns attend prefix + own-branch structure;
+        # reference examples/lookahead/lookahead.cpp batch seq-id layout)
+        from ..ops.layers import attention_ref
+        from ..runtime.paged import PagedKV
+
+        if isinstance(k_all, PagedKV):
+            k_all, v_all = k_all.gather(q.dtype)
+        att = attention_ref(q, k_all, v_all, mask, scale,
+                            logit_softcap=cfg.attn_logit_softcap,
+                            sinks=layer.get("attn_sinks"))
     elif cfg.alibi_bias_max > 0:
         # ALiBi attention (mpt; reference: max_alibi_bias ->
         # ggml_soft_max_ext slopes) — materialized-scores path
@@ -718,6 +736,8 @@ def forward(
     taps: dict | None = None,  # out-param: per-linear input activations
     ep_axis: str | None = None,  # mesh axis sharding MoE expert stacks
     stats: dict | None = None,  # out-param: EP drop counts etc (traced)
+    mask: jax.Array | None = None,  # [B, T, S] explicit attention mask
+    kv_positions: jax.Array | None = None,  # cache storage slots (lookahead)
 ):
     """Returns (logits [B, T or 1, vocab] f32, updated kv).
 
@@ -738,6 +758,7 @@ def forward(
         x, kv = layer_forward(
             layer, cfg, x, positions, kv, il,
             window=window, taps=taps, ep_axis=ep_axis, stats=stats,
+            mask=mask, kv_positions=kv_positions,
         )
 
     # decode/prefill-head fast path: final RMS-norm fused into the lm-head
