@@ -170,6 +170,9 @@ class ModelConfig:
     # gemma3n AltUp stack (multi-stream hidden state + per-layer inputs +
     # shared-KV tail layers); None for every other arch
     altup: "AltUpConfig | None" = None
+    # deci/nemotron-nas: per-layer kv-head counts (0 = attention replaced
+    # by a linear projection or absent; reference hparams.n_head_kv(il))
+    kv_heads_layers: tuple | None = None
     # True when loader.rope_to_neox permuted wq/wk (+ bq/bk/q-k norms) into
     # the half-split rope basis at load time.  Every path that crosses
     # bases — runtime LoRA attach (adapter.load_lora) and the model saver
@@ -235,7 +238,12 @@ class ModelConfig:
         def kv(suffix: str, default=None):
             return f.metadata.get(f"{arch}.{suffix}", default)
 
-        n_heads = int(kv("attention.head_count", 1) or 1)
+        heads_raw = kv("attention.head_count", 1)
+        if isinstance(heads_raw, (list, tuple)) or getattr(heads_raw, "ndim", 0) == 1:
+            # deci/nemotron-nas: per-layer head counts; scalar = the max
+            n_heads = max(int(v) for v in heads_raw)
+        else:
+            n_heads = int(heads_raw or 1)
         n_embd = int(kv("embedding_length"))
         head_dim = int(kv("attention.key_length", n_embd // n_heads) or 1)
         vocab = f.kv("tokenizer.ggml.tokens")
@@ -345,12 +353,18 @@ class ModelConfig:
         # per-layer head_count_kv array marks hybrid models: layers with 0
         # kv heads are recurrent (reference src/llama-model.cpp:1494-1506)
         attn_layers = None
+        kv_heads_layers = None
         hckv = kv("attention.head_count_kv", n_heads)
         if isinstance(hckv, (list, tuple)) or (
             hasattr(hckv, "ndim") and getattr(hckv, "ndim", 0) == 1
         ):
             vals = [int(v) for v in hckv]
-            attn_layers = tuple(v > 0 for v in vals)
+            if arch == "deci":
+                # per-layer GQA widths (0 = linear/dummy block), NOT a
+                # hybrid recurrent marker (reference deci.cpp)
+                kv_heads_layers = tuple(vals)
+            else:
+                attn_layers = tuple(v > 0 for v in vals)
             hckv = max(vals) if any(vals) else 1
 
         altup = None
@@ -419,6 +433,7 @@ class ModelConfig:
             ),
             mla=mla,
             altup=altup,
+            kv_heads_layers=kv_heads_layers,
             ssm=ssm,
             wkv=wkv,
             norm_kind=(

@@ -323,6 +323,20 @@ def layer_forward(
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
 
+    # deci/nemotron-nas variable blocks (reference src/models/deci.cpp):
+    # attention may be replaced by a bare linear projection (wo only) or
+    # absent entirely; a block with no FFN contributes nothing (the
+    # reference continues past it, discarding any attention output)
+    if "wq" not in layer and "wqkv" not in layer and "wkv_a_mqa" not in layer:
+        has_ffn = any(k2 in layer for k2 in
+                      ("ffn_gate", "ffn_gateup", "ffn_up", "ffn_gate_inp"))
+        if not has_ffn:
+            return x, kv
+        if "wo" in layer:  # replace_with_linear block
+            h0 = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
+            x = x + lora_linear(layer, "wo", h0)
+        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
+
     # decode fast path: RMS-norm fused into the QKV matvec prologue (one
     # Pallas launch replaces norm + matvec; zllm/ops/qmatmul.qmatvec_norm)
     from ..ops import linear as linmod

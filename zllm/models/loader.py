@@ -662,10 +662,13 @@ class Model:
                     layer["ffn_gateup"] = layer.pop("ffn_up")
         if os.environ.get("ZLLM_ROPE_NEOX", "1") == "1":
             params, cfg = rope_to_neox(params, cfg)
-        if fuse and not cfg.is_encoder and cfg.arch not in ("qwen3next", "gemma3n"):
+        if (fuse and not cfg.is_encoder
+                and cfg.arch not in ("qwen3next", "gemma3n")
+                and cfg.kv_heads_layers is None):
             # (qwen3next attention layers carry the [query|gate] wq whose
             # width breaks the fused-projection split contract; gemma3n's
-            # custom AltUp loop consumes the separate projections)
+            # custom AltUp loop consumes the separate projections; deci's
+            # per-layer GQA widths break the global q_dim/kv_dim split)
             params = fuse_projections(params, cfg)
         if isinstance(params.get("output"), QTensor):
             from ..quant.repack import pad_n

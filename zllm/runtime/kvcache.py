@@ -44,9 +44,22 @@ class KVCache:
             v=tuple(jnp.zeros(shape, dtype) for _ in range(n_layers)),
         )
 
+    @classmethod
+    def create_varied(cls, batch: int, max_len: int, kv_heads: list, head_dim: int,
+                      dtype=jnp.bfloat16):
+        """Per-layer kv-head widths (deci/nemotron-nas); layers with 0
+        heads get an empty stub that update/layer must never touch."""
+        def shape(h):
+            return (batch, max(h, 1), max_len if h > 0 else 1, head_dim)
+
+        return cls(
+            k=tuple(jnp.zeros(shape(h), dtype) for h in kv_heads),
+            v=tuple(jnp.zeros(shape(h), dtype) for h in kv_heads),
+        )
+
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[2]
+        return max(x.shape[2] for x in self.k)
 
     @property
     def batch(self) -> int:
@@ -158,9 +171,22 @@ class KVCacheQ8:
             ks=tuple(zs() for _ in range(n_layers)), vs=tuple(zs() for _ in range(n_layers)),
         )
 
+    @classmethod
+    def create_varied(cls, batch: int, max_len: int, kv_heads: list, head_dim: int,
+                      dtype=jnp.bfloat16):
+        """Per-layer kv-head widths (deci/nemotron-nas); layers with 0
+        heads get an empty stub that update/layer must never touch."""
+        def shape(h):
+            return (batch, max(h, 1), max_len if h > 0 else 1, head_dim)
+
+        return cls(
+            k=tuple(jnp.zeros(shape(h), dtype) for h in kv_heads),
+            v=tuple(jnp.zeros(shape(h), dtype) for h in kv_heads),
+        )
+
     @property
     def max_len(self) -> int:
-        return self.k[0].shape[2]
+        return max(x.shape[2] for x in self.k)
 
     @property
     def batch(self) -> int:

@@ -178,6 +178,7 @@ class Engine:
                 and mesh is None and (tp or 1) * (dp or 1) <= 1 and (pp or 1) <= 1
                 and not isinstance(kv_dtype, str)
                 and model.cfg.sliding_window == 0
+                and model.cfg.kv_heads_layers is None
                 and not speculative and draft_model is None and not coordinated
             ) else "contiguous"
         self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
@@ -369,6 +370,12 @@ class Engine:
 
             self.kv = KVCacheQ8.create(
                 cfg.n_layers, n_slots, max_len + prefill_chunk, cfg.n_kv_heads, cfg.head_dim
+            )
+        elif cfg.kv_heads_layers is not None:
+            # deci/nemotron-nas: per-layer GQA widths (0 = linear/dummy)
+            self.kv = KVCache.create_varied(
+                n_slots, max_len + prefill_chunk, list(cfg.kv_heads_layers),
+                cfg.head_dim, kv_dtype,
             )
         else:
             self.kv = KVCache.create(
