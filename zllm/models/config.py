@@ -500,6 +500,7 @@ def _xielu_params(f, n_layers: int) -> tuple:
 # llama-family GGUFs are permuted at conversion to use adjacent-pair rope
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
+    "plamo2",
     "gemma3n",
     "qwen3next",
     "dbrx",

@@ -21,6 +21,14 @@ from .mamba import RecurrentState, mamba_layer
 def make_hybrid_state(cfg, batch: int, dtype=jnp.float32) -> RecurrentState:
     """Recurrent memory sized to the recurrent-layer subset: mamba
     conv+ssm states (jamba) or shortconv tails (lfm2, ssm slots empty)."""
+    if cfg.arch == "plamo2":
+        # conv over x channels only (group_count 0) + per-head SSD state
+        n = cfg.n_recurrent_layers
+        sc = cfg.ssm
+        conv = tuple(jnp.zeros((batch, sc.d_inner, sc.d_conv - 1), dtype) for _ in range(n))
+        ssm = tuple(jnp.zeros((batch, sc.n_head, sc.head_dim, sc.d_state), jnp.float32)
+                    for _ in range(n))
+        return RecurrentState(conv=conv, ssm=ssm)
     if cfg.arch == "qwen3next":
         # deltanet states: conv tail over the q|k|v channels + the
         # [Hv, dk, dv] delta-rule memory per linear layer
@@ -90,13 +98,19 @@ def hybrid_forward(
 
                 y, conv = shortconv_layer(layer, cfg, h, state.conv[ri], lengths)
                 state = state.with_layer(ri, conv, state.ssm[ri])
-            else:  # jamba mamba mixer / bamba mamba2 mixer
-                from .mamba import mamba2_layer
+            else:  # jamba mamba mixer / bamba mamba2 / plamo2 mixer
+                from .mamba import mamba2_layer, plamo2_mamba_layer
 
-                mixer = mamba2_layer if cfg.ssm.is_mamba2 else mamba_layer
+                if cfg.arch == "plamo2":
+                    mixer = plamo2_mamba_layer
+                else:
+                    mixer = mamba2_layer if cfg.ssm.is_mamba2 else mamba_layer
                 y, conv, ssm = mixer(layer, cfg, h, state.conv[ri], state.ssm[ri], lengths)
                 state = state.with_layer(ri, conv, ssm)
             ri += 1
+            if "attn_post_norm" in layer:
+                # plamo2 sandwich: mixer output normed before the residual
+                y = rms_norm(y, layer["attn_post_norm"], cfg.norm_eps)
             x = x + y
             x = _ffn_block(layer, cfg, x, f"blk.{il}", taps, ep_axis)
         else:

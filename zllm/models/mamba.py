@@ -203,6 +203,72 @@ def mamba2_layer(layer, cfg, x, conv_state, ssm_state, lengths=None):
     return out, new_conv, h_final
 
 
+def plamo2_mamba_layer(layer, cfg, x, conv_state, ssm_state, lengths=None):
+    """plamo2 mamba mixer (reference: src/models/plamo2.cpp
+    build_plamo2_mamba_layer): ssm_in -> per-head [z | x]; conv+silu over
+    x only (no B/C channels — group_count 0); B/C/dt come from a second
+    projection (ssm_x) with per-part RMS norms and a dt up-projection
+    (ssm_dt + bias); per-head scalar-A scan with SHARED B/C; y + x*D;
+    silu(z)*y; out_proj.  Returns (y, conv', ssm')."""
+    s = cfg.ssm
+    b, t, _ = x.shape
+    di, ds, dc = s.d_inner, s.d_state, s.d_conv
+    H, dh = s.n_head, s.head_dim
+
+    zx = linear(x, layer["ssm_in"]).reshape(b, t, H, 2 * dh)
+    z = zx[..., :dh]  # gate (first half of each head)
+    xf = zx[..., dh:].reshape(b, t, di)
+
+    convx = jnp.concatenate([conv_state.astype(xf.dtype), xf.transpose(0, 2, 1)], axis=-1)
+    if lengths is None:
+        new_conv = convx[..., t:]
+    else:
+        idx = lengths[:, None, None] + jnp.arange(dc - 1)[None, None, :]
+        new_conv = jnp.take_along_axis(convx, jnp.broadcast_to(idx, (b, di, dc - 1)), axis=-1)
+    w = layer["ssm_conv1d"].astype(jnp.float32)  # [di, dc]
+    windows = jnp.stack([convx[..., j : j + t] for j in range(dc)], axis=-1)
+    xc = jnp.einsum("bdtc,dc->bdt", windows.astype(jnp.float32), w)
+    if "ssm_conv1d_b" in layer:
+        xc = xc + layer["ssm_conv1d_b"].astype(jnp.float32)[None, :, None]
+    xc = jax.nn.silu(xc).transpose(0, 2, 1)  # [B, T, di] f32
+
+    from ..ops.layers import rms_norm
+
+    xbcdt = linear(xc.astype(x.dtype), layer["ssm_x"]).astype(jnp.float32)
+    B_ = rms_norm(xbcdt[..., :ds], layer["ssm_b_norm"], cfg.norm_eps)
+    C_ = rms_norm(xbcdt[..., ds : 2 * ds], layer["ssm_c_norm"], cfg.norm_eps)
+    dtr = rms_norm(xbcdt[..., 2 * ds :], layer["ssm_dt_norm"], cfg.norm_eps)
+    dt = linear(dtr, layer["ssm_dt"]) + layer["ssm_dt_b"].astype(jnp.float32)
+    dt = jax.nn.softplus(dt.astype(jnp.float32))  # [B, T, H]
+
+    A = layer["ssm_a"].astype(jnp.float32).reshape(-1)  # [H], negative
+    D = layer["ssm_d"].astype(jnp.float32).reshape(-1)  # [H]
+    xs = xc.reshape(b, t, H, dh)
+    Bh = jnp.broadcast_to(B_[:, :, None, :], (b, t, H, ds))
+    Ch = jnp.broadcast_to(C_[:, :, None, :], (b, t, H, ds))
+
+    def step(h_state, inp):
+        dt_t, x_t, b_t, c_t, m_t = inp
+        dA = jnp.exp(dt_t * A[None])
+        h_new = h_state * dA[..., None, None] + (dt_t[..., None] * x_t)[..., None] * b_t[:, :, None, :]
+        h_state = jnp.where(m_t[:, None, None, None], h_new, h_state)
+        y = jnp.einsum("bhds,bhs->bhd", h_new, c_t)
+        return h_state, y
+
+    mask = (
+        jnp.ones((b, t), bool)
+        if lengths is None
+        else jnp.arange(t)[None, :] < lengths[:, None]
+    )
+    seq = (dt.transpose(1, 0, 2), xs.transpose(1, 0, 2, 3),
+           Bh.transpose(1, 0, 2, 3), Ch.transpose(1, 0, 2, 3), mask.transpose(1, 0))
+    h_final, ys = lax.scan(step, ssm_state.astype(jnp.float32), seq)
+    y = ys.transpose(1, 0, 2, 3) + xs * D[None, None, :, None]  # [B, T, H, dh]
+    y = jax.nn.silu(z.astype(jnp.float32)) * y  # swiglu_split(z, y)
+    out = linear(y.reshape(b, t, di).astype(x.dtype), layer["ssm_out"])
+    return out, new_conv, h_final
+
+
 def mamba_forward(
     params,
     cfg,
