@@ -107,12 +107,14 @@ static inline void fold_pack_col(const uint8_t* q, int64_t K, int64_t fold,
 
 extern "C" {
 
-// Q4_K: raw [N, K/256*144] -> qs u8[K/2, N], a f16[K/32, N], b f16[K/32, N]
+// Q4_K: raw [N, K/256*144] -> qs u8[K/2, N] plus the "diet" scale planes:
+// sm u16[K/32, N] = sc | mn << 6 (the raw 6-bit two-level fields) and
+// sd/sb f16-bits u16[K/256, N] = per-superblock d / dmin (pass-through).
 // Tiled over blocks of NB output columns: decode into a column-tile
 // [K][NB] then emit contiguous NB-wide row segments (a blocked transpose —
 // per-element strided stores measured 3.5x slower than numpy).
 void zllm_repack_q4k(const uint8_t* raw, int64_t N, int64_t K, int64_t fold,
-                     uint8_t* qs, uint16_t* a, uint16_t* b) {
+                     uint8_t* qs, uint16_t* sm, uint16_t* sd, uint16_t* sb_out) {
     const int64_t nb = K / 256;          // superblocks per row
     const int64_t row_bytes = nb * 144;
     const int64_t NB = 128;
@@ -130,7 +132,8 @@ void zllm_repack_q4k(const uint8_t* raw, int64_t N, int64_t K, int64_t fold,
                     uint16_t dh, dminh;
                     std::memcpy(&dh, blk, 2);
                     std::memcpy(&dminh, blk + 2, 2);
-                    float d = half_to_float(dh), dmin = half_to_float(dminh);
+                    sd[sb * N + n] = dh;       // raw f16 bits pass through
+                    sb_out[sb * N + n] = dminh;
                     const uint8_t* sbytes = blk + 4;
                     for (int g = 0; g < 8; g++) {
                         uint8_t sc, mn;
@@ -142,8 +145,7 @@ void zllm_repack_q4k(const uint8_t* raw, int64_t N, int64_t K, int64_t fold,
                             mn = (uint8_t)((sbytes[g + 4] >> 4) | ((sbytes[g] >> 6) << 4));
                         }
                         int64_t gi = sb * 8 + g;
-                        a[gi * N + n] = float_to_half(d * (float)sc);
-                        b[gi * N + n] = float_to_half(dmin * (float)mn);
+                        sm[gi * N + n] = (uint16_t)(sc | ((uint16_t)mn << 6));
                     }
                     const uint8_t* qb = blk + 16;
                     uint8_t* qe = tile.data() + (sb * 256) * NB + j;

@@ -63,7 +63,7 @@ def get_lib():
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     i8p = ctypes.POINTER(ctypes.c_int8)
-    lib.zllm_repack_q4k.argtypes = [u8p, i64, i64, i64, u8p, u16p, u16p]
+    lib.zllm_repack_q4k.argtypes = [u8p, i64, i64, i64, u8p, u16p, u16p, u16p]
     lib.zllm_repack_q8_0.argtypes = [u8p, i64, i64, i8p, u16p]
     lib.zllm_repack_q4_0.argtypes = [u8p, i64, i64, i64, u8p, u16p]
     lib.zllm_repack_q6k.argtypes = [u8p, i64, i64, i64, u8p, u8p, u16p]
@@ -83,11 +83,15 @@ def repack_q4k(raw, n, k, fold):
         return None
     raw = np.ascontiguousarray(raw.reshape(-1)).view(np.uint8)
     qs = np.empty((k // 2, n), np.uint8)
-    a = np.empty((k // 32, n), np.uint16)
-    b = np.empty((k // 32, n), np.uint16)
+    sm = np.empty((k // 32, n), np.uint16)
+    kkp = -(-(k // 256) // 8) * 8  # 8-row padded (see repack._pad8_rows)
+    sd = np.zeros((kkp, n), np.uint16)
+    sb = np.zeros((kkp, n), np.uint16)
     lib.zllm_repack_q4k(_ptr(raw, ctypes.c_uint8), n, k, fold,
-                        _ptr(qs, ctypes.c_uint8), _ptr(a, ctypes.c_uint16), _ptr(b, ctypes.c_uint16))
-    return {"qs": qs, "a": a.view("<f2"), "b": b.view("<f2")}
+                        _ptr(qs, ctypes.c_uint8), _ptr(sm, ctypes.c_uint16),
+                        _ptr(sd, ctypes.c_uint16), _ptr(sb, ctypes.c_uint16))
+    # sm stays integral; sd/sb are raw f16 bit patterns (see repack._rp_q4_k)
+    return {"qs": qs, "sm": sm, "sd": sd.view("<f2"), "sb": sb.view("<f2")}
 
 
 def repack_q8_0(raw, n, k):

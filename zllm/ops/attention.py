@@ -19,6 +19,7 @@ variant for 32k+ contexts is future work.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -1172,7 +1173,12 @@ def attn_decode_qkv(
     hpb = _decode_hpb(g, hq, hkv, s, d)
     bs = _DECODE_BS
     qk_norm = qw is not None
-    native = d >= 128  # match XLA's stored-cache layout (see kernel note)
+    # match XLA's stored-cache layout (see kernel note); ZLLM_DECODE_NATIVE
+    # forces the native [S, D] orientation for d < 128 too (experiment: the
+    # transposed path's jit-boundary bitcast provokes an HBM->S(1)->HBM
+    # round-trip copy pair per cache per step under memory-space assignment)
+    _env_native = os.environ.get("ZLLM_DECODE_NATIVE")
+    native = d >= 128 if _env_native is None else _env_native == "1"
     pos0 = positions[:, 0].astype(jnp.int32)
     if native:
         kct, vct = kc, vc  # [B, Hkv, S, D]
@@ -1210,18 +1216,22 @@ def attn_decode_qkv(
             pl.BlockSpec((1, d), w_map, memory_space=pltpu.VMEM),
         ]
         args += [qw.reshape(1, d), kw.reshape(1, d)]
-    # caches stay in HBM (ANY): the kernel DMAs the head block to scratch
-    # itself — VMEM-blocked cache operands made XLA pre-stage them at
-    # ~80GB/s through alternate memory (see kernel docstring)
+    # caches PINNED to HBM: the kernel DMAs the head block to scratch
+    # itself.  VMEM-blocked cache operands made XLA pre-stage them at
+    # ~80GB/s through alternate memory (see kernel docstring), and even
+    # ANY leaves memory-space-assignment free to stage them through S(1)
+    # — profiled at ~70us/step of serial copy-done waits plus ~45MB/step
+    # of doubled HBM traffic on TinyLlama.
+    hbm = pltpu.MemorySpace.HBM
     in_specs += [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=hbm),
+        pl.BlockSpec(memory_space=hbm),
     ]
     args += [kct, vct]
     out_specs = [
         pl.BlockSpec((1, 1, hpb * g, d), out_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=hbm),
+        pl.BlockSpec(memory_space=hbm),
     ]
     kernel = functools.partial(
         _attn_decode_qkv_kernel, scale, softcap, window, g, s, d, bs, hpb,

@@ -67,7 +67,22 @@ _PLANE_KDIV = {
 }
 
 
+_Q4K_DIET = ("qs", "sm", "sd", "sb")
+
+
+def _plane_names(qt) -> tuple:
+    """Per-tensor plane order: Q4_K tensors carry either the exact "diet"
+    layout (sm/sd/sb: 6-bit sc|mn fields + per-256 fp16 d/dmin — the
+    repack default, ~38% smaller scale traffic) or the collapsed fp16 a/b
+    planes (derived by quant.repack.q4k_to_ab for TP K-shards)."""
+    if qt.fmt == GGMLType.Q4_K and "sm" in qt.planes:
+        return _Q4K_DIET
+    return _PLANE_ORDER[qt.fmt]
+
+
 def _plane_kdiv(fmt: GGMLType, name: str) -> int:
+    if name in ("sm", "sd", "sb"):  # Q4_K diet planes
+        return {"sm": 32, "sd": 256, "sb": 256}[name]
     if fmt == GGMLType.Q8_0 and name == "qs":
         return 1
     if fmt == GGMLType.Q6_K:
@@ -166,10 +181,38 @@ def _fp16_bits_to_f32(u16):
 
 
 def _load_f16(ref_val):
-    """fp16 plane tile -> f32; planes are stored as uint16 bit patterns."""
+    """fp16 plane tile -> f32; planes are stored as uint16 bit patterns
+    (f32 planes — q4k_to_ab's exact products — pass through)."""
+    if ref_val.dtype == jnp.float32:
+        return ref_val
     if ref_val.dtype == jnp.float16:
         return ref_val.astype(jnp.float32)
     return _fp16_bits_to_f32(ref_val)
+
+
+def _q4k_group_scales(sm, d_full, m_full, gt: int, tn: int, j, rows: int,
+                      nsteps: int):
+    """Q4_K diet scales -> per-32-group f32 (a, b) [gt, tn]: a = d * sc,
+    b = dmin * mn — the exact ggml dequantize_row_q4_K two-level math.
+
+    sm is this tile's 6-bit fields [gt, tn]; d/m are the FULL [K//256, tn]
+    super planes (their per-k-step row count is below the 8-sublane rule
+    AND Mosaic can't prove a dynamic sublane offset j*rows is 8-aligned,
+    so ref slicing is out).  K-step j's rows are picked by a branchless
+    where-chain over the nsteps static slices — pure VPU selects on the
+    raw u16 rows.  (Rejected alternatives, measured on TinyLlama decode:
+    a [gt, K//256] f32 selection matmul costs 4 little 6-pass MXU dots
+    per tile, +66us/step; pltpu.roll's dynamic sublane rotate +120us.)"""
+    smi = sm.astype(jnp.int32)
+    d = d_full[0:rows]
+    dm = m_full[0:rows]
+    for jj in range(1, nsteps):
+        d = jnp.where(j == jj, d_full[jj * rows:(jj + 1) * rows], d)
+        dm = jnp.where(j == jj, m_full[jj * rows:(jj + 1) * rows], dm)
+    d = _gexpand(_load_f16(d), 8, 8 * rows, tn)[:gt]
+    dm = _gexpand(_load_f16(dm), 8, 8 * rows, tn)[:gt]
+    return (d * (smi & 63).astype(jnp.float32),
+            dm * (smi >> 6).astype(jnp.float32))
 
 
 def _dequant_tile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
@@ -199,8 +242,14 @@ def _dequant_tile(fmt: GGMLType, fold: int, tk: int, tn: int, planes: dict):
         return q * a
     if fmt == GGMLType.Q4_K:
         q = _unpack_nib(planes["qs"], fold).astype(jnp.float32)
-        a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
-        b = _gexpand(_load_f16(planes["b"]), 32, tk, tn)
+        if "sm" in planes:
+            a32, b32 = _q4k_group_scales(
+                planes["sm"], planes["sd"], planes["sb"], tk // 32, tn,
+                pl.program_id(1), tk // 256, pl.num_programs(1))
+            a, b = _gexpand(a32, 32, tk, tn), _gexpand(b32, 32, tk, tn)
+        else:
+            a = _gexpand(_load_f16(planes["a"]), 32, tk, tn)
+            b = _gexpand(_load_f16(planes["b"]), 32, tk, tn)
         return q * a - b
     if fmt == GGMLType.Q5_K:
         lo = _unpack_nib(planes["qs"], fold)
@@ -449,7 +498,7 @@ def _prologue_quant(fuse, eps, group, gt, tk, j, x_ref, aux_ref, r_ref):
     return xq_bd.astype(jnp.int8), dx, sx
 
 
-def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, *refs):
+def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, names, x_ref, *refs):
     if fuse == "norm":
         out_ref, r_ref = refs[-2], refs[-1]  # SMEM scratch holds rsqrt(ms)
         refs = refs[:-1]
@@ -487,10 +536,12 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
             dx_ref, plane_refs = refs[0], refs[1:-1]
         dx = dx_ref[:, :1]
         xq_t = jnp.broadcast_to(x_ref[:].astype(jnp.int32), (gt, tk))  # [1,TK] xq
-    names = _PLANE_ORDER[fmt]
     planes = {}
     for nm, r, srows in zip(names, plane_refs, slice_rows):
-        planes[nm] = r[:] if srows is None else r[pl.ds(j * srows, srows), :]
+        if srows is None or nm in ("sd", "sb"):  # diet super planes ride whole
+            planes[nm] = r[:]
+        else:
+            planes[nm] = r[pl.ds(j * srows, srows), :]
 
     @pl.when(j == 0)
     def _():
@@ -507,25 +558,31 @@ def _w4a8_kernel(fmt, fold, tk, tn, group, has_b, slice_rows, fuse, eps, x_ref, 
     pi = jax.lax.dot_general(
         x_bd, qi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )  # [gt, TN]
-    a = _int_scale_f32(fmt, planes)
+    if "sm" in planes:  # Q4_K diet
+        a, bmin = _q4k_group_scales(planes["sm"], planes["sd"], planes["sb"],
+                                    gt, tn, j, tk // 256, pl.num_programs(1))
+    else:
+        a = _int_scale_f32(fmt, planes)
+        bmin = _load_f16(planes["b"]) if has_b else None
     contrib = pi.astype(jnp.float32) * a * dx
     if has_b:
-        contrib = contrib - _load_f16(planes["b"]) * e
+        contrib = contrib - bmin * e
     out_ref[0:1, :] += jnp.sum(contrib, axis=0, keepdims=True)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "interpret"),
+    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "diet",
+                     "interpret"),
 )
 def _qmm_w4a8_call(
     xq, dx, e, wn, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse=None,
-    eps=0.0, interpret=False
+    eps=0.0, diet=False, interpret=False
 ):
     group, _, bname = _INT_FMT[fmt]
     tk = tk or fold
     gt = tk // group
-    names = _PLANE_ORDER[fmt]
+    names = _Q4K_DIET if diet else _PLANE_ORDER[fmt]
     grid = (n // tn, k // tk)
     has_b = bname is not None
 
@@ -566,23 +623,28 @@ def _qmm_w4a8_call(
             )
             args.append(e)
     slice_rows = []
-    for nm in names:
+    for nm, _arr in zip(names, planes_tuple):
         kdiv = _plane_kdiv(fmt, nm)
         rows = tk // kdiv
-        if rows % 8 == 0:
+        if rows % 8 == 0 and nm not in ("sd", "sb"):
             in_specs.append(
                 pl.BlockSpec((rows, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM)
             )
             slice_rows.append(None)
         else:
+            # whole-K resident per N-tile: rows below the (8, 128) rule, or
+            # a diet super plane (kernel row-selects via dynamic roll);
+            # plane shape is authoritative (supers carry alignment padding)
             in_specs.append(
-                pl.BlockSpec((k // kdiv, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec((_arr.shape[0], tn), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)
             )
             slice_rows.append(rows)
     args.extend(planes_tuple)
 
     kernel = functools.partial(
-        _w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows), fuse, eps
+        _w4a8_kernel, fmt, fold, tk, tn, group, has_b, tuple(slice_rows), fuse,
+        eps, names,
     )
     qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
     return pl.pallas_call(
@@ -618,7 +680,7 @@ def _qmm_w4a8_call(
 # Measured (tools/exp_npack2.py, Q4_K 2048x2048 matvec): 4.98us vs 6.33us
 # for the unpack kernel (HBM bound incl. scale planes: 3.2us).
 
-def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, x_ref, *refs):
+def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, diet, x_ref, *refs):
     if fuse == "norm":
         out_ref, r_ref = refs[-2], refs[-1]
         refs = refs[:-1]
@@ -651,25 +713,40 @@ def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, x_ref, *refs):
     if fmt == GGMLType.Q4_0:  # constant -8 code offset
         pi_lo = pi_lo - 8 * sx
         pi_hi = pi_hi - 8 * sx
-    a_lo = _load_f16(scale_refs[0][:])
-    a_hi = _load_f16(scale_refs[1][:])
+    half = tn // 2
+    if diet:
+        # Q4_K: per-group a/b reconstructed from the 6-bit fields + the
+        # full-K per-256 fp16 d/dmin planes (see _q4k_group_scales)
+        a_lo, b_lo = _q4k_group_scales(
+            scale_refs[0][:], scale_refs[2][:], scale_refs[4][:],
+            gt, half, j, gt // 8, pl.num_programs(1))
+        a_hi, b_hi = _q4k_group_scales(
+            scale_refs[1][:], scale_refs[3][:], scale_refs[5][:],
+            gt, half, j, gt // 8, pl.num_programs(1))
+    else:
+        a_lo = _load_f16(scale_refs[0][:])
+        a_hi = _load_f16(scale_refs[1][:])
+        if has_b:
+            b_lo = _load_f16(scale_refs[2][:])
+            b_hi = _load_f16(scale_refs[3][:])
     c_lo = pi_lo.astype(jnp.float32) * a_lo * dx
     c_hi = pi_hi.astype(jnp.float32) * a_hi * dx
     if has_b:
         e = dx * sx.astype(jnp.float32)
-        c_lo = c_lo - _load_f16(scale_refs[2][:]) * e
-        c_hi = c_hi - _load_f16(scale_refs[3][:]) * e
+        c_lo = c_lo - b_lo * e
+        c_hi = c_hi - b_hi * e
     out_ref[0:1, :] += jnp.sum(c_lo, axis=0, keepdims=True)
     out_ref[1:2, :] += jnp.sum(c_hi, axis=0, keepdims=True)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "interpret"),
+    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "diet",
+                     "interpret"),
 )
 def _qmm_w4a8np_call(
     x, wn, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse="q", eps=0.0,
-    interpret=False
+    diet=False, interpret=False
 ):
     group, _, bname = _INT_FMT[fmt]
     tk = tk or fold
@@ -696,20 +773,31 @@ def _qmm_w4a8np_call(
             pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         ]
         args = [x]
-    # scale planes [K/group, N]: lo view at block (j, i), hi at (j, i + nb)
+    # scale planes [K/group, N]: lo view at block (j, i), hi at (j, i + nb).
+    # Diet super planes [K/256, N] ride whole (their per-tile rows break
+    # the (8, 128) block rule) and are row-sliced in-kernel.
     qs, scale_planes = planes_tuple[0], planes_tuple[1:]
-    for p in scale_planes:
-        in_specs.append(
-            pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
-        in_specs.append(
-            pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
-                         memory_space=pltpu.VMEM))
+    for pi_, p in enumerate(scale_planes):
+        if diet and pi_ > 0:  # sd / sb (rows carry 8-alignment padding)
+            in_specs.append(
+                pl.BlockSpec((p.shape[0], tn // 2), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM))
+            in_specs.append(
+                pl.BlockSpec((p.shape[0], tn // 2), lambda i, j, _nb=nb: (0, i + _nb),
+                             memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+            in_specs.append(
+                pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                             memory_space=pltpu.VMEM))
         args.extend([p, p])
     in_specs.append(
         pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
     args.append(qs)
 
-    kernel = functools.partial(_w4a8np_kernel, fmt, tk, tn, group, has_b, fuse, eps)
+    kernel = functools.partial(_w4a8np_kernel, fmt, tk, tn, group, has_b, fuse,
+                               eps, diet)
     qbytes = int(np.prod(qs.shape)) + sum(
         2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
     out2 = pl.pallas_call(
@@ -764,7 +852,9 @@ def _qmm_w4a8np_call(
 # unpack path at the same TN=1024 tiling — the per-step C-matrix build +
 # epilogue permutes outweigh the unpack saving, so this stays opt-in
 # (ZLLM_QMM_DUALDOT=1) as a documented experiment.
-_DUALDOT_FMTS = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
+# Q4_K dropped when its repack moved to the diet scale layout (the dd
+# kernel reads collapsed a/b planes); the experiment stays for Q4_0/Q4_1.
+_DUALDOT_FMTS = {GGMLType.Q4_0, GGMLType.Q4_1}
 
 
 def _rowperm_fold(t, nc: int):
@@ -941,16 +1031,18 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
     tn, tk, fuse = _pick_tiles(qt, k, n)
-    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    names = _plane_names(qt)
+    diet = names is _Q4K_DIET
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
         return _qmm_w4a8np_call(
             x, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-            tn=tn, tk=tk, fuse="q", interpret=interpret,
+            tn=tn, tk=tk, fuse="q", diet=diet, interpret=interpret,
         )
     if fuse:
         return _qmm_w4a8_call(
             x, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-            tn=tn, tk=tk, fuse="q", interpret=interpret,
+            tn=tn, tk=tk, fuse="q", diet=diet, interpret=interpret,
         )
     xq, dx, e = _quant_acts(x, group)
     if qt.fmt in _DUALDOT_FMTS and os.environ.get("ZLLM_QMM_DUALDOT", "0") == "1":
@@ -962,7 +1054,7 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
         )
     return _qmm_w4a8_call(
         xq, dx, e, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, tk=tk,
-        interpret=interpret
+        diet=diet, interpret=interpret
     )
 
 
@@ -977,15 +1069,19 @@ def qmatvec_norm(
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="norm")
-    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    names = _plane_names(qt)
+    diet = names is _Q4K_DIET
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
         return _qmm_w4a8np_call(
             x, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-            tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
+            tn=tn, tk=tk, fuse="norm", eps=float(eps), diet=diet,
+            interpret=interpret,
         )
     return _qmm_w4a8_call(
         x, None, None, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold,
-        k=k, n=n, tn=tn, tk=tk, fuse="norm", eps=float(eps), interpret=interpret,
+        k=k, n=n, tn=tn, tk=tk, fuse="norm", eps=float(eps), diet=diet,
+        interpret=interpret,
     )
 
 
@@ -997,15 +1093,17 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
     k, n = local_shape(qt)
     group = _INT_FMT[qt.fmt][0]
     tn, tk, _ = _pick_tiles(qt, k, n, prologue="glu")
-    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    names = _plane_names(qt)
+    diet = names is _Q4K_DIET
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
         return _qmm_w4a8np_call(
             gup, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-            tn=tn, tk=tk, fuse="glu", interpret=interpret,
+            tn=tn, tk=tk, fuse="glu", diet=diet, interpret=interpret,
         )
     return _qmm_w4a8_call(
         gup, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-        tn=tn, tk=tk, fuse="glu", interpret=interpret,
+        tn=tn, tk=tk, fuse="glu", diet=diet, interpret=interpret,
     )
 
 
@@ -1014,7 +1112,7 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
 # packed bytes (one widen + mask/shift/xor; no sublane concat relayout)
 # ---------------------------------------------------------------------------
 
-def _qmm_np_kernel(fmt, tk, tn, x_ref, *refs):
+def _qmm_np_kernel(fmt, tk, tn, diet, x_ref, *refs):
     out_ref = refs[-1]  # [2, M, TN/2]
     qs_ref = refs[-2]
     scale_refs = refs[:-2]
@@ -1028,21 +1126,33 @@ def _qmm_np_kernel(fmt, tk, tn, x_ref, *refs):
     bp = pltpu.bitcast(qs_ref[:], jnp.uint8).astype(jnp.int32)  # [TK, TN/2]
     lo = (bp & 0xF).astype(jnp.float32)
     hi = ((bp >> 4) ^ 0x8).astype(jnp.float32)  # XOR 0x80 flipped the top bit
-    a_lo = _gexpand(_load_f16(scale_refs[0][:]), 32, tk, half)
-    a_hi = _gexpand(_load_f16(scale_refs[1][:]), 32, tk, half)
-    if fmt == GGMLType.Q4_0:
-        w_lo = (lo - 8.0) * a_lo
-        w_hi = (hi - 8.0) * a_hi
+    if diet:  # Q4_K exact two-level scales (see _q4k_group_scales)
+        g32 = tk // 32
+        al32, bl32 = _q4k_group_scales(
+            scale_refs[0][:], scale_refs[2][:], scale_refs[4][:],
+            g32, half, j, tk // 256, pl.num_programs(1))
+        ah32, bh32 = _q4k_group_scales(
+            scale_refs[1][:], scale_refs[3][:], scale_refs[5][:],
+            g32, half, j, tk // 256, pl.num_programs(1))
+        w_lo = lo * _gexpand(al32, 32, tk, half) - _gexpand(bl32, 32, tk, half)
+        w_hi = hi * _gexpand(ah32, 32, tk, half) - _gexpand(bh32, 32, tk, half)
     else:
-        w_lo = lo * a_lo - _gexpand(_load_f16(scale_refs[2][:]), 32, tk, half)
-        w_hi = hi * a_hi - _gexpand(_load_f16(scale_refs[3][:]), 32, tk, half)
+        a_lo = _gexpand(_load_f16(scale_refs[0][:]), 32, tk, half)
+        a_hi = _gexpand(_load_f16(scale_refs[1][:]), 32, tk, half)
+        if fmt == GGMLType.Q4_0:
+            w_lo = (lo - 8.0) * a_lo
+            w_hi = (hi - 8.0) * a_hi
+        else:
+            w_lo = lo * a_lo - _gexpand(_load_f16(scale_refs[2][:]), 32, tk, half)
+            w_hi = hi * a_hi - _gexpand(_load_f16(scale_refs[3][:]), 32, tk, half)
     xb = x_ref[:].astype(jnp.bfloat16)
     out_ref[0] += jnp.dot(xb, w_lo.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     out_ref[1] += jnp.dot(xb, w_hi.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
-def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("fmt", "fold", "k", "n", "tn", "diet", "interpret"))
+def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=False):
     import os as _os
 
     m = x.shape[0]
@@ -1057,18 +1167,26 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
 
     in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)]
     args = [x]
-    for p in scale_planes:
-        in_specs.append(
-            pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
-        in_specs.append(
-            pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
-                         memory_space=pltpu.VMEM))
+    for pi_, p in enumerate(scale_planes):
+        if diet and pi_ > 0:  # sd / sb super planes ride whole (see np decode)
+            in_specs.append(
+                pl.BlockSpec((p.shape[0], tn // 2), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM))
+            in_specs.append(
+                pl.BlockSpec((p.shape[0], tn // 2), lambda i, j, _nb=nb: (0, i + _nb),
+                             memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec((gt, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
+            in_specs.append(
+                pl.BlockSpec((gt, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                             memory_space=pltpu.VMEM))
         args.extend([p, p])
     in_specs.append(
         pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
     args.append(qs)
 
-    kernel = functools.partial(_qmm_np_kernel, fmt, tk, tn)
+    kernel = functools.partial(_qmm_np_kernel, fmt, tk, tn, diet)
     qbytes = int(np.prod(qs.shape)) + sum(
         2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
     out = pl.pallas_call(
@@ -1095,15 +1213,16 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _qmm_kernel(fmt, fold, tk, tn, slice_rows, x_ref, *refs):
+def _qmm_kernel(fmt, fold, tk, tn, slice_rows, names, x_ref, *refs):
     out_ref = refs[-1]
     plane_refs = refs[:-1]
-    names = _PLANE_ORDER[fmt]
     j = pl.program_id(1)
     planes = {}
     for nm, r, srows in zip(names, plane_refs, slice_rows):
-        if srows is None:
-            planes[nm] = r[:]  # k-blocked plane: block spec already sliced
+        if srows is None or nm in ("sd", "sb"):
+            # k-blocked plane (spec already sliced) or a Q4_K diet super
+            # plane (kept whole; _q4k_group_scales row-selects by matmul)
+            planes[nm] = r[:]
         else:
             # full-K plane (tiny per-superblock scales): slice this k-step's
             # rows here because their per-tile row count breaks the (8, 128)
@@ -1120,8 +1239,9 @@ def _qmm_kernel(fmt, fold, tk, tn, slice_rows, x_ref, *refs):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("fmt", "fold", "k", "n", "tn", "interpret"))
-def _qmm_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("fmt", "fold", "k", "n", "tn", "diet", "interpret"))
+def _qmm_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=False):
     import os as _os
 
     m = x.shape[0]
@@ -1129,7 +1249,7 @@ def _qmm_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
     mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
     if mult > 1 and k % (fold * mult) == 0:
         tk = fold * mult
-    names = _PLANE_ORDER[fmt]
+    names = _Q4K_DIET if diet else _PLANE_ORDER[fmt]
     grid = (n // tn, k // tk)
 
     in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)]
@@ -1137,20 +1257,22 @@ def _qmm_call(x, planes_tuple, *, fmt, fold, k, n, tn, interpret=False):
     for nm, arr in zip(names, planes_tuple):
         kdiv = _plane_kdiv(fmt, nm)
         rows = tk // kdiv
-        if rows % 8 == 0:
+        if rows % 8 == 0 and nm not in ("sd", "sb"):
             in_specs.append(
                 pl.BlockSpec((rows, tn), lambda i, j: (j, i), memory_space=pltpu.VMEM)
             )
             slice_rows.append(None)
         else:
-            # too few rows per k-step for a legal block: keep the whole
-            # (small) K extent resident per N-tile and slice in-kernel
+            # too few rows per k-step for a legal block (or a diet super
+            # plane, row-selected in-kernel by dynamic roll): keep the whole
+            # (small) K extent resident per N-tile
             in_specs.append(
-                pl.BlockSpec((k // kdiv, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec((arr.shape[0], tn), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)
             )
             slice_rows.append(rows)
 
-    kernel = functools.partial(_qmm_kernel, fmt, fold, tk, tn, tuple(slice_rows))
+    kernel = functools.partial(_qmm_kernel, fmt, fold, tk, tn, tuple(slice_rows), names)
     flops = 2 * m * k * n
     qbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in planes_tuple)
     return pl.pallas_call(
@@ -1215,13 +1337,16 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     # u8 shift legalization
     tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
     tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
-    planes_tuple = tuple(_plane_view(qt, nm) for nm in _PLANE_ORDER[qt.fmt])
+    names = _plane_names(qt)
+    diet = names is _Q4K_DIET
+    planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
         if tn < 256:  # packed tile needs >= 128 lanes
             return (x @ qt.dequant(x.dtype)).astype(jnp.float32)
         return _qmm_np_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
-                            tn=tn, interpret=interpret)
-    y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn, interpret=interpret)
+                            tn=tn, diet=diet, interpret=interpret)
+    y = _qmm_call(x, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n, tn=tn,
+                  diet=diet, interpret=interpret)
     return y
 
 

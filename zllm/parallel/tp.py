@@ -115,12 +115,15 @@ def _flag_and_spec(key: str, w, plan: TpPlan):
 def shard_params(params, mesh: Mesh, cfg):
     """Attach collective flags, compute per-leaf shardings, device_put.
     Returns (sharded_params, leaf_spec_tree, plan)."""
-    # undo the load-time npack byte layout: an N-shard of the packed plane
-    # would pair nibbles across shard boundaries (quant/repack.to_npack)
-    from ..quant.repack import from_npack
+    # undo the load-time npack byte layout (an N-shard of the packed plane
+    # would pair nibbles across shard boundaries, quant/repack.to_npack)
+    # and the Q4_K diet scale layout (its [K//256, N] super planes can't
+    # split on K boundaries that aren't multiples of 256*tp — the derived
+    # fp16 a/b planes shard like any other format's)
+    from ..quant.repack import from_npack, q4k_to_ab
 
     params = jax.tree_util.tree_map(
-        lambda w: from_npack(w) if isinstance(w, QTensor) and w.npack else w,
+        lambda w: q4k_to_ab(from_npack(w)) if isinstance(w, QTensor) else w,
         params, is_leaf=lambda w: isinstance(w, (QTensor, QTensorE)),
     )
     # undo the load-time projection fusion: wq/wk/wv (and gate/up) shard on

@@ -547,29 +547,72 @@ def _dq_iq4_nl(p, shape, dtype, fold):
 
 @_repack_fmt(GGMLType.Q4_K)
 def _rp_q4_k(raw, n, k, fold):
-    # two-level scales collapsed to per-32-group fp16 planes: a = d*sc,
-    # b = dmin*mn (f32 product rounded to fp16, <=2^-11 relative error —
-    # negligible vs the 4-bit quant noise; keeps every kernel plane on a
-    # legal (16,128) tile)
+    # two-level scales kept EXACT ("diet" layout): sm packs the raw 6-bit
+    # (scale, min) fields (sc | mn << 6, one u16 per 32-group), sd/sb are
+    # the per-256-superblock fp16 d/dmin.  vs the old collapsed fp16
+    # a=d*sc / b=dmin*mn planes this halves the scale-plane HBM traffic
+    # (2.5B vs 4B per 32 weights — ~10% of a Q4_K model's total stream)
+    # AND removes the f16 product rounding: the kernels now compute d*sc
+    # in f32 exactly like ggml's dequantize_row_q4_K.
     b = raw.reshape(-1, 144)
-    d = b[:, :2].view("<f2").astype(np.float32)
-    dmin = b[:, 2:4].view("<f2").astype(np.float32)
+    d = b[:, :2].view("<f2")
+    dmin = b[:, 2:4].view("<f2")
     sc, mn = qb._unpack_kscales(b[:, 4:16])  # [nb, 8] 6-bit
-    a = (d * sc).astype("<f2").reshape(n, k // 32)
-    bb = (dmin * mn).astype("<f2").reshape(n, k // 32)
+    sm = (sc.astype(np.uint16) | (mn.astype(np.uint16) << 6)).reshape(n, k // 32)
     q = qb._nib_lo_hi(b[:, 16:], 32).reshape(n, k)  # element-ordered 0..15
     return {
         "qs": _pack_nibbles_k(q.T.astype(np.uint8), fold),
-        "a": np.ascontiguousarray(a.T),  # fp16 [K//32, N]
-        "b": np.ascontiguousarray(bb.T),
+        "sm": np.ascontiguousarray(sm.T),  # u16 [K//32, N]: sc | mn<<6
+        # super planes padded to 8-row multiples: the kernels' dynamic
+        # sublane roll (_q4k_group_scales) rejects unaligned shapes
+        "sd": _pad8_rows(np.ascontiguousarray(d.reshape(n, k // 256).T)),
+        "sb": _pad8_rows(np.ascontiguousarray(dmin.reshape(n, k // 256).T)),
     }
+
+
+def _pad8_rows(p: np.ndarray) -> np.ndarray:
+    pad = (-p.shape[0]) % 8
+    if pad == 0:
+        return p
+    return np.concatenate([p, np.zeros((pad, p.shape[1]), p.dtype)], axis=0)
+
+
+def q4k_scale_planes(p):
+    """Diet planes -> per-32-group f32 (a, b) [K//32, N] (exact d*sc).
+    The super planes may carry 8-alignment padding rows; sm's extent is
+    authoritative."""
+    smi = p["sm"].astype(jnp.int32)
+    g = smi.shape[0]
+    a = _group_repeat(_f32s(p["sd"]), 8)[:g] * (smi & 63).astype(jnp.float32)
+    b = _group_repeat(_f32s(p["sb"]), 8)[:g] * (smi >> 6).astype(jnp.float32)
+    return a, b
+
+
+def q4k_to_ab(qt: QTensor) -> QTensor:
+    """Diet-layout Q4_K -> collapsed a/b planes (the pre-diet layout, still
+    understood by every kernel).  Used where the [K//256, N] super planes
+    can't shard (tensor-parallel K splits need rows % tp == 0).  The planes
+    stay f32 so the products are EXACT — bit-identical to the diet kernels'
+    in-kernel d*sc math (an f16 cast here made TP outputs drift from the
+    single-chip reference)."""
+    if qt.fmt != GGMLType.Q4_K or "sm" not in qt.planes:
+        return qt
+    a, b = q4k_scale_planes(qt.planes)
+    planes = {"qs": qt.planes["qs"], "a": a, "b": b}
+    return QTensor(fmt=qt.fmt, shape=qt.shape, planes=planes, fold=qt.fold,
+                   psum_axis=qt.psum_axis, gather_axis=qt.gather_axis,
+                   npack=qt.npack)
 
 
 @_dequant_fmt(GGMLType.Q4_K)
 def _dq_q4_k(p, shape, dtype, fold):
     q = _unpack_nibbles_k(p["qs"], fold).astype(jnp.float32)
-    a = _group_repeat(_f32s(p["a"]), 32)
-    b = _group_repeat(_f32s(p["b"]), 32)
+    if "sm" in p:
+        a32, b32 = q4k_scale_planes(p)
+        a, b = _group_repeat(a32, 32), _group_repeat(b32, 32)
+    else:
+        a = _group_repeat(_f32s(p["a"]), 32)
+        b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
@@ -988,8 +1031,12 @@ def _dequant_npack(qt: QTensor, dtype):
     if qt.fmt == GGMLType.Q4_0:
         return ((q - 8.0) * _group_repeat(_f32s(p["d"]), 32)).astype(dtype)
     # Q4_1 / Q4_K share the w = q*a - b contract
-    a = _group_repeat(_f32s(p["a"]), 32)
-    b = _group_repeat(_f32s(p["b"]), 32)
+    if "sm" in p:  # Q4_K diet layout
+        a32, b32 = q4k_scale_planes(p)
+        a, b = _group_repeat(a32, 32), _group_repeat(b32, 32)
+    else:
+        a = _group_repeat(_f32s(p["a"]), 32)
+        b = _group_repeat(_f32s(p["b"]), 32)
     return (q * a - b).astype(dtype)
 
 
