@@ -24,6 +24,10 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         return main_bert(out_path, cfg)
     if arch == "t5":
         return main_t5(out_path, cfg)
+    if arch == "llava":
+        return main_llava(out_path, cfg)
+    if arch == "gemma3-vision":
+        return main_gemma3_vision(out_path, cfg)
     cls = {
         "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
         "mamba2": (transformers.Mamba2ForCausalLM, transformers.Mamba2Config),
@@ -98,6 +102,102 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
     out["toks"] = toks
     out["logits"] = logits
     out["greedy"] = greedy
+    np.savez(out_path, **out)
+
+
+def main_llava(out_path: str, cfg: dict):
+    """Tiny LlavaForConditionalGeneration: image features + mm logits.
+    cfg = {"vision": CLIPVisionConfig kwargs, "text": LlamaConfig kwargs,
+    "image_token_index": int}."""
+    import numpy as np
+    import torch
+    import transformers
+
+    torch.set_num_threads(2)
+    torch.manual_seed(0)
+    vis = transformers.CLIPVisionConfig(**cfg["vision"])
+    txt = transformers.LlamaConfig(**cfg["text"], attn_implementation="eager")
+    full = transformers.LlavaConfig(
+        vision_config=vis, text_config=txt,
+        image_token_index=cfg["image_token_index"],
+        projector_hidden_act="gelu",
+        vision_feature_select_strategy="default",
+        vision_feature_layer=-2,
+    )
+    hf = transformers.LlavaForConditionalGeneration(full).eval()
+
+    rng = np.random.default_rng(3)
+    pixels = rng.standard_normal(
+        (1, 3, vis.image_size, vis.image_size)).astype(np.float32)
+    n_img = (vis.image_size // vis.patch_size) ** 2
+    pre = [5, 17, 42]
+    post = [7, 9, 23, 4]
+    ids = pre + [cfg["image_token_index"]] * n_img + post
+    with torch.no_grad():
+        feats = hf.get_image_features(
+            pixel_values=torch.tensor(pixels),
+            vision_feature_layer=-2,
+            vision_feature_select_strategy="default",
+        )
+        if isinstance(feats, (list, tuple)):
+            feats = feats[0]
+        logits = hf(
+            input_ids=torch.tensor([ids], dtype=torch.int64),
+            pixel_values=torch.tensor(pixels),
+        ).logits.numpy()
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["pixels"] = pixels
+    out["image_features"] = np.asarray(feats).reshape(n_img, -1)
+    out["ids"] = np.asarray(ids)
+    out["pre"] = np.asarray(pre)
+    out["post"] = np.asarray(post)
+    out["logits"] = logits
+    np.savez(out_path, **out)
+
+
+def main_gemma3_vision(out_path: str, cfg: dict):
+    """Tiny Gemma3ForConditionalGeneration: image features + mm logits.
+    cfg = {"vision": SiglipVisionConfig kwargs, "text": Gemma3TextConfig
+    kwargs, "image_token_index": int, "mm_tokens_per_image": int}."""
+    import numpy as np
+    import torch
+    import transformers
+
+    torch.set_num_threads(2)
+    torch.manual_seed(0)
+    vis = transformers.SiglipVisionConfig(**cfg["vision"])
+    txt = transformers.Gemma3TextConfig(**cfg["text"], attn_implementation="eager")
+    full = transformers.Gemma3Config(
+        vision_config=vis, text_config=txt,
+        image_token_index=cfg["image_token_index"],
+        mm_tokens_per_image=cfg["mm_tokens_per_image"],
+    )
+    hf = transformers.Gemma3ForConditionalGeneration(full).eval()
+
+    rng = np.random.default_rng(3)
+    pixels = rng.standard_normal(
+        (1, 3, vis.image_size, vis.image_size)).astype(np.float32)
+    n_img = cfg["mm_tokens_per_image"]
+    pre = [5, 17, 42]
+    post = [7, 9, 23, 4]
+    ids = pre + [cfg["image_token_index"]] * n_img + post
+    with torch.no_grad():
+        feats = hf.get_image_features(pixel_values=torch.tensor(pixels))
+        if isinstance(feats, (list, tuple)):
+            feats = feats[0]
+        logits = hf(
+            input_ids=torch.tensor([ids], dtype=torch.int64),
+            pixel_values=torch.tensor(pixels),
+        ).logits.numpy()
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["pixels"] = pixels
+    out["image_features"] = np.asarray(feats).reshape(n_img, -1)
+    out["ids"] = np.asarray(ids)
+    out["pre"] = np.asarray(pre)
+    out["post"] = np.asarray(post)
+    out["logits"] = logits
     np.savez(out_path, **out)
 
 

@@ -53,6 +53,9 @@ def main():
                     help="pipeline-parallel devices (layer-split stages + GPipe "
                          "microbatch rotation; the reference's LLAMA_SPLIT_MODE_LAYER) "
                          "[ZLLM_ARG_PP]")
+    ap.add_argument("--mmproj", action=EnvDefault, default="",
+                    help="multimodal projector GGUF (vision tower); enables "
+                         "image content parts in chat requests [ZLLM_ARG_MMPROJ]")
     args = parse_with_presets(ap)
 
     if not args.model and args.models_dir:
@@ -82,7 +85,8 @@ def main():
                      port=int(args.port), speculative=args.spec, n_draft=int(args.draft_max),
                      kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja,
                      tp=int(args.tp), dp=int(args.dp), pp=int(args.pp),
-                     kv_dtype={"bf16": None, "f16": jnp.float16, "q8": "q8"}[args.kv_type])
+                     kv_dtype={"bf16": None, "f16": jnp.float16, "q8": "q8"}[args.kv_type],
+                     mmproj=args.mmproj)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -59,10 +59,29 @@ def lora_linear(layer: dict, key: str, x, bias=None):
     return y
 
 
-def embed(params, cfg, tokens: jax.Array, positions: jax.Array | None = None) -> jax.Array:
-    x = params["tok_emb"][tokens]
-    if cfg.arch.startswith("gemma"):
-        x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
+def embed(params, cfg, tokens: jax.Array, positions: jax.Array | None = None,
+          embeds: jax.Array | None = None,
+          embeds_mask: jax.Array | None = None) -> jax.Array:
+    """Token-id lookup, or a precomputed [B, T, n_embd] `embeds` input
+    (multimodal image embeddings).  Arch scaling / learned pos-embd /
+    embd-norm apply to BOTH sources, matching the reference where those
+    ops sit in the graph after build_inp_embd (src/llama-graph.cpp:1269,
+    token and embd batches share the downstream graph)."""
+    if embeds is None or embeds_mask is not None:
+        lookup = params["tok_emb"][tokens]
+        if cfg.arch.startswith("gemma"):
+            lookup = lookup * jnp.asarray(cfg.n_embd**0.5, lookup.dtype)
+    if embeds is None:
+        x = lookup
+    elif embeds_mask is None:
+        # gemma's sqrt(n_embd) scale applies to TOKEN batches only
+        # (reference src/models/gemma3.cpp:13 `ubatch.token ? sqrtf : 1`);
+        # mtmd pre-scales the text segments when building the embeds input
+        x = embeds.astype(params["tok_emb"].dtype)
+    else:
+        # mixed grid (engine serving): embeds rows where the mask is set
+        # (image spans), token lookups elsewhere
+        x = jnp.where(embeds_mask[..., None], embeds.astype(lookup.dtype), lookup)
     if cfg.emb_scale != 1.0:  # granite embedding_multiplier
         x = x * jnp.asarray(cfg.emb_scale, x.dtype)
     if positions is not None and "pos_emb" in params:
@@ -752,6 +771,8 @@ def forward(
     stats: dict | None = None,  # out-param: EP drop counts etc (traced)
     mask: jax.Array | None = None,  # [B, T, S] explicit attention mask
     kv_positions: jax.Array | None = None,  # cache storage slots (lookahead)
+    embeds: jax.Array | None = None,  # [B, T, n_embd] input embeddings (mtmd)
+    embeds_mask: jax.Array | None = None,  # [B, T] rows of `embeds` to use
 ):
     """Returns (logits [B, T or 1, vocab] f32, updated kv).
 
@@ -765,7 +786,7 @@ def forward(
         return gemma3n_forward(params, cfg, tokens, positions, kv,
                                logits_for=logits_for, taps=taps,
                                ep_axis=ep_axis, stats=stats)
-    x = embed(params, cfg, tokens, positions)
+    x = embed(params, cfg, tokens, positions, embeds=embeds, embeds_mask=embeds_mask)
 
     for il, layer in enumerate(params["layers"]):
         window = cfg.sliding_window if cfg.is_swa_layer(il) else 0

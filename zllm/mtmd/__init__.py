@@ -1,0 +1,39 @@
+"""Multimodal (mtmd) support: vision encoders, media chunking, generation.
+
+TPU-native analogue of the reference's libmtmd (tools/mtmd/): a CLIP or
+SigLIP tower encodes images to LM-space embeddings, the prompt is split
+on media markers into text/image chunks, and the LM prefills from the
+concatenated embedding sequence.
+"""
+
+from .clip import ClipConfig, ClipModel, clip_forward, load_mmproj
+from .media import (DEFAULT_MARKER, ImageChunk, TextChunk, chunks_to_embeds,
+                    preprocess_image, tokenize_chunks)
+
+
+def generate_mm(model, clip, prompt: str, images: list, max_new: int = 64,
+                max_len: int = 2048, sampler=None, marker: str = DEFAULT_MARKER):
+    """One-shot multimodal generation (the mtmd-cli flow, reference
+    tools/mtmd/mtmd-cli.cpp): split prompt on `marker`, encode images,
+    prefill embeds, greedy/sampled decode.  Returns GenerateResult."""
+    from ..runtime.generate import Generator
+
+    chunks = tokenize_chunks(model.tokenizer, prompt, images, clip, marker=marker)
+    embeds = chunks_to_embeds(model, chunks)
+    gen = Generator(model, max_len=max_len)
+    logits = gen.prefill_embeds(embeds)
+    import jax.numpy as jnp
+
+    first = int(jnp.argmax(logits)) if sampler is None else int(sampler(logits))
+    eos = model.tokenizer.vocab.eos_id if model.tokenizer else -1
+    toks = [first]
+    if first != eos:
+        rest = gen.decode_steps(first, max_new - 1)
+        toks = rest
+        if eos in toks:
+            toks = toks[: toks.index(eos) + 1]
+    text = model.tokenizer.decode(toks) if model.tokenizer else ""
+    from ..runtime.generate import GenerateResult
+
+    return GenerateResult(tokens=toks, text=text, n_prefill=int(embeds.shape[1]),
+                          t_prefill=getattr(gen, "t_prefill", 0.0))

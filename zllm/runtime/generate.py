@@ -82,6 +82,44 @@ class Generator:
         self.t_prefill = time.perf_counter() - t0
         return logits
 
+    def prefill_embeds(self, embeds) -> jax.Array:
+        """Prefill from a precomputed [1, T, n_embd] embedding sequence
+        (multimodal chunks; reference: llama_batch.embd eval through
+        mtmd-helper).  Chunked like token prefill; returns last logits."""
+        import time
+
+        emb = np.asarray(embeds, dtype=np.float32)
+        if emb.ndim == 2:
+            emb = emb[None]
+        n = emb.shape[1]
+        cfg = self.model.cfg
+        if not hasattr(self, "_estep"):
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def _estep_fn(params, embeds, positions, kv):
+                dummy = jnp.zeros(embeds.shape[:2], jnp.int32)
+                return forward(params, cfg, dummy, positions, kv,
+                               logits_for="all", embeds=embeds)
+
+            self._estep = _estep_fn
+        logits = None
+        t0 = time.perf_counter()
+        pos = 0
+        while pos < n:
+            chunk = min(self.prefill_chunk, n - pos)
+            padded = np.zeros((self.batch, self.prefill_chunk, emb.shape[2]), np.float32)
+            padded[0, :chunk] = emb[0, pos : pos + chunk]
+            positions = np.full((self.batch, self.prefill_chunk), self.max_len - 1, np.int32)
+            positions[0] = np.arange(pos, pos + self.prefill_chunk)
+            positions = np.clip(positions, 0, self.max_len - 1)
+            lg, self.kv = self._estep(
+                self.model.params, jnp.asarray(padded), jnp.asarray(positions), self.kv)
+            logits = lg[0, chunk - 1]
+            pos += chunk
+        logits.block_until_ready()
+        self.t_prefill = time.perf_counter() - t0
+        self._cur_pos = n
+        return logits
+
     def decode_steps(self, first_token: int, n_steps: int, sampler=None) -> list[int]:
         """Greedy (or sampler-driven) decode; returns generated tokens."""
         out = [int(first_token)]

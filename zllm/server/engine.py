@@ -106,6 +106,10 @@ class Request:
     mirostat_eta: float = 0.1
     seed: int = -1
     n_keep: int = 0  # tokens preserved by context shift
+    # multimodal: [(start_offset, [n, n_embd] image embeddings), ...];
+    # prompt_tokens carry placeholder ids over those spans (reference:
+    # mtmd chunks eval'd as embd batches, tools/mtmd/mtmd-helper.cpp)
+    media: list = field(default_factory=list)
     stop_tokens: frozenset = frozenset()
     stop_strings: tuple = ()
     stream_q: "queue.Queue" = field(default_factory=queue.Queue)
@@ -135,6 +139,9 @@ class _Slot:
     generated: int = 0
     # tokens whose K/V currently live in this slot's cache rows [0, pos)
     cache_tokens: list[int] = field(default_factory=list)
+    # media prompts poison prefix matching (placeholder ids stand in for
+    # image spans), so their cache is never offered for reuse
+    no_reuse: bool = False
 
 
 def _common_prefix(a: list[int], b: list[int]) -> int:
@@ -428,6 +435,7 @@ class Engine:
             self._step = _step
 
         self._dp = self.draft.params if self.draft is not None else None
+        self._step_mm = None  # lazy media-aware mixed step (mtmd serving)
         if self.draft is not None and self.speculative:
             dcfg = self.draft.cfg
             self.dkv = KVCache.create(
@@ -533,6 +541,10 @@ class Engine:
     def submit(self, req: Request) -> Request:
         if not self.recurrent and len(req.prompt_tokens) >= self.max_len:
             raise ValueError(f"prompt ({len(req.prompt_tokens)}) exceeds context ({self.max_len})")
+        if req.media and (self.mesh is not None or self.pp > 1
+                          or self.recurrent or self.hybrid):
+            raise ValueError("multimodal requests are supported on the "
+                             "single-device dense engine only")
         self.metrics["requests_total"] += 1
         self.pending.put(req)
         self._wake.set()
@@ -640,17 +652,21 @@ class Engine:
             # choose the idle slot with the longest reusable prefix
             # (reference: slot selection by prompt similarity)
             best, best_n = idle[0], 0
-            if self.prefix_reuse:
+            if self.prefix_reuse and not req.media:
                 for s in idle:
+                    if s.no_reuse:
+                        continue
                     ncp = _common_prefix(s.cache_tokens, req.prompt_tokens)
                     if ncp > best_n:
                         best, best_n = s, ncp
             src_slot = best
-            if self.paged and self.prefix_reuse:
+            if self.paged and self.prefix_reuse and not req.media:
                 # paged cache: full prefix pages can be shared from ANY
                 # slot (even a busy one — full pages are immutable), so
                 # search all of them, not just the idle pool
                 for s in self.slots:
+                    if s.no_reuse:
+                        continue
                     ncp = _common_prefix(s.cache_tokens, req.prompt_tokens)
                     if ncp > best_n:
                         src_slot, best_n = s, ncp
@@ -696,6 +712,7 @@ class Engine:
             slot.cache_tokens = req.prompt_tokens[:n_reuse]
             slot.prompt_left = list(req.prompt_tokens[n_reuse:])
             slot.generated = 0
+            slot.no_reuse = bool(req.media)
             req.n_prompt_reused = n_reuse
             self.metrics["tokens_prefix_reused_total"] += n_reuse
             # per-slot sampling params + RNG key + penalty window
@@ -848,13 +865,59 @@ class Engine:
             toks[s.idx, 0] = s.last_token
             pos[s.idx, 0] = s.pos
 
+        # multimodal: fill image-embedding rows for any prompt chunk that
+        # overlaps a media span (reference: mtmd-helper evals image chunks
+        # as embd batches between text batches; here they ride the same
+        # dense grid via a row mask)
+        emb_grid = None
+        for ps in prompt_slots:
+            req = ps.req
+            if req is None or not req.media:
+                continue
+            done = len(req.prompt_tokens) - len(ps.prompt_left)
+            chunk_real = chunks[ps.idx]
+            for start, emb in req.media:
+                lo = max(start, done)
+                hi = min(start + len(emb), done + chunk_real)
+                if lo >= hi:
+                    continue
+                if emb_grid is None:
+                    n_embd = int(self.model.cfg.n_embd)
+                    emb_grid = np.zeros(
+                        (self.n_slots, self.prefill_chunk, n_embd), np.float32)
+                    emask = np.zeros((self.n_slots, self.prefill_chunk), bool)
+                emb_grid[ps.idx, lo - done : hi - done] = emb[lo - start : hi - start]
+                emask[ps.idx, lo - done : hi - done] = True
+
         if self.coordinator is not None:
             from ..parallel.coordinator import KIND_MIXED
 
             self.coordinator.publish(KIND_MIXED, toks, pos)
-        logits, self.kv = self._step(
-            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
-        )
+        if emb_grid is not None:
+            if self._step_mm is None:
+                import functools
+
+                import jax
+
+                from ..models.llama import forward
+
+                cfg = self.model.cfg
+
+                @functools.partial(jax.jit, donate_argnums=(5,))
+                def _step_mm(params, tokens, embeds, emask, positions, kv):
+                    return forward(params, cfg, tokens, positions, kv,
+                                   logits_for="all", embeds=embeds,
+                                   embeds_mask=emask)
+
+                self._step_mm = _step_mm
+            logits, self.kv = self._step_mm(
+                self._p, jnp.asarray(toks), jnp.asarray(emb_grid),
+                jnp.asarray(emask), jnp.asarray(pos), self.kv,
+            )
+        else:
+            logits, self.kv = self._step(
+                self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="all"
+            )
         self.metrics["prefill_steps_total"] += 1
         cols = np.zeros((self.n_slots,), np.int32)
         sample_rows = []

@@ -23,13 +23,45 @@ def _sse(obj) -> bytes:
     return b"data: " + json.dumps(obj).encode() + b"\n\n"
 
 
+def _extract_media(msgs: list) -> tuple[list, list]:
+    """Replace image content parts with media markers; returns the
+    rewritten messages and the raw image bytes in order of appearance
+    (OpenAI `image_url` data URIs / Anthropic base64 `image` blocks)."""
+    from ..mtmd.media import DEFAULT_MARKER, decode_image_part
+
+    images: list = []
+    out = []
+    for m in msgs:
+        content = m.get("content", "")
+        if not isinstance(content, list):
+            out.append(m)
+            continue
+        pieces = []
+        for part in content:
+            if not isinstance(part, dict):
+                continue
+            if part.get("type") in ("image_url", "image"):
+                images.append(decode_image_part(part))
+                pieces.append(DEFAULT_MARKER)
+            elif part.get("type") == "text":
+                pieces.append(part.get("text", ""))
+        out.append({**m, "content": "".join(pieces)})
+    return out, images
+
+
 class ZllmServer:
     def __init__(self, model, n_slots: int = 4, max_len: int = 2048, host="127.0.0.1", port=8080,
                  slot_save_path: str = "", speculative: bool = False, n_draft: int = 6,
                  kv_layout: str = "auto", draft_model=None, jinja: bool = False,
-                 tp: int = 1, dp: int = 1, pp: int = 1, kv_dtype=None):
+                 tp: int = 1, dp: int = 1, pp: int = 1, kv_dtype=None,
+                 mmproj: str = ""):
         self.model = model
         self.jinja = jinja
+        self.clip = None
+        if mmproj:  # multimodal: vision tower for image content parts
+            from ..mtmd import ClipModel
+
+            self.clip = ClipModel(mmproj)
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len,
                              speculative=speculative, n_draft=n_draft, kv_layout=kv_layout,
                              draft_model=draft_model, tp=tp, dp=dp, pp=pp,
@@ -452,8 +484,11 @@ class ZllmServer:
                 tool_choice = body.get("tool_choice", "auto")
                 tools_on = bool(chat and tools and tool_choice != "none")
                 grammar_obj = None
+                media_imgs: list = []
                 if chat:
                     msgs = body.get("messages", [])
+                    if server.clip is not None:
+                        msgs, media_imgs = _extract_media(msgs)
                     if tools_on:
                         from .toolcall import make_tool_grammar, prepare_messages
 
@@ -471,13 +506,22 @@ class ZllmServer:
                     text = body.get("prompt", "")
                 if isinstance(text, list):
                     text = "".join(text)
-                ids = tok.encode(text, add_special=True, parse_special=True)
+                media = []
+                if media_imgs:
+                    from ..mtmd.media import tokenize_with_media
+
+                    embeds = [server.clip.encode_image(b) for b in media_imgs]
+                    ids, media = tokenize_with_media(tok, text, embeds)
+                else:
+                    ids = tok.encode(text, add_special=True, parse_special=True)
                 # chat templates that render their own BOS (llama3's
                 # <|begin_of_text|>) would otherwise double it — the case
                 # the reference explicitly warns about
                 if len(ids) >= 2 and ids[0] == tok.bos_id and ids[1] == tok.bos_id:
                     ids = ids[1:]
+                    media = [(s - 1, e) for s, e in media]
                 req = server._make_request(body, ids, grammar=grammar_obj)
+                req.media = media
                 stream = bool(body.get("stream", False))
                 server.engine.submit(req)
 
