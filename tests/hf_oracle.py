@@ -28,6 +28,8 @@ def main(out_path: str, cfg_json: str, arch: str = "llama"):
         return main_llava(out_path, cfg)
     if arch == "gemma3-vision":
         return main_gemma3_vision(out_path, cfg)
+    if arch == "qwen2audio":
+        return main_qwen2audio(out_path, cfg)
     cls = {
         "mamba": (transformers.MambaForCausalLM, transformers.MambaConfig),
         "mamba2": (transformers.Mamba2ForCausalLM, transformers.Mamba2Config),
@@ -194,6 +196,58 @@ def main_gemma3_vision(out_path: str, cfg: dict):
     out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
     out["pixels"] = pixels
     out["image_features"] = np.asarray(feats).reshape(n_img, -1)
+    out["ids"] = np.asarray(ids)
+    out["pre"] = np.asarray(pre)
+    out["post"] = np.asarray(post)
+    out["logits"] = logits
+    np.savez(out_path, **out)
+
+
+def main_qwen2audio(out_path: str, cfg: dict):
+    """Tiny Qwen2AudioForConditionalGeneration: whisper log-mel features,
+    projected audio embeddings, and full mm logits.  cfg = {"audio":
+    Qwen2AudioEncoderConfig kwargs, "text": Qwen2Config kwargs,
+    "audio_token_index": int, "max_samples": int}."""
+    import numpy as np
+    import torch
+    import transformers
+
+    torch.set_num_threads(2)
+    torch.manual_seed(0)
+    aud = transformers.Qwen2AudioEncoderConfig(**cfg["audio"])
+    txt = transformers.Qwen2Config(**cfg["text"], attn_implementation="eager")
+    full = transformers.Qwen2AudioConfig(
+        audio_config=aud, text_config=txt,
+        audio_token_index=cfg["audio_token_index"],
+    )
+    hf = transformers.Qwen2AudioForConditionalGeneration(full).eval()
+
+    rng = np.random.default_rng(3)
+    max_samples = int(cfg.get("max_samples", 32000))
+    wave = (rng.standard_normal(max_samples // 2) * 0.1).astype(np.float32)
+    fe = transformers.WhisperFeatureExtractor(
+        feature_size=aud.num_mel_bins, sampling_rate=16000)
+    mel = fe(wave, sampling_rate=16000, padding="max_length",
+             max_length=max_samples, return_tensors="np").input_features
+    with torch.no_grad():
+        enc = hf.audio_tower(torch.tensor(mel)).last_hidden_state
+        feats = hf.multi_modal_projector(enc)[0]
+        n_aud = feats.shape[0]
+        pre = [5, 17, 42]
+        post = [7, 9, 23, 4]
+        ids = pre + [cfg["audio_token_index"]] * n_aud + post
+        logits = hf(
+            input_ids=torch.tensor([ids], dtype=torch.int64),
+            input_features=torch.tensor(mel),
+            attention_mask=torch.ones((1, len(ids)), dtype=torch.int64),
+            feature_attention_mask=torch.ones(mel.shape[:2][:1] + (mel.shape[2],),
+                                              dtype=torch.int64),
+        ).logits.numpy()
+
+    out = {f"sd.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+    out["wave"] = wave
+    out["mel"] = mel[0]
+    out["audio_features"] = feats.numpy()
     out["ids"] = np.asarray(ids)
     out["pre"] = np.asarray(pre)
     out["post"] = np.asarray(post)

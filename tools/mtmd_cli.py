@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--mmproj", required=True, help="mmproj GGUF (vision tower)")
     ap.add_argument("--image", action="append", default=[],
                     help="image file; one per <__media__> marker (repeatable)")
+    ap.add_argument("--audio", action="append", default=[],
+                    help="WAV audio file; consumed after images, in order")
     ap.add_argument("-p", "--prompt", required=True)
     ap.add_argument("-n", "--n-predict", type=int, default=64)
     ap.add_argument("-c", "--ctx", type=int, default=2048)
@@ -33,12 +35,13 @@ def main():
     import jax.numpy as jnp
 
     from zllm.models.loader import Model
-    from zllm.mtmd import ClipModel, generate_mm
+    from zllm.mtmd import MtmdModel, generate_mm
 
     model = Model.load(args.model, dtype=jnp.bfloat16)
     if model.tokenizer is None:
         sys.exit("model has no tokenizer")
-    clip = ClipModel(args.mmproj)
+    clip = MtmdModel(args.mmproj)
+    media = [("image", p) for p in args.image] + [("audio", p) for p in args.audio]
 
     prompt = args.prompt
     if args.chat:
@@ -59,7 +62,7 @@ def main():
             nonlocal key
             key, sub = jax.random.split(key)
             return int(chain.sample(logits, sub))
-    res = generate_mm(model, clip, prompt, args.image, max_new=args.n_predict,
+    res = generate_mm(model, clip, prompt, media, max_new=args.n_predict,
                       max_len=args.ctx, sampler=sampler)
     print(res.text)
     print(f"[prefill {res.n_prefill} tok | decode {len(res.tokens)} tok]",

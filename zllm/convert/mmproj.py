@@ -8,6 +8,7 @@ convert_hf_to_gguf.py MmprojModel contract).
 Covered HF sources:
 - CLIPVisionModel + llava-style 2-layer MLP projector (`mlp`)
 - SiglipVisionModel + gemma3 avg-pool projector (`gemma3`)
+- Qwen2Audio's Whisper-style tower + linear projector (`qwen2a`)
 """
 
 from __future__ import annotations
@@ -160,5 +161,105 @@ def convert_hf_mmproj(
              1.0 + req(proj_prefix + "mm_soft_emb_norm.weight"))
     else:
         raise NotImplementedError(f"mmproj converter: projector {proj_type}")
+    w.write()
+    return out_path
+
+
+_WHISPER_LAYER = (
+    ("self_attn.q_proj", "attn_q"),
+    ("self_attn.k_proj", "attn_k"),
+    ("self_attn.v_proj", "attn_v"),
+    ("self_attn.out_proj", "attn_out"),
+    ("self_attn_layer_norm", "ln1"),
+    ("final_layer_norm", "ln2"),
+    ("fc1", "ffn_up"),
+    ("fc2", "ffn_down"),
+)
+
+
+def convert_hf_mmproj_audio(
+    state_dict: Mapping[str, Any],
+    config: Mapping[str, Any],
+    out_path: str,
+    *,
+    proj_type: str = "qwen2a",
+    gtype: GGMLType = GGMLType.F32,
+) -> str:
+    """HF Qwen2Audio-style audio tower -> audio mmproj GGUF.  config: the
+    HF *audio* config dict (d_model, encoder_layers, num_mel_bins, ...)."""
+    sd = dict(state_dict)
+
+    at = None
+    for k in sd:
+        i = k.find("audio_tower.")
+        if i >= 0:
+            at = k[: i + len("audio_tower.")]
+            break
+    if at is None:
+        raise KeyError("no audio_tower.* tensors in state dict")
+
+    def find(*cands):
+        for c in cands:
+            if c in sd:
+                return _npy(sd[c])
+        return None
+
+    def req(*cands):
+        v = find(*cands)
+        if v is None:
+            raise KeyError(f"none of {cands} in state dict")
+        return v
+
+    n_embd = int(config["d_model"])
+    n_layer = int(config["encoder_layers"])
+    n_head = int(config["encoder_attention_heads"])
+    n_ff = int(config["encoder_ffn_dim"])
+    n_mel = int(config["num_mel_bins"])
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "clip")
+    w.add("clip.projector_type", proj_type)
+    w.add("clip.has_vision_encoder", False)
+    w.add("clip.has_audio_encoder", True)
+    a = "clip.audio."
+    w.add(a + "num_mel_bins", n_mel)
+    w.add(a + "embedding_length", n_embd)
+    w.add(a + "feed_forward_length", n_ff)
+    w.add(a + "block_count", n_layer)
+    w.add(a + "attention.head_count", n_head)
+    w.add(a + "attention.layer_norm_epsilon", 1e-5)
+
+    def emit(name, arr):
+        arr = np.asarray(arr, np.float32)
+        _emit(w, name, arr, gtype if arr.ndim >= 2 else GGMLType.F32)
+
+    for i, hf in ((1, "conv1"), (2, "conv2")):
+        cw = req(at + hf + ".weight")  # [n_embd, c_in, 3]
+        emit(f"a.conv1d.{i}.weight", cw.reshape(n_embd, -1))
+        emit(f"a.conv1d.{i}.bias", req(at + hf + ".bias"))
+    emit("a.position_embd.weight", req(at + "embed_positions.weight"))
+    emit("a.post_ln.weight", req(at + "layer_norm.weight"))
+    emit("a.post_ln.bias", req(at + "layer_norm.bias"))
+    for il in range(n_layer):
+        hfp = f"{at}layers.{il}."
+        for suf, mid in _WHISPER_LAYER:
+            for part in ("weight", "bias"):
+                t = find(hfp + suf + "." + part)
+                if t is not None:
+                    emit(f"a.blk.{il}.{mid}.{part}", t)
+
+    if proj_type == "qwen2a":
+        pp = None
+        for k in sd:
+            i = k.find("multi_modal_projector.")
+            if i >= 0:
+                pp = k[: i + len("multi_modal_projector.")]
+                break
+        if pp is None:
+            raise KeyError("no multi_modal_projector.* for qwen2a")
+        emit("mm.a.fc.weight", req(pp + "linear.weight"))
+        emit("mm.a.fc.bias", req(pp + "linear.bias"))
+    else:
+        raise NotImplementedError(f"audio mmproj converter: {proj_type}")
     w.write()
     return out_path

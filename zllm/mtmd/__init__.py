@@ -11,6 +11,50 @@ from .media import (DEFAULT_MARKER, ImageChunk, TextChunk, chunks_to_embeds,
                     preprocess_image, tokenize_chunks)
 
 
+class MtmdModel:
+    """A loaded mmproj with whichever encoders it carries (vision and/or
+    audio — the reference's clip_init loads both from one GGUF)."""
+
+    def __init__(self, path: str):
+        from ..gguf.reader import read_gguf
+
+        f = read_gguf(path)
+        try:
+            names = set(f.tensors)
+            self.vision = self.audio = None
+            if any(n.startswith("v.") for n in names):
+                from .clip import load_vision_mmproj
+
+                self.vision = load_vision_mmproj(f, names)
+            if any(n.startswith("a.") for n in names):
+                from .audio import load_audio_mmproj
+
+                self.audio = load_audio_mmproj(f, names)
+            if self.vision is None and self.audio is None:
+                raise ValueError(f"{path}: no vision or audio tensors")
+        finally:
+            f.close()
+
+    def encode_image(self, img):
+        if self.vision is None:
+            raise ValueError("mmproj has no vision encoder")
+        params, cfg = self.vision
+        from .clip import clip_forward
+        from .media import preprocess_image
+
+        return clip_forward(params, cfg, preprocess_image(img, cfg))
+
+    def encode_audio(self, audio):
+        if self.audio is None:
+            raise ValueError("mmproj has no audio encoder")
+        from .audio import encode_audio
+
+        return encode_audio(*self.audio, audio)
+
+    def encode_media(self, kind: str, data):
+        return self.encode_audio(data) if kind == "audio" else self.encode_image(data)
+
+
 def generate_mm(model, clip, prompt: str, images: list, max_new: int = 64,
                 max_len: int = 2048, sampler=None, marker: str = DEFAULT_MARKER):
     """One-shot multimodal generation (the mtmd-cli flow, reference

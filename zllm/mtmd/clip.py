@@ -125,61 +125,66 @@ def load_mmproj(path: str):
     """
     f = read_gguf(path)
     try:
-        cfg = ClipConfig.from_gguf(f)
-        names = set(f.tensors)
-
-        def get(name):
-            return jnp.asarray(f.tensor_f32(name))
-
-        def opt(name):
-            return get(name) if name in names else None
-
-        p: dict = {}
-        pe = f.tensor_f32("v.patch_embd.weight")  # [n_embd, 3, ps, ps]
-        ps = cfg.patch_size
-        pe = pe.reshape(cfg.n_embd, 3, ps, ps)
-        # patchify matmul operand: [3*ps*ps, n_embd] with (c, py, px) minor
-        p["patch_w"] = jnp.asarray(pe.reshape(cfg.n_embd, -1).T.copy())
-        p["patch_b"] = opt("v.patch_embd.bias")
-        p["class_embd"] = opt("v.class_embd")
-        p["pos_embd"] = opt("v.position_embd.weight")
-        for nm, key in (("pre_ln", "v.pre_ln"), ("post_ln", "v.post_ln")):
-            p[nm] = opt(key + ".weight")
-            p[nm + "_b"] = opt(key + ".bias")
-        layers = []
-        for il in range(cfg.n_layer):
-            pre = f"v.blk.{il}."
-            lay = {}
-            for src, dst in (
-                ("attn_q", "wq"), ("attn_k", "wk"), ("attn_v", "wv"),
-                ("attn_out", "wo"), ("ffn_up", "up"), ("ffn_down", "down"),
-                ("ffn_gate", "gate"), ("ln1", "ln1"), ("ln2", "ln2"),
-            ):
-                w = opt(pre + src + ".weight")
-                if w is not None and dst not in ("ln1", "ln2"):
-                    w = w.T  # GGUF row-major [out, in] -> matmul [in, out]
-                lay[dst] = w
-                lay[dst + "_b"] = opt(pre + src + ".bias")
-            for src, dst in (("ls1", "ls1"), ("ls2", "ls2")):
-                lay[dst] = opt(pre + src + ".weight")
-            layers.append(lay)
-        p["layers"] = layers
-        # projector heads
-        if cfg.proj_type in ("mlp", "mlp_norm"):
-            for i in (0, 1, 2, 3, 4):
-                w = opt(f"mm.{i}.weight")
-                p[f"mm_{i}"] = w.T if w is not None and w.ndim == 2 else w
-                p[f"mm_{i}_b"] = opt(f"mm.{i}.bias")
-        elif cfg.proj_type == "gemma3":
-            p["mm_input_proj"] = get("mm.input_projection.weight")
-            p["mm_soft_emb_norm"] = get("mm.soft_emb_norm.weight")
-        elif cfg.proj_type == "idefics3":
-            p["mm_fc"] = get("mm.model.fc.weight").T
-        else:
-            raise NotImplementedError(f"mmproj projector type: {cfg.proj_type}")
-        return p, cfg
+        return load_vision_mmproj(f, set(f.tensors))
     finally:
         f.close()
+
+
+def load_vision_mmproj(f: GGUFFile, names: set):
+    """Vision tensors from an open GGUF (shared mmproj may carry both
+    modalities).  Returns (params, ClipConfig)."""
+    cfg = ClipConfig.from_gguf(f)
+
+    def get(name):
+        return jnp.asarray(f.tensor_f32(name))
+
+    def opt(name):
+        return get(name) if name in names else None
+
+    p: dict = {}
+    pe = f.tensor_f32("v.patch_embd.weight")  # [n_embd, 3, ps, ps]
+    ps = cfg.patch_size
+    pe = pe.reshape(cfg.n_embd, 3, ps, ps)
+    # patchify matmul operand: [3*ps*ps, n_embd] with (c, py, px) minor
+    p["patch_w"] = jnp.asarray(pe.reshape(cfg.n_embd, -1).T.copy())
+    p["patch_b"] = opt("v.patch_embd.bias")
+    p["class_embd"] = opt("v.class_embd")
+    p["pos_embd"] = opt("v.position_embd.weight")
+    for nm, key in (("pre_ln", "v.pre_ln"), ("post_ln", "v.post_ln")):
+        p[nm] = opt(key + ".weight")
+        p[nm + "_b"] = opt(key + ".bias")
+    layers = []
+    for il in range(cfg.n_layer):
+        pre = f"v.blk.{il}."
+        lay = {}
+        for src, dst in (
+            ("attn_q", "wq"), ("attn_k", "wk"), ("attn_v", "wv"),
+            ("attn_out", "wo"), ("ffn_up", "up"), ("ffn_down", "down"),
+            ("ffn_gate", "gate"), ("ln1", "ln1"), ("ln2", "ln2"),
+        ):
+            w = opt(pre + src + ".weight")
+            if w is not None and dst not in ("ln1", "ln2"):
+                w = w.T  # GGUF row-major [out, in] -> matmul [in, out]
+            lay[dst] = w
+            lay[dst + "_b"] = opt(pre + src + ".bias")
+        for src, dst in (("ls1", "ls1"), ("ls2", "ls2")):
+            lay[dst] = opt(pre + src + ".weight")
+        layers.append(lay)
+    p["layers"] = layers
+    # projector heads
+    if cfg.proj_type in ("mlp", "mlp_norm"):
+        for i in (0, 1, 2, 3, 4):
+            w = opt(f"mm.{i}.weight")
+            p[f"mm_{i}"] = w.T if w is not None and w.ndim == 2 else w
+            p[f"mm_{i}_b"] = opt(f"mm.{i}.bias")
+    elif cfg.proj_type == "gemma3":
+        p["mm_input_proj"] = get("mm.input_projection.weight")
+        p["mm_soft_emb_norm"] = get("mm.soft_emb_norm.weight")
+    elif cfg.proj_type == "idefics3":
+        p["mm_fc"] = get("mm.model.fc.weight").T
+    else:
+        raise NotImplementedError(f"mmproj projector type: {cfg.proj_type}")
+    return p, cfg
 
 
 def _vit_block(lay, cfg, x):

@@ -66,7 +66,12 @@ def tokenize_chunks(tokenizer, prompt: str, images: list, clip,
     chunks: list = []
     for i, part in enumerate(parts):
         if i > 0:
-            chunks.append(ImageChunk(embeds=clip.encode_image(images[i - 1])))
+            item = images[i - 1]
+            if isinstance(item, tuple):  # ("image" | "audio", data)
+                emb = clip.encode_media(*item)
+            else:
+                emb = clip.encode_image(item)
+            chunks.append(ImageChunk(embeds=emb))
         if part:
             toks = tokenizer.encode(part, add_bos=add_bos and i == 0)
             if toks:
@@ -103,23 +108,32 @@ def tokenize_with_media(tokenizer, text: str, embeds_list: list,
     return ids, media
 
 
-def decode_image_part(part: dict) -> bytes:
-    """OpenAI `image_url` / Anthropic `image` content part -> raw bytes.
-    Accepts data URIs and plain base64 (no network fetch)."""
+def decode_media_part(part: dict) -> tuple:
+    """OpenAI `image_url`/`input_audio` or Anthropic `image` content part
+    -> ("image" | "audio", raw bytes).  Accepts data URIs and plain
+    base64 (no network fetch)."""
     import base64
 
-    if part.get("type") == "image_url":
+    kind = part.get("type")
+    if kind == "image_url":
         url = part.get("image_url", {})
         url = url.get("url", url) if isinstance(url, dict) else url
         if isinstance(url, str) and url.startswith("data:"):
-            return base64.b64decode(url.split(",", 1)[1])
+            return "image", base64.b64decode(url.split(",", 1)[1])
         raise ValueError("image_url must be a base64 data: URI")
-    if part.get("type") == "image":  # anthropic style
+    if kind == "image":  # anthropic style
         src = part.get("source", {})
         if src.get("type") == "base64":
-            return base64.b64decode(src.get("data", ""))
+            return "image", base64.b64decode(src.get("data", ""))
         raise ValueError("image source must be base64")
-    raise ValueError(f"unsupported media part type: {part.get('type')}")
+    if kind == "input_audio":  # OpenAI audio content part
+        ia = part.get("input_audio", {})
+        return "audio", base64.b64decode(ia.get("data", ""))
+    raise ValueError(f"unsupported media part type: {kind}")
+
+
+def decode_image_part(part: dict) -> bytes:
+    return decode_media_part(part)[1]
 
 
 def chunks_to_embeds(model, chunks) -> "object":

@@ -27,9 +27,9 @@ def _extract_media(msgs: list) -> tuple[list, list]:
     """Replace image content parts with media markers; returns the
     rewritten messages and the raw image bytes in order of appearance
     (OpenAI `image_url` data URIs / Anthropic base64 `image` blocks)."""
-    from ..mtmd.media import DEFAULT_MARKER, decode_image_part
+    from ..mtmd.media import DEFAULT_MARKER, decode_media_part
 
-    images: list = []
+    media: list = []  # [(kind, bytes)]
     out = []
     for m in msgs:
         content = m.get("content", "")
@@ -40,13 +40,13 @@ def _extract_media(msgs: list) -> tuple[list, list]:
         for part in content:
             if not isinstance(part, dict):
                 continue
-            if part.get("type") in ("image_url", "image"):
-                images.append(decode_image_part(part))
+            if part.get("type") in ("image_url", "image", "input_audio"):
+                media.append(decode_media_part(part))
                 pieces.append(DEFAULT_MARKER)
             elif part.get("type") == "text":
                 pieces.append(part.get("text", ""))
         out.append({**m, "content": "".join(pieces)})
-    return out, images
+    return out, media
 
 
 class ZllmServer:
@@ -58,10 +58,10 @@ class ZllmServer:
         self.model = model
         self.jinja = jinja
         self.clip = None
-        if mmproj:  # multimodal: vision tower for image content parts
-            from ..mtmd import ClipModel
+        if mmproj:  # multimodal: vision/audio encoders for content parts
+            from ..mtmd import MtmdModel
 
-            self.clip = ClipModel(mmproj)
+            self.clip = MtmdModel(mmproj)
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len,
                              speculative=speculative, n_draft=n_draft, kv_layout=kv_layout,
                              draft_model=draft_model, tp=tp, dp=dp, pp=pp,
@@ -510,7 +510,8 @@ class ZllmServer:
                 if media_imgs:
                     from ..mtmd.media import tokenize_with_media
 
-                    embeds = [server.clip.encode_image(b) for b in media_imgs]
+                    embeds = [server.clip.encode_media(kind, b)
+                              for kind, b in media_imgs]
                     ids, media = tokenize_with_media(tok, text, embeds)
                 else:
                     ids = tok.encode(text, add_special=True, parse_special=True)
