@@ -295,6 +295,7 @@ def tokenizer_kv_from_dir(d: str, arch: str, model_type: str = "") -> dict:
 # HF architectures[0] -> (zllm converter, gguf arch)
 _CONVERTERS: dict[str, tuple[str, str]] = {
     "LlamaForCausalLM": ("llama", "llama"),
+    "MiniMaxM2ForCausalLM": ("llama", "minimax-m2"),
     "MistralForCausalLM": ("llama", "mistral"),
     "Qwen2ForCausalLM": ("llama", "qwen2"),
     "Qwen3ForCausalLM": ("llama", "qwen3"),

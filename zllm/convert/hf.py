@@ -136,6 +136,10 @@ _ARCH_RULES = {
     # ernie 4.5 MoE: llama attention + interleaved dense/MoE layers with
     # shared experts and a deepseek3-style selection-bias router
     "ernie4_5-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # minimax-m2: neox rope over rotary_dim < head_dim, FULL-width q/k RMS
+    # norms (olmo2-style), mixtral-layout experts with a sigmoid router +
+    # deepseek3-style selection bias (reference src/models/minimax-m2.cpp)
+    "minimax-m2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -200,6 +204,10 @@ def convert_hf_llama(
     if "num_local_experts" in config:  # mixtral/gpt-oss-style MoE
         w.add(f"{arch}.expert_count", int(config["num_local_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+        if config.get("scoring_func") == "sigmoid":  # minimax-m2 router
+            w.add(f"{arch}.expert_gating_func", 2)
+        if arch == "minimax-m2":
+            w.add(f"{arch}.expert_feed_forward_length", int(config["intermediate_size"]))
     if "num_experts" in config:  # qwen2moe/qwen3moe naming
         w.add(f"{arch}.expert_count", int(config["num_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
@@ -449,6 +457,12 @@ def convert_hf_llama(
                       npy(state_dict[p + "shared_mlp.output_linear.weight"]), gtype)
         elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
+            for bk in ("block_sparse_moe.gate.e_score_correction_bias",
+                       "block_sparse_moe.e_score_correction_bias"):  # minimax-m2
+                if p + bk in state_dict:
+                    _emit(w, o + "exp_probs_b.bias",
+                          npy(state_dict[p + bk]).reshape(-1), GGMLType.F32)
+                    break
             n_exp = int(config["num_local_experts"])
             gate = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w1.weight"]) for e in range(n_exp)])
             down = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.w2.weight"]) for e in range(n_exp)])

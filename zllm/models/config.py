@@ -292,7 +292,10 @@ class ModelConfig:
                 norm_topk_prob=bool(kv("expert_weights_norm",
                                        kv("norm_topk_prob",
                                           arch in ("llama", "mixtral", "qwen3moe",
-                                                   "hunyuan-moe", "ernie4_5-moe")))),
+                                                   "hunyuan-moe", "ernie4_5-moe",
+                                                   # reference minimax-m2.cpp
+                                                   # hardcodes norm_w=true
+                                                   "minimax-m2")))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
                 n_expert_groups=int(kv("expert_group_count", 1) or 1),
@@ -503,6 +506,7 @@ _NEOX_ROPE_ARCHES = {
     "plamo2",
     "gemma3n",
     "qwen3next",
+    "minimax-m2",
     "dbrx",
     "hunyuan-moe",
     "hunyuan-dense",
