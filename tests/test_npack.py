@@ -136,3 +136,32 @@ def test_shard_params_unpacks_npack(tmp_path):
     qts = [w for layer in params["layers"] for w in layer.values()
            if isinstance(w, QTensor)]
     assert qts and all(not q.npack for q in qts)
+
+
+@pytest.mark.parametrize("fmt", FMTS, ids=lambda t: t.name)
+@pytest.mark.parametrize("fuse", ["q", "norm", "glu"])
+def test_npack_hbm_kernel_parity(fmt, fuse):
+    """The HBM-pinned in-kernel-DMA variant (ZLLM_QMM_HBM=1 experiment)
+    is bit-identical to the auto-pipelined npack kernel for every fused
+    prologue."""
+    nqt = _qt(fmt)
+    rng = np.random.default_rng(5)
+    names = qmm._plane_names(nqt)
+    diet = names is qmm._Q4K_DIET
+    pt = tuple(qmm._plane_view(nqt, nm) for nm in names)
+    kw = dict(fmt=nqt.fmt, fold=nqt.fold, k=K, n=N, tn=256, tk=256,
+              fuse=fuse, diet=diet, interpret=True)
+    if fuse == "norm":
+        x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
+        wn = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
+        a = qmm._qmm_w4a8np_call(x, wn, pt, eps=1e-5, **kw)
+        b = qmm._qmm_w4a8np_hbm_call(x, wn, pt, eps=1e-5, **kw)
+    elif fuse == "glu":
+        gup = jnp.asarray(rng.standard_normal((1, 2 * K)).astype(np.float32))
+        a = qmm._qmm_w4a8np_call(gup, None, pt, **kw)
+        b = qmm._qmm_w4a8np_hbm_call(gup, None, pt, **kw)
+    else:
+        x = jnp.asarray(rng.standard_normal((1, K)).astype(np.float32))
+        a = qmm._qmm_w4a8np_call(x, None, pt, **kw)
+        b = qmm._qmm_w4a8np_hbm_call(x, None, pt, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1035,7 +1035,9 @@ def qmatmul_w4a8(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.A
     diet = names is _Q4K_DIET
     planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
-        return _qmm_w4a8np_call(
+        call = (_qmm_w4a8np_hbm_call if _hbm_np_ok(qt, tn, tk, k, n)
+                else _qmm_w4a8np_call)
+        return call(
             x, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
             tn=tn, tk=tk, fuse="q", diet=diet, interpret=interpret,
         )
@@ -1073,7 +1075,9 @@ def qmatvec_norm(
     diet = names is _Q4K_DIET
     planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
-        return _qmm_w4a8np_call(
+        call = (_qmm_w4a8np_hbm_call if _hbm_np_ok(qt, tn, tk, k, n)
+                else _qmm_w4a8np_call)
+        return call(
             x, wn.reshape(1, k), planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
             tn=tn, tk=tk, fuse="norm", eps=float(eps), diet=diet,
             interpret=interpret,
@@ -1097,13 +1101,261 @@ def qmatvec_glu(gup: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.
     diet = names is _Q4K_DIET
     planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
     if qt.npack:
-        return _qmm_w4a8np_call(
+        call = (_qmm_w4a8np_hbm_call if _hbm_np_ok(qt, tn, tk, k, n)
+                else _qmm_w4a8np_call)
+        return call(
             gup, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
             tn=tn, tk=tk, fuse="glu", diet=diet, interpret=interpret,
         )
     return _qmm_w4a8_call(
         gup, None, None, None, planes_tuple, fmt=qt.fmt, fold=qt.fold, k=k, n=n,
         tn=tn, tk=tk, fuse="glu", diet=diet, interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HBM-pinned npack decode: weight planes stay in HBM, the kernel DMAs its
+# own tiles (hand double-buffered)
+# ---------------------------------------------------------------------------
+# Round-5 experiment, OFF by default (ZLLM_QMM_HBM=1 enables).  The
+# round-4 hypothesis was that XLA memory-space assignment pre-staging
+# weight planes through alternate memory (S(1)) cost ~173us/step of
+# copy/slice waits, and that HBM-pinned refs + in-kernel make_async_copy
+# (the recipe that fixed the attention caches) would remove it.  Measured
+# on TinyLlama Q4_K decode (tools/exp_hbmpin.py + full-model A/B):
+#   - MSA stages the planes into S(1) EVEN when the BlockSpec says
+#     memory_space=HBM (380 slice ops/step remain), so the staging is
+#     not suppressible from Pallas; and
+#   - this hand-rolled DMA chain is slower in-kernel than Mosaic's
+#     auto-pipeline (904 vs 792 us/step over the 89 matvecs; device
+#     total 1088 vs 1027), because staged S(1) reads are faster than
+#     the straight HBM reads this kernel does.
+# Net: the auto-pipelined kernel + MSA staging is the better system on
+# this toolchain.  Kept as an A/B harness because the balance depends on
+# MSA behavior, which future libtpu versions may change.
+
+def _w4a8np_hbm_kernel(fmt, tk, tn, group, has_b, fuse, eps, diet, kb, nb, nh,
+                       x_ref, *refs):
+    half = tn // 2
+    gt = tk // group
+    if fuse == "norm":
+        r_ref = refs[-1]
+        refs = refs[:-1]
+    else:
+        r_ref = None
+    if fuse in ("norm", "glu"):
+        aux_ref, refs = refs[0], refs[1:]
+    else:
+        aux_ref = None
+    if diet:
+        (qs_ref, sm_ref, sd_ref, sb_ref, out_ref,
+         qbuf, smbuf, sdbuf, sbbuf, dsem, ssem) = refs
+        blocked = ((sm_ref, smbuf),)
+        supers = ((sd_ref, sdbuf), (sb_ref, sbbuf))
+    elif has_b:
+        qs_ref, a_ref, b_ref, out_ref, qbuf, abuf, bbuf, dsem = refs
+        blocked = ((a_ref, abuf), (b_ref, bbuf))
+        supers = ()
+    else:
+        qs_ref, a_ref, out_ref, qbuf, abuf, dsem = refs
+        blocked = ((a_ref, abuf),)
+        supers = ()
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    t = i * kb + j
+
+    def start_fetch(t2, slot):
+        i2 = t2 // kb
+        j2 = t2 - i2 * kb
+        pltpu.make_async_copy(
+            qs_ref.at[pl.ds(j2 * tk, tk), pl.ds(i2 * half, half)],
+            qbuf.at[slot], dsem.at[slot, 0]).start()
+        for m, (p_ref, pbuf) in enumerate(blocked):
+            pltpu.make_async_copy(
+                p_ref.at[pl.ds(j2 * gt, gt), pl.ds(i2 * half, half)],
+                pbuf.at[slot, 0], dsem.at[slot, 1 + 2 * m]).start()
+            pltpu.make_async_copy(
+                p_ref.at[pl.ds(j2 * gt, gt), pl.ds(nh + i2 * half, half)],
+                pbuf.at[slot, 1], dsem.at[slot, 2 + 2 * m]).start()
+        if supers:
+            # per-256 super planes are constant across the K sweep: fetch
+            # once per N tile, double-buffered on i parity
+            @pl.when(j2 == 0)
+            def _():
+                sl = jax.lax.rem(i2, 2)
+                for m, (p_ref, pbuf) in enumerate(supers):
+                    pltpu.make_async_copy(
+                        p_ref.at[:, pl.ds(i2 * half, half)],
+                        pbuf.at[sl, 0], ssem.at[sl, 2 * m]).start()
+                    pltpu.make_async_copy(
+                        p_ref.at[:, pl.ds(nh + i2 * half, half)],
+                        pbuf.at[sl, 1], ssem.at[sl, 1 + 2 * m]).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(t + 1 < nb * kb)
+    def _():
+        start_fetch(t + 1, 1 - slot)
+
+    # wait on this step's tiles (same descriptors as the start)
+    pltpu.make_async_copy(
+        qs_ref.at[pl.ds(j * tk, tk), pl.ds(i * half, half)],
+        qbuf.at[slot], dsem.at[slot, 0]).wait()
+    for m, (p_ref, pbuf) in enumerate(blocked):
+        pltpu.make_async_copy(
+            p_ref.at[pl.ds(j * gt, gt), pl.ds(i * half, half)],
+            pbuf.at[slot, 0], dsem.at[slot, 1 + 2 * m]).wait()
+        pltpu.make_async_copy(
+            p_ref.at[pl.ds(j * gt, gt), pl.ds(nh + i * half, half)],
+            pbuf.at[slot, 1], dsem.at[slot, 2 + 2 * m]).wait()
+    if supers:
+        @pl.when(j == 0)
+        def _():
+            sl = jax.lax.rem(i, 2)
+            for m, (p_ref, pbuf) in enumerate(supers):
+                pltpu.make_async_copy(
+                    p_ref.at[:, pl.ds(i * half, half)],
+                    pbuf.at[sl, 0], ssem.at[sl, 2 * m]).wait()
+                pltpu.make_async_copy(
+                    p_ref.at[:, pl.ds(nh + i * half, half)],
+                    pbuf.at[sl, 1], ssem.at[sl, 1 + 2 * m]).wait()
+
+    x_bd, dx, sx = _prologue_quant(fuse, eps, group, gt, tk, j, x_ref, aux_ref, r_ref)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bp = qbuf[slot]  # int8 [TK, TN/2]
+    lo = pltpu.bitcast(pltpu.bitcast(bp, jnp.uint8) & 0x0F, jnp.int8)
+    pi_full = jax.lax.dot_general(
+        x_bd, bp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pi_lo = jax.lax.dot_general(
+        x_bd, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    pi_hi = (pi_full - pi_lo + 128 * sx) >> 4
+    if fmt == GGMLType.Q4_0:
+        pi_lo = pi_lo - 8 * sx
+        pi_hi = pi_hi - 8 * sx
+    if diet:
+        isl = jax.lax.rem(i, 2)
+        a_lo, b_lo = _q4k_group_scales(
+            smbuf[slot, 0], sdbuf[isl, 0], sbbuf[isl, 0],
+            gt, half, j, gt // 8, kb)
+        a_hi, b_hi = _q4k_group_scales(
+            smbuf[slot, 1], sdbuf[isl, 1], sbbuf[isl, 1],
+            gt, half, j, gt // 8, kb)
+    else:
+        a_lo = _load_f16(abuf[slot, 0])
+        a_hi = _load_f16(abuf[slot, 1])
+        if has_b:
+            b_lo = _load_f16(bbuf[slot, 0])
+            b_hi = _load_f16(bbuf[slot, 1])
+    c_lo = pi_lo.astype(jnp.float32) * a_lo * dx
+    c_hi = pi_hi.astype(jnp.float32) * a_hi * dx
+    if has_b:
+        e = dx * sx.astype(jnp.float32)
+        c_lo = c_lo - b_lo * e
+        c_hi = c_hi - b_hi * e
+    out_ref[0:1, :] += jnp.sum(c_lo, axis=0, keepdims=True)
+    out_ref[1:2, :] += jnp.sum(c_hi, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "fold", "k", "n", "tn", "tk", "fuse", "eps", "diet",
+                     "interpret"),
+)
+def _qmm_w4a8np_hbm_call(
+    x, wn, planes_tuple, *, fmt, fold, k, n, tn, tk=0, fuse="q", eps=0.0,
+    diet=False, interpret=False
+):
+    group, _, bname = _INT_FMT[fmt]
+    tk = tk or fold
+    gt = tk // group
+    half = tn // 2
+    has_b = bname is not None
+    nb = n // tn
+    kb = k // tk
+    grid = (nb, kb)
+    hbm = pltpu.MemorySpace.HBM
+
+    if fuse == "norm":
+        in_specs = [
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = [x, wn]
+    elif fuse == "glu":
+        in_specs = [
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk), lambda i, j, _kb=kb: (0, _kb + j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x, x]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        ]
+        args = [x]
+    in_specs.extend(pl.BlockSpec(memory_space=hbm) for _ in planes_tuple)
+    args.extend(planes_tuple)
+
+    qs, scale_planes = planes_tuple[0], planes_tuple[1:]
+    scratch = [pltpu.VMEM((2, tk, half), qs.dtype)]
+    nblk = 1 if diet else len(scale_planes)
+    for p in scale_planes[:nblk]:
+        scratch.append(pltpu.VMEM((2, 2, gt, half), p.dtype))
+    if diet:
+        for p in scale_planes[1:]:
+            scratch.append(pltpu.VMEM((2, 2, p.shape[0], half), p.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 1 + 2 * nblk)))
+    if diet:
+        scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
+    if fuse == "norm":
+        scratch.append(pltpu.SMEM((1,), jnp.float32))
+
+    kernel = functools.partial(_w4a8np_hbm_kernel, fmt, tk, tn, group, has_b,
+                               fuse, eps, diet, kb, nb, n // 2)
+    qbytes = int(np.prod(qs.shape)) + sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
+    out2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, half), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, n // 2), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (k // group) * k * n, bytes_accessed=qbytes + 4 * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out2.reshape(1, n)
+
+
+def _hbm_np_ok(qt: QTensor, tn: int, tk: int, k: int, n: int) -> bool:
+    """HBM-pinned variant preconditions: DMA-sliceable tiles."""
+    import os
+
+    if os.environ.get("ZLLM_QMM_HBM", "0") != "1":
+        return False
+    group = _INT_FMT[qt.fmt][0]
+    return (
+        tk % (8 * group) == 0  # >=8 scale-plane rows per k-step DMA
+        and tn % 256 == 0
+        and k % tk == 0
+        and n % tn == 0
     )
 
 
