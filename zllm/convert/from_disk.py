@@ -336,6 +336,18 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "HunYuanDenseV1ForCausalLM": ("llama", "hunyuan-dense"),
     "ApertusForCausalLM": ("llama", "apertus"),
     "Ernie4_5_MoeForCausalLM": ("llama", "ernie4_5-moe"),
+    # arch wave 5 batch 1
+    "DeepseekForCausalLM": ("llama", "deepseek"),
+    "Grok1ForCausalLM": ("llama", "grok"),
+    "GrokForCausalLM": ("llama", "grok"),
+    "ArcticForCausalLM": ("llama", "arctic"),
+    "SmallThinkerForCausalLM": ("llama", "smallthinker"),
+    "SmallthinkerForCausalLM": ("llama", "smallthinker"),
+    "BailingMoeForCausalLM": ("bailingmoe", "bailingmoe"),
+    "BailingMoeV2ForCausalLM": ("bailingmoe", "bailingmoe2"),
+    "BailingMoeLinearV2ForCausalLM": ("bailingmoe", "bailingmoe2"),
+    "ExaoneForCausalLM": ("exaone", "exaone"),
+    "JAISLMHeadModel": ("jais", "jais"),
 }
 
 
@@ -379,6 +391,13 @@ def convert_hf_dir(
             return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":
             return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "bailingmoe":
+            return hfmod.convert_hf_bailingmoe(sd, config, out_path, arch=gguf_arch,
+                                               gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "exaone":
+            return hfmod.convert_hf_exaone(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "jais":
+            return hfmod.convert_hf_jais(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         raise NotImplementedError(family)
     finally:
         sd.close()

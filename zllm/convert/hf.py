@@ -140,6 +140,27 @@ _ARCH_RULES = {
     # norms (olmo2-style), mixtral-layout experts with a sigmoid router +
     # deepseek3-style selection bias (reference src/models/minimax-m2.cpp)
     "minimax-m2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # exaone 3.x: llama graph, neox rope over rope_pct*head_dim
+    # (src/models/exaone.cpp)
+    "exaone": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # deepseek v1: llama attention (permuted rope) + softmax MoE with
+    # shared experts and leading dense layers (src/models/deepseek.cpp)
+    "deepseek": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # arctic: llama attention + dense ffn AND a parallel residual MoE fed
+    # from the raw layer input (src/models/arctic.cpp)
+    "arctic": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # bailingmoe (Ling): fused query_key_value split + llama-permute,
+    # deepseek-style softmax MoE + shared experts (src/models/bailingmoe.cpp)
+    "bailingmoe": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # bailingmoe2 (Ling/Ring 2.0): neox partial rope, FULL-width q/k RMS
+    # norms, sigmoid router with group routing (src/models/bailingmoe2.cpp)
+    "bailingmoe2": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # grok: neox rope, sandwich norms, gelu MoE (+ grok-2 parallel dense
+    # ffn), attn/router soft-caps, output scales (src/models/grok.cpp)
+    "grok": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # smallthinker: MoE routed on the RAW layer input with gated-relu
+    # experts; optional 4-dense-first SWA + NoPE (src/models/smallthinker.cpp)
+    "smallthinker": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
 }
 
 
@@ -193,6 +214,14 @@ def convert_hf_llama(
     w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
     if "attn_logit_softcapping" in config and config["attn_logit_softcapping"]:
         w.add(f"{arch}.attn_logit_softcapping", float(config["attn_logit_softcapping"]))
+    if config.get("router_logit_softcapping"):  # grok
+        w.add(f"{arch}.router_logit_softcapping", float(config["router_logit_softcapping"]))
+    if "attn_output_multiplier" in config:  # grok attention output scale
+        w.add(f"{arch}.attention.output_scale", float(config["attn_output_multiplier"]))
+    if "embedding_multiplier_scale" in config:  # grok
+        w.add(f"{arch}.embedding_scale", float(config["embedding_multiplier_scale"]))
+    if "output_multiplier_scale" in config:  # grok
+        w.add(f"{arch}.logit_scale", float(config["output_multiplier_scale"]))
     if "final_logit_softcapping" in config and config["final_logit_softcapping"]:
         w.add(f"{arch}.final_logit_softcapping", float(config["final_logit_softcapping"]))
     if "query_pre_attn_scalar" in config:
@@ -211,6 +240,25 @@ def convert_hf_llama(
     if "num_experts" in config:  # qwen2moe/qwen3moe naming
         w.add(f"{arch}.expert_count", int(config["num_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    if "moe_num_primary_experts" in config:  # smallthinker
+        w.add(f"{arch}.expert_count", int(config["moe_num_primary_experts"]))
+        w.add(f"{arch}.expert_used_count", int(config["moe_num_active_primary_experts"]))
+        w.add(f"{arch}.expert_feed_forward_length", int(config["moe_ffn_hidden_size"]))
+        w.add(f"{arch}.expert_gating_func",
+              1 if config.get("moe_primary_router_apply_softmax") else 2)
+        if config.get("sliding_window_size") and any(
+                config.get("sliding_window_layout") or []):
+            w.add(f"{arch}.attention.sliding_window", int(config["sliding_window_size"]))
+    if "num_shared_experts" in config:  # bailingmoe v1/v2
+        w.add(f"{arch}.expert_shared_count", int(config["num_shared_experts"]))
+        if "moe_intermediate_size" in config:
+            w.add(f"{arch}.expert_shared_feed_forward_length",
+                  int(config.get("moe_shared_expert_intermediate_size",
+                                 int(config["moe_intermediate_size"])
+                                 * int(config["num_shared_experts"]))))
+    if config.get("score_function") == "sigmoid" or (
+            arch == "bailingmoe2" and config.get("scoring_func") == "sigmoid"):
+        w.add(f"{arch}.expert_gating_func", 2)
     if "moe_intermediate_size" in config and not isinstance(
             config["moe_intermediate_size"], (list, tuple)):  # hunyuan: per-layer list
         w.add(f"{arch}.expert_feed_forward_length", int(config["moe_intermediate_size"]))
@@ -322,6 +370,22 @@ def convert_hf_llama(
         if p + "attention_layernorm.weight" in state_dict:  # apertus naming
             _emit(w, o + "attn_norm.weight", norm(state_dict[p + "attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "feedforward_layernorm.weight"]), GGMLType.F32)
+        if p + "pre_attn_norm.weight" in state_dict:  # grok-2 sandwich norms
+            _emit(w, o + "attn_norm.weight", norm(state_dict[p + "pre_attn_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attn_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_moe_norm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_moe_norm.weight"]), GGMLType.F32)
+        if p + "residual_layernorm.weight" in state_dict:
+            # arctic: residual_layernorm -> dense-ffn norm; the HF
+            # post_attention_layernorm is the PARALLEL MoE's norm on the
+            # raw layer input (reference tensor_mapping.py arch_block_mappings_cfg
+            # ARCTIC: FFN_NORM <- residual_layernorm, FFN_NORM_EXP <-
+            # post_attention_layernorm); residual_mlp.w1/w3/w2 = gate/up/down
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "residual_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm_exps.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "residual_mlp.w1.weight"]), gtype)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "residual_mlp.w3.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "residual_mlp.w2.weight"]), gtype)
         if p + "input_layernorm.weight" in state_dict:  # olmo2 has none
             _emit(w, o + "attn_norm.weight", norm(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
         elif rules.get("ones_norms"):  # olmo v1: non-parametric LayerNorm
@@ -372,7 +436,8 @@ def convert_hf_llama(
         elif p + "post_feedforward_layernorm.weight" in state_dict:  # olmo2 post-only
             _emit(w, o + "post_attention_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "post_ffw_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
-        elif p + "post_attention_layernorm.weight" in state_dict:
+        elif (p + "post_attention_layernorm.weight" in state_dict
+              and p + "residual_layernorm.weight" not in state_dict):
             # command-r's shared-norm parallel residual has no ffn norm
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             if p + "post_attention_layernorm.bias" in state_dict:
@@ -455,6 +520,19 @@ def convert_hf_llama(
                 _emit(w, o + "ffn_up_shexp.weight", np.ascontiguousarray(sh[fs:]), gtype)
                 _emit(w, o + "ffn_down_shexp.weight",
                       npy(state_dict[p + "shared_mlp.output_linear.weight"]), gtype)
+        elif p + "block_sparse_moe.primary_router.weight" in state_dict:
+            # smallthinker: router on the raw layer input; experts named
+            # .experts.{e}.{gate,up,down}.weight (convert_hf_to_gguf.py
+            # SmallThinkerModel merge)
+            _emit(w, o + "ffn_gate_inp.weight",
+                  npy(state_dict[p + "block_sparse_moe.primary_router.weight"]), GGMLType.F32)
+            n_exp = int(config.get("moe_num_primary_experts", config.get("num_experts", 0)))
+            gate = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.gate.weight"]) for e in range(n_exp)])
+            up = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.up.weight"]) for e in range(n_exp)])
+            down = np.stack([npy(state_dict[f"{p}block_sparse_moe.experts.{e}.down.weight"]) for e in range(n_exp)])
+            _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
+            _emit(w, o + "ffn_up_exps.weight", up, gtype)
+            _emit(w, o + "ffn_down_exps.weight", down, gtype)
         elif p + "block_sparse_moe.gate.weight" in state_dict:  # mixtral MoE
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "block_sparse_moe.gate.weight"]), GGMLType.F32)
             for bk in ("block_sparse_moe.gate.e_score_correction_bias",
@@ -470,6 +548,11 @@ def convert_hf_llama(
             _emit(w, o + "ffn_gate_exps.weight", gate, gtype)
             _emit(w, o + "ffn_up_exps.weight", up, gtype)
             _emit(w, o + "ffn_down_exps.weight", down, gtype)
+            if p + "mlp.gate_proj.weight" in state_dict:
+                # grok-2: dense ffn in parallel with the experts
+                _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+                _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+                _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
         elif p + "mlp.c_fc.weight" in state_dict:  # starcoder2 non-gated MLP
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.c_fc.weight"]), gtype)
             _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
@@ -486,10 +569,11 @@ def convert_hf_llama(
             _emit(w, o + "ffn_gate.weight", np.ascontiguousarray(gu[:half]), gtype)
             _emit(w, o + "ffn_up.weight", np.ascontiguousarray(gu[half:]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
-        elif p + "mlp.gate_proj.weight" not in state_dict:  # nemotron relu^2 MLP
+        elif (p + "mlp.up_proj.weight" in state_dict
+              and p + "mlp.gate_proj.weight" not in state_dict):  # nemotron relu^2 MLP
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
-        else:
+        elif p + "mlp.gate_proj.weight" in state_dict:
             _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
@@ -662,7 +746,7 @@ def convert_hf_deepseek2(
                 _emit(w, o + gg + ".weight", stk, gtype)
             for hf_name, gg in (("gate_proj", "ffn_gate_shexp"), ("up_proj", "ffn_up_shexp"), ("down_proj", "ffn_down_shexp")):
                 _emit(w, o + gg + ".weight", npy(state_dict[f"{p}mlp.shared_experts.{hf_name}.weight"]), gtype)
-        else:
+        elif p + "mlp.gate_proj.weight" in state_dict:
             _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
@@ -2015,5 +2099,134 @@ def convert_hf_falcon_h1(
     lm_m = float(config.get("lm_head_multiplier", 1.0))
     if "lm_head.weight" in state_dict:
         _emit(w, "output.weight", npy(state_dict["lm_head.weight"]) * lm_m, gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_exaone(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                      tokenizer_kv=None):
+    """EXAONE-3.x (no offline HF class): transformer.h naming remapped to
+    the llama layout, neox rope over rope_pct*head_dim (reference
+    convert_hf_to_gguf.py ExaoneModel; src/models/exaone.cpp is a plain
+    llama graph)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("transformer.wte.weight", "model.embed_tokens.weight")
+        k = k.replace("transformer.ln_f.", "model.norm.")
+        k = (k.replace("transformer.h.", "model.layers.")
+             .replace(".ln_1.", ".input_layernorm.")
+             .replace(".ln_2.", ".post_attention_layernorm.")
+             .replace(".attn.attention.out_proj.", ".self_attn.o_proj.")
+             .replace(".attn.attention.", ".self_attn.")
+             .replace(".mlp.c_fc_0.", ".mlp.gate_proj.")
+             .replace(".mlp.c_fc_1.", ".mlp.up_proj.")
+             .replace(".mlp.c_proj.", ".mlp.down_proj."))
+        sd[k] = v
+    cfg = dict(config)
+    cfg.setdefault("partial_rotary_factor",
+                   float(config.get("rope_pct", 1.0)))
+    return convert_hf_llama(sd, cfg, out_path, arch="exaone", gtype=gtype,
+                            tokenizer_kv=tokenizer_kv)
+
+
+def convert_hf_bailingmoe(state_dict, config, out_path, *, arch="bailingmoe",
+                          gtype=GGMLType.F32, tokenizer_kv=None):
+    """bailingmoe (Ling) v1/v2: fused attention.query_key_value split into
+    q/k/v (v1 additionally llama-permuted by the rules table),
+    attention.dense -> o_proj, query/key_layernorm -> full-width q/k norms
+    (reference convert_hf_to_gguf.py BailingMoeModel/BailingMoeV2Model)."""
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    n_embd = int(config["hidden_size"])
+    head_dim = int(config.get("head_dim", n_embd // n_head))
+    nextn = int(config.get("num_nextn_predict_layers", 0))
+    n_layer = int(config["num_hidden_layers"]) - (0 if arch == "bailingmoe" else 0)
+    sd = {}
+    for k, v in state_dict.items():
+        if nextn and any(f"model.layers.{il}." in k
+                         for il in range(n_layer, n_layer + nextn)):
+            continue  # nextn MTP layers are not part of the decode graph
+        k = k.replace("model.word_embeddings.weight", "model.embed_tokens.weight")
+        if ".attention.query_key_value." in k:
+            qkv = _npy(v)
+            qd, kvd = n_head * head_dim, n_kv * head_dim
+            base = k.split(".attention.query_key_value.")[0]
+            sd[base + ".self_attn.q_proj.weight"] = qkv[:qd]
+            sd[base + ".self_attn.k_proj.weight"] = qkv[qd:qd + kvd]
+            sd[base + ".self_attn.v_proj.weight"] = qkv[qd + kvd:]
+            continue
+        k = (k.replace(".attention.dense.", ".self_attn.o_proj.")
+             .replace(".attention.query_layernorm.", ".self_attn.q_norm.")
+             .replace(".attention.key_layernorm.", ".self_attn.k_norm."))
+        sd[k] = v
+    return convert_hf_llama(sd, config, out_path, arch=arch, gtype=gtype,
+                            tokenizer_kv=tokenizer_kv)
+
+
+def convert_hf_jais(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                    tokenizer_kv=None):
+    """jais: gpt2-family Conv1D layout (weights transposed), ALiBi instead
+    of rope, SwiGLU ffn with biases, muP scales baked into the embedding
+    and output weights (reference convert_hf_to_gguf.py JaisModel;
+    src/models/jais.cpp)."""
+    npy = _npy
+    arch = "jais"
+    n_embd = int(config["n_embd"])
+    n_head = int(config["n_head"])
+    n_layer = int(config["n_layer"])
+    emb_scale = float(config.get("mup_embeddings_scale",
+                                 config.get("embeddings_scale", 1.0)))
+    width_scale = float(config.get("mup_output_alpha", 1.0)) * float(
+        config.get("mup_width_scale", 1.0)) if "mup_output_alpha" in config \
+        else float(config.get("width_scale", 1.0))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("n_positions", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["n_inner"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_epsilon",
+          float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.attention.max_alibi_bias", 8.0)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    def lin(t):  # Conv1D [in, out] -> Linear [out, in]
+        return np.ascontiguousarray(npy(t).T)
+
+    _emit(w, "token_embd.weight",
+          npy(state_dict["transformer.wte.weight"]) * emb_scale, gtype)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "ln_1.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_norm.bias", npy(state_dict[p + "ln_1.bias"]), GGMLType.F32)
+        ca = lin(state_dict[p + "attn.c_attn.weight"])  # [3E, K]
+        cb = npy(state_dict[p + "attn.c_attn.bias"])
+        _emit(w, o + "attn_q.weight", np.ascontiguousarray(ca[:n_embd]), gtype)
+        _emit(w, o + "attn_k.weight", np.ascontiguousarray(ca[n_embd:2 * n_embd]), gtype)
+        _emit(w, o + "attn_v.weight", np.ascontiguousarray(ca[2 * n_embd:]), gtype)
+        _emit(w, o + "attn_q.bias", np.ascontiguousarray(cb[:n_embd]), GGMLType.F32)
+        _emit(w, o + "attn_k.bias", np.ascontiguousarray(cb[n_embd:2 * n_embd]), GGMLType.F32)
+        _emit(w, o + "attn_v.bias", np.ascontiguousarray(cb[2 * n_embd:]), GGMLType.F32)
+        _emit(w, o + "attn_output.weight", lin(state_dict[p + "attn.c_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(state_dict[p + "attn.c_proj.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ln_2.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.bias", npy(state_dict[p + "ln_2.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", lin(state_dict[p + "mlp.c_fc2.weight"]), gtype)
+        _emit(w, o + "ffn_gate.bias", npy(state_dict[p + "mlp.c_fc2.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", lin(state_dict[p + "mlp.c_fc.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", lin(state_dict[p + "mlp.c_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    out = npy(state_dict.get("lm_head.weight",
+                             state_dict["transformer.wte.weight"]))
+    _emit(w, "output.weight", out * width_scale, gtype)
     w.write()
     return out_path

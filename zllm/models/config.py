@@ -28,6 +28,8 @@ class MoeConfig:
     # deepseek3 group-limited routing (reference: llama-graph.cpp:1075-1100)
     n_expert_groups: int = 1
     n_group_used: int = 1
+    # grok: tanh soft-cap on the router logits (f_router_logit_softcapping)
+    router_softcap: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -173,6 +175,13 @@ class ModelConfig:
     # deci/nemotron-nas: per-layer kv-head counts (0 = attention replaced
     # by a linear projection or absent; reference hparams.n_head_kv(il))
     kv_heads_layers: tuple | None = None
+    # smallthinker routes MoE on the raw layer input (pre-attention)
+    router_input: str = "norm"  # "norm" | "raw"
+    # grok-2: dense ffn runs parallel with the experts, sum scaled sqrt(.5)
+    moe_dense_parallel: bool = False
+    # smallthinker: full-attention/NoPE at il % step == 0 (dense FIRST),
+    # vs the gemma convention of (il+1) % step == 0
+    swa_dense_first: bool = False
     # True when loader.rope_to_neox permuted wq/wk (+ bq/bk/q-k norms) into
     # the half-split rope basis at load time.  Every path that crosses
     # bases — runtime LoRA attach (adapter.load_lora) and the model saver
@@ -229,7 +238,20 @@ class ModelConfig:
         return self.n_kv_heads * self.head_dim
 
     def is_swa_layer(self, il: int) -> bool:
-        return self.sliding_window > 0 and (il + 1) % self.swa_pattern != 0
+        if self.sliding_window <= 0:
+            return False
+        if self.swa_dense_first:
+            return il % self.swa_pattern != 0
+        return (il + 1) % self.swa_pattern != 0
+
+    def is_nope_layer(self, il: int) -> bool:
+        """Layer skips rope (smollm3/cohere2/llama4 NoPE; reference
+        hparams.n_no_rope_layer_step / is_sliding gating)."""
+        if not self.nope_step:
+            return False
+        if self.swa_dense_first:
+            return il % self.nope_step == 0
+        return (il + 1) % self.nope_step == 0
 
     @classmethod
     def from_gguf(cls, f: GGUFFile) -> "ModelConfig":
@@ -295,9 +317,19 @@ class ModelConfig:
                                                    "hunyuan-moe", "ernie4_5-moe",
                                                    # reference minimax-m2.cpp
                                                    # hardcodes norm_w=true
-                                                   "minimax-m2")))),
+                                                   "minimax-m2",
+                                                   # build_moe_ffn norm=true
+                                                   # (grok.cpp:104,
+                                                   # arctic.cpp:105,
+                                                   # smallthinker.cpp:94)
+                                                   "grok", "arctic",
+                                                   "smallthinker")))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
+                # grok defaults its router soft-cap to 30 for old GGUFs
+                # (reference llama-model.cpp:802)
+                router_softcap=float(kv("router_logit_softcapping",
+                                        30.0 if arch == "grok" else 0.0)),
                 n_expert_groups=int(kv("expert_group_count", 1) or 1),
                 n_group_used=int(kv("expert_group_used_count", 1) or 1),
             )
@@ -347,7 +379,8 @@ class ModelConfig:
                 n_group=int(kv("ssm.group_count", 0) or 0),
             )
 
-        logit_scale = float(kv("logit_scale", 1.0))
+        logit_scale = float(kv("logit_scale",
+                               0.5773502691896257 if arch == "grok" else 1.0))
         if arch in ("granite", "granitemoe") and logit_scale not in (0.0, 1.0):
             # granite DIVIDES logits by the scale (reference granite.cpp:65);
             # cohere-style logit_scale multiplies
@@ -406,14 +439,24 @@ class ModelConfig:
             rope=rope,
             rope_swa=rope_swa,
             moe=moe,
-            attn_logit_softcap=float(kv("attn_logit_softcapping", 0.0)),
+            attn_logit_softcap=float(kv("attn_logit_softcapping",
+                                        30.0 if arch == "grok" else 0.0)),
             final_logit_softcap=float(kv("final_logit_softcapping", 0.0)),
             logit_scale=logit_scale,
-            emb_scale=float(kv("embedding_scale", 1.0)),
+            emb_scale=float(kv("embedding_scale",
+                               # grok-1 embedding_multiplier_scale default
+                               # (reference llama-model.cpp:799)
+                               78.38367176906169 if arch == "grok" else 1.0)),
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
             swa_pattern={"gemma2": 2, "gemma3": 6, "gemma3n": 5, "cohere2": 4,
-                         "gpt-oss": 2, "olmo3": 4, "exaone4": 4}.get(arch, 1),
+                         "gpt-oss": 2, "olmo3": 4, "exaone4": 4,
+                         # smallthinker set_swa_pattern(4, dense_first=true)
+                         # (reference llama-model.cpp:2306)
+                         "smallthinker": 4}.get(arch, 1),
+            swa_dense_first=arch == "smallthinker",
+            router_input="raw" if arch == "smallthinker" else "norm",
+            moe_dense_parallel=arch == "grok",
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             clamp_kqv=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             qk_norm_post_rope=arch in ("hunyuan-moe", "hunyuan-dense"),
@@ -426,11 +469,20 @@ class ModelConfig:
                 else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
                 else "relu2" if arch in ("nemotron", "arcee")
                 else "xielu" if arch == "apertus"
+                else "gelu" if arch == "grok"
+                else "relu" if arch == "smallthinker"
                 else "silu"
             ),
             attn_scale=attn_scale_override
             or ((1.0 / float(qpas) ** 0.5) if qpas else 0.0)
-            or float(kv("attention.scale", 0.0)),
+            or float(kv("attention.scale", 0.0))
+            # grok folds 1/sqrt(d) into attention.output_scale (reference
+            # llama-model.cpp:800, llama-graph.cpp:1546)
+            or float(kv("attention.output_scale",
+                        0.08838834764831845 if arch == "grok" else 0.0))
+            # jais scales scores by 1/d, not 1/sqrt(d) (reference
+            # src/models/jais.cpp build_attn 1.0f/float(n_embd_head))
+            or (1.0 / head_dim if arch == "jais" else 0.0),
             pooling={0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}.get(
                 int(kv("pooling_type", 0)), "none"
             ),
@@ -443,14 +495,14 @@ class ModelConfig:
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
-                            "phi2", "cohere2", "bloom", "dbrx")
+                            "phi2", "cohere2", "bloom", "dbrx", "jais")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
             attn_layers=attn_layers,
             # jamba attention has no rope; gpt2 uses learned position
             # embeddings; mpt uses ALiBi
-            use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom"),
+            use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom", "jais"),
             parallel_residual=(
                 "shared" if arch in ("command-r", "phi2", "cohere2")
                 else "separate" if bool(kv("use_parallel_residual", False))
@@ -459,7 +511,12 @@ class ModelConfig:
             # cohere2/exaone4 apply rope ONLY on sliding layers: the full-
             # attention layer of each window group is NoPE (HF is_sliding
             # gating; reference models/cohere2-iswa.cpp, exaone4.cpp)
-            nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4}.get(arch, 0),
+            nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4}.get(
+                arch,
+                # smallthinker: full-attention layers (il%4==0) are NoPE
+                # when SWA is on (reference llama-model.cpp:2299-2314)
+                4 if arch == "smallthinker"
+                and int(kv("attention.sliding_window", 0)) > 0 else 0),
             alibi_bias_max=float(kv("attention.max_alibi_bias", 0.0) or 0.0),
             shortconv_l=int(kv("shortconv.l_cache", 0) or 0),
             parallel_hybrid=arch == "falcon-h1",
@@ -503,6 +560,11 @@ def _xielu_params(f, n_layers: int) -> tuple:
 # llama-family GGUFs are permuted at conversion to use adjacent-pair rope
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
+    "exaone",
+    "bailingmoe2",
+    "smallthinker",
+    "openelm",
+    "grok",
     "plamo2",
     "gemma3n",
     "qwen3next",

@@ -97,9 +97,12 @@ def embed(params, cfg, tokens: jax.Array, positions: jax.Array | None = None,
 
 def _act(cfg):
     """Gated-FFN activation by config (reference LLM_FFN_SILU/GELU/
-    SWIGLU_OAI_MOE, src/llama-graph.cpp:1160-1202)."""
+    SWIGLU_OAI_MOE/RELU, src/llama-graph.cpp:1160-1202)."""
     if cfg.act == "swiglu_oai":
         return swiglu_oai
+    if cfg.act == "relu":  # smallthinker gated-relu experts (LLM_FFN_RELU)
+        return lambda g, u: (jax.nn.relu(g.astype(jnp.float32))
+                             * u.astype(jnp.float32)).astype(u.dtype)
     return swiglu if cfg.act == "silu" else geglu
 
 
@@ -154,7 +157,7 @@ def _ep_capacity(tk: int, ep: int) -> int:
 
 
 def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None,
-            stats: dict | None = None) -> jax.Array:
+            stats: dict | None = None, router_h: jax.Array | None = None) -> jax.Array:
     """Mixture-of-experts FFN (reference: build_moe_ffn,
     src/llama-graph.cpp:964-1140; sparse dispatch via ggml_mul_mat_id
     :761-774).  Two static dispatch regimes:
@@ -176,9 +179,15 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None,
     lead, kdim = h.shape[:-1], h.shape[-1]
     hf = h.reshape(-1, kdim)  # [T, K]
     t = hf.shape[0]
-    router = linear(hf, layer["ffn_gate_inp"])  # [T, E]
+    # smallthinker routes on the RAW layer input, not the ffn-normed stream
+    # (reference src/models/smallthinker.cpp:38 probs from inpL)
+    rin = hf if router_h is None else router_h.reshape(-1, kdim)
+    router = linear(rin, layer["ffn_gate_inp"])  # [T, E]
     if "ffn_gate_inp_b" in layer:  # router bias (gpt-oss)
         router = router + layer["ffn_gate_inp_b"].astype(router.dtype)
+    if moe.router_softcap > 0:  # grok router logit soft-capping
+        router = (jnp.tanh(router.astype(jnp.float32) / moe.router_softcap)
+                  * moe.router_softcap)
     if moe.gate_func == "sigmoid":
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     elif moe.gate_func == "softmax_weight":
@@ -339,6 +348,7 @@ def layer_forward(
     [B, Hkv, S, D] — KVCache/KVCacheQ8 (int il) or a pipeline StageKV
     (traced il)."""
     b, t = x.shape[:2]
+    x_in = x  # raw layer input (arctic residual-MoE, smallthinker router)
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
 
@@ -354,7 +364,8 @@ def layer_forward(
         if "wo" in layer:  # replace_with_linear block
             h0 = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
             x = x + lora_linear(layer, "wo", h0)
-        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
+        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
+                          il=il, x_in=x_in), kv
 
     # decode fast path: RMS-norm fused into the QKV matvec prologue (one
     # Pallas launch replaces norm + matvec; zllm/ops/qmatmul.qmatvec_norm)
@@ -385,7 +396,8 @@ def layer_forward(
         att, kv = _mla_attention(layer, cfg, h, positions, kv, il, scale)
         att = lora_linear(layer, "wo", att.reshape(b, t, -1))
         x = x + att
-        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
+        return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
+                          il=il, x_in=x_in), kv
     if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
         if fused_qkv is not None:
             qkv = fused_qkv.reshape(b, t, -1)
@@ -421,9 +433,7 @@ def layer_forward(
     # the round-4 replacement for the rope/split XLA glue that capped
     # decode at 66% of roofline
     att = None
-    nope_layer = bool(
-        cfg.nope_step and isinstance(il, int) and (il + 1) % cfg.nope_step == 0
-    )
+    nope_layer = bool(isinstance(il, int) and cfg.is_nope_layer(il))
     qk_norm_perhead = "attn_q_norm" in layer and (
         layer["attn_q_norm"].shape[-1] == q.shape[-1]
     )
@@ -618,22 +628,43 @@ def layer_forward(
         return x + att + ff, kv
     x = x + att
 
-    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il), kv
+    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il,
+                      x_in=x_in), kv
 
 
-def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None):
-    """FFN/MoE on an already-normalized input."""
+def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
+              x_in=None):
+    """FFN/MoE on an already-normalized input.  `x_in` is the raw layer
+    input (pre-attention residual) for archs that route/feed a parallel
+    branch from it (smallthinker router, arctic residual MoE)."""
     if taps is not None:
         taps[f"{tapname}.ffn_gate.weight"] = h2
     if cfg.moe is not None and "ffn_gate_inp" in layer:
-        return moe_ffn(layer, cfg, h2, ep_axis=ep_axis, stats=stats)
+        moe_out = moe_ffn(layer, cfg, h2, ep_axis=ep_axis, stats=stats,
+                          router_h=x_in if cfg.router_input == "raw" else None)
+        if cfg.moe_dense_parallel and ("ffn_gate" in layer or "ffn_gateup" in layer):
+            # grok-2: dense ffn runs in parallel with the experts on the
+            # same normed input; the sum is scaled by sqrt(2)/2
+            # (reference src/models/grok.cpp:110-118)
+            if "ffn_gateup" in layer:  # load-time fused gate|up
+                gup = lora_linear(layer, "ffn_gateup", h2)
+                half = gup.shape[-1] // 2
+                dense = _act(cfg)(gup[..., :half], gup[..., half:])
+            else:
+                dense = _act(cfg)(lora_linear(layer, "ffn_gate", h2),
+                                  lora_linear(layer, "ffn_up", h2))
+            dense = lora_linear(layer, "ffn_down", dense)
+            moe_out = (moe_out + dense) * jnp.asarray(0.7071067811865476, moe_out.dtype)
+        return moe_out
     act = _act(cfg)
     if "ffn_gateup" in layer:  # load-time fused gate|up
-        gup = lora_linear(layer, "ffn_gateup", h2)
+        gup = lora_linear(layer, "ffn_gateup", h2, layer.get("ffn_gateup_b"))
         half = gup.shape[-1] // 2
         gu = act(gup[..., :half], gup[..., half:])
     elif "ffn_gate" in layer:
-        gu = act(lora_linear(layer, "ffn_gate", h2), lora_linear(layer, "ffn_up", h2))
+        # jais carries biases on all three ffn projections
+        gu = act(lora_linear(layer, "ffn_gate", h2, layer.get("ffn_gate_b")),
+                 lora_linear(layer, "ffn_up", h2, layer.get("ffn_up_b")))
     else:
         # non-gated MLP (gptneox/starcoder2: up -> gelu -> down; nemotron:
         # relu^2; reference LLM_FFN_GELU/RELU_SQR, src/llama-graph.cpp:1160)
@@ -661,10 +692,28 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None):
     return ff
 
 
-def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None):
+def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None,
+               x_in=None):
     """Post-attention half of a block: FFN/MoE + residual + cvector."""
     from ..ops import linear as linmod
     from ..quant.repack import QTensor as _QT
+
+    if "ffn_norm_exps" in layer:
+        # arctic residual MoE (reference src/models/arctic.cpp:96-115):
+        # the dense ffn runs on the post-attention residual as usual, the
+        # MoE runs on the RAW LAYER INPUT through its own norm, and both
+        # add into the residual stream
+        h2 = block_norm(x, layer, "ffn_norm", cfg)
+        if "ffn_gateup" in layer:  # load-time fused gate|up
+            gup = lora_linear(layer, "ffn_gateup", h2)
+            half = gup.shape[-1] // 2
+            dense = _act(cfg)(gup[..., :half], gup[..., half:])
+        else:
+            dense = _act(cfg)(lora_linear(layer, "ffn_gate", h2),
+                              lora_linear(layer, "ffn_up", h2))
+        ffn_out = x + lora_linear(layer, "ffn_down", dense)
+        moe_h = rms_norm(x_in, layer["ffn_norm_exps"], cfg.norm_eps)
+        return ffn_out + moe_ffn(layer, cfg, moe_h, ep_axis=ep_axis, stats=stats)
 
     # decode fast path: norm fused into the gate|up matvec prologue and
     # swiglu fused into the down matvec prologue — the whole SwiGLU FFN in
@@ -674,6 +723,7 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None):
         taps is None and x.ndim == 3 and x.shape[0] == 1 and x.shape[1] == 1
         and "ffn_gate_inp" not in layer and cfg.norm_kind == "rms"
         and cfg.act == "silu" and "ffn_norm" in layer and "ffn_gateup" in layer
+        and "ffn_gateup_b" not in layer
         and layer.get("ffn_gateup.lora") is None
         and layer.get("ffn_down.lora") is None
         and isinstance(layer["ffn_gateup"], _QT)
@@ -693,7 +743,8 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None):
                 ff = ff + layer["ffn_down_b"].astype(ff.dtype)
     if ff is None:
         h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
-        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il)
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il,
+                       x_in=x_in)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:

@@ -142,6 +142,8 @@ _LAYER_MAP = {
     "layer_output_norm.bias": "layer_out_norm_b",
     "ffn_up.bias": "ffn_up_b",
     "ffn_down.bias": "ffn_down_b",
+    "ffn_gate.bias": "ffn_gate_b",  # jais swiglu biases
+    "ffn_norm_exps.weight": "ffn_norm_exps",  # arctic residual-MoE norm
 }
 
 # params keys holding 2-D matmul weights (eligible for quantized execution)
@@ -152,7 +154,8 @@ _VECTOR_KEYS = {
     "attn_norm", "ffn_norm", "ffn_norm_b", "attn_q_norm", "attn_k_norm", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
-    "ffn_up_b", "ffn_down_b", "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
+    "ffn_up_b", "ffn_down_b", "ffn_gate_b", "ffn_norm_exps",
+    "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
     "ssm_conv1d", "ssm_conv1d_b", "ssm_a", "ssm_d", "ssm_dt_b", "shortconv_conv",
     "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
@@ -566,9 +569,13 @@ def fuse_projections(params: dict, cfg: ModelConfig) -> dict:
             k + ".lora" in layer for k in ("ffn_gate", "ffn_up")
         ):
             ws = [layer["ffn_gate"], layer["ffn_up"]]
-            if _fusable(ws):
+            has_b = ("ffn_gate_b" in layer, "ffn_up_b" in layer)
+            if _fusable(ws) and has_b[0] == has_b[1]:
                 layer["ffn_gateup"] = _cat(ws)
                 del layer["ffn_gate"], layer["ffn_up"]
+                if all(has_b):  # jais swiglu biases ride along
+                    layer["ffn_gateup_b"] = jnp.concatenate(
+                        [layer.pop("ffn_gate_b"), layer.pop("ffn_up_b")])
     return params
 
 
@@ -593,6 +600,10 @@ def unfuse_projections(params: dict, cfg: ModelConfig) -> dict:
             if "bqkv" in layer:
                 b = layer.pop("bqkv")
                 layer["bq"], layer["bk"], layer["bv"] = b[:qd], b[qd : qd + kvd], b[qd + kvd :]
+        if "ffn_gateup_b" in layer:
+            b = layer.pop("ffn_gateup_b")
+            half = b.shape[0] // 2
+            layer["ffn_gate_b"], layer["ffn_up_b"] = b[:half], b[half:]
         if "ffn_gateup" in layer:
             gu = layer.pop("ffn_gateup")
             half = gu.shape[1] // 2
