@@ -29,6 +29,9 @@ def main():
                     help="draft tokens per step [ZLLM_ARG_DRAFT_MAX]")
     ap.add_argument("--model-draft", action=EnvDefault, default="",
                     help="draft model GGUF for speculative decoding [ZLLM_ARG_MODEL_DRAFT]")
+    ap.add_argument("--lookahead", action="store_true",
+                    default=os.environ.get("ZLLM_ARG_LOOKAHEAD", "") == "1",
+                    help="Jacobi lookahead decoding for greedy requests [ZLLM_ARG_LOOKAHEAD=1]")
     ap.add_argument("--jinja", action="store_true",
                     default=os.environ.get("ZLLM_ARG_JINJA", "") == "1",
                     help="render the GGUF's embedded jinja chat template [ZLLM_ARG_JINJA=1]")
@@ -86,7 +89,7 @@ def main():
                      kv_layout=args.kv_layout, draft_model=draft, jinja=args.jinja,
                      tp=int(args.tp), dp=int(args.dp), pp=int(args.pp),
                      kv_dtype={"bf16": None, "f16": jnp.float16, "q8": "q8"}[args.kv_type],
-                     mmproj=args.mmproj)
+                     mmproj=args.mmproj, lookahead=args.lookahead)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     srv.serve_forever()
 

@@ -157,7 +157,8 @@ class Engine:
                  kv_dtype=None, prefix_reuse: bool = True, context_shift="auto",
                  speculative: bool = False, n_draft: int = 6, kv_layout: str = "auto",
                  draft_model=None, tp: int = 1, dp: int = 1, pp: int = 1, mesh=None,
-                 coordinated: bool = False):
+                 coordinated: bool = False, lookahead: bool = False, la_w: int = 4,
+                 la_n: int = 3, la_g: int = 4):
         import functools
 
         import jax
@@ -187,6 +188,7 @@ class Engine:
                 and model.cfg.sliding_window == 0
                 and model.cfg.kv_heads_layers is None
                 and not speculative and draft_model is None and not coordinated
+                and not lookahead
             ) else "contiguous"
         self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
         # multi-device serving: shard weights/KV over a (dp, tp) mesh and run
@@ -252,6 +254,36 @@ class Engine:
         self.draft = draft_model
         if draft_model is not None and not (self.recurrent or self.hybrid):
             speculative = True
+        # lookahead decoding in the serving loop (reference:
+        # examples/lookahead/lookahead.cpp LADE): greedy slots carry a
+        # Jacobi window + verification n-grams as extra batch columns with
+        # an explicit block mask; acceptance is greedy-exact.  Requires the
+        # contiguous slot==position cache (speculative columns store K/V in
+        # the prefill-chunk headroom past the committed region).
+        self.lookahead = lookahead and not (self.recurrent or self.hybrid)
+        if self.lookahead:
+            if speculative or draft_model is not None:
+                raise ValueError("--lookahead and speculative decoding are exclusive")
+            if self.mesh is not None or self.pp > 1 or coordinated:
+                raise ValueError("lookahead serving is single-device only")
+            if kv_layout == "paged":
+                raise ValueError("lookahead requires the contiguous KV layout")
+            if isinstance(kv_dtype, str):
+                raise ValueError("lookahead does not support the q8 KV cache")
+            if model.cfg.sliding_window != 0 or model.cfg.kv_heads_layers is not None:
+                raise ValueError("lookahead supports uniform standard attention only")
+        self.la_n, self.la_w, self.la_g = int(la_n), int(la_w), int(la_g)
+        if self.lookahead and (self.la_n < 2 or self.la_w < 1 or self.la_g < 1):
+            raise ValueError("lookahead needs la_n >= 2, la_w >= 1, la_g >= 1")
+        # spec-slot region must fit the prefill-chunk headroom past max_len
+        if self.lookahead:
+            t_spec = self.la_n + (self.la_w + self.la_g) * (self.la_n - 1)
+            if t_spec > prefill_chunk:
+                raise ValueError(
+                    f"lookahead geometry needs {t_spec} spec slots > prefill_chunk "
+                    f"({prefill_chunk}) cache headroom")
+        self._la: dict[int, dict] = {}  # per-slot Jacobi window / gram pool
+        self._la_fn = None
         self.speculative = speculative
         self.n_draft = min(n_draft, prefill_chunk - 1)
         cfg = model.cfg
@@ -523,6 +555,8 @@ class Engine:
             "engine_errors_total": 0,
             "spec_drafted_total": 0,
             "spec_accepted_total": 0,
+            "lookahead_steps_total": 0,
+            "lookahead_accepted_total": 0,
         }
         self.hist_ttft = Histogram()  # time to first token (s)
         self.hist_per_token = Histogram((0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0))
@@ -706,6 +740,7 @@ class Engine:
                 self.rstate = reset_rows(self.rstate, [slot.idx])
             if self.draft is not None and self.speculative:
                 self._draft_seen[slot.idx] = 0  # full catch-up on first spec
+            self._la.pop(slot.idx, None)  # fresh Jacobi window per request
             slot.req = req
             slot.state = SlotState.PROMPT
             slot.pos = n_reuse
@@ -796,6 +831,16 @@ class Engine:
             self._wake.clear()
             return
 
+        if self.lookahead and self._la:
+            # accepted-but-uningested lookahead tokens must enter the cache
+            # before any step that isn't lookahead-shaped (prompt mixing,
+            # context shift) reads or moves the committed region
+            pend = [s for s in gen_slots if self._la.get(s.idx, {}).get("extra")]
+            if pend and (prompt_slots or any(
+                    s.pos + len(self._la[s.idx]["extra"]) + 1 >= self.max_len
+                    for s in pend)):
+                self._flush_la_extras(pend)
+
         if not self.recurrent:
             for s in gen_slots:
                 if s.pos + 1 >= self.max_len:
@@ -809,6 +854,10 @@ class Engine:
             self._mixed_step(prompt_slots, gen_slots)
         elif self.speculative and any(self._can_spec(s) for s in gen_slots):
             self._spec_decode_step(gen_slots)
+        elif self.lookahead and any(
+                self._can_la(s) or self._la.get(s.idx, {}).get("extra")
+                for s in gen_slots):
+            self._lookahead_step(gen_slots)
         else:
             self._decode_step(gen_slots)
 
@@ -1173,6 +1222,217 @@ class Engine:
                     self._emit_token(s, int(preds[accepted]))
         if plain:
             self._sample_and_emit(logits, np.zeros((self.n_slots,), np.int32), plain)
+
+    # -- lookahead decoding (reference: examples/lookahead/lookahead.cpp) --
+    def _can_la(self, slot: _Slot) -> bool:
+        """Lookahead keeps output exact only for greedy, grammar-free slots;
+        the Jacobi window + verification grams need t speculative cache
+        slots of headroom past the committed region."""
+        req = slot.req
+        if req is None or req.temp > 0 or req.grammar is not None:
+            return False
+        t = self.la_n + (self.la_w + self.la_g) * (self.la_n - 1)
+        return (slot.pos + t <= self.kv.max_len
+                and slot.pos + self.la_n + 1 < self.max_len)
+
+    def _la_init(self, slot: _Slot) -> dict:
+        """Fresh per-slot Jacobi state: random window levels (the fixed-point
+        iteration converges regardless of init) + a gram pool seeded from the
+        prompt (subsumes prompt-lookup n-gram speculation)."""
+        lvls = self.la_n - 1
+        seed = (slot.req.seed if slot.req and slot.req.seed >= 0 else 0) ^ (slot.idx + 1)
+        rng = np.random.default_rng(seed & 0x7FFFFFFF)
+        window = rng.integers(1, self.model.cfg.vocab_size,
+                              size=(lvls, self.la_w)).astype(np.int64)
+        pool: dict[int, list] = {}
+        hist = slot.cache_tokens + [slot.last_token]
+        for i in range(max(0, len(hist) - lvls)):
+            gram = tuple(hist[i + 1 : i + 1 + lvls])
+            if len(gram) == lvls:
+                lst = pool.setdefault(hist[i], [])
+                if gram not in lst:
+                    lst.insert(0, gram)
+                    del lst[self.la_g :]
+        la = {"window": window, "pool": pool, "extra": []}
+        self._la[slot.idx] = la
+        return la
+
+    def _flush_la_extras(self, slots):
+        """Ingest accepted-but-unstored lookahead tokens (they were verified
+        against speculative cache slots, never committed ones) via one plain
+        causal forward so the committed region is complete."""
+        jnp = self._jnp
+        width = self.la_n - 1  # fixed width -> one compile
+        toks = np.zeros((self.n_slots, width), dtype=np.int32)
+        pos = np.full((self.n_slots, width), self.max_len, dtype=np.int32)  # trash
+        ext = {}
+        for s in slots:
+            v = list(self._la[s.idx]["extra"])
+            ext[s.idx] = v
+            toks[s.idx, : len(v)] = v
+            pos[s.idx, : len(v)] = np.arange(s.pos, s.pos + len(v))
+        _, self.kv = self._step(
+            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv, logits_for="last"
+        )
+        for s in slots:
+            v = ext[s.idx]
+            s.cache_tokens.extend(v)
+            s.pos += len(v)
+            self._la[s.idx]["extra"] = []
+
+    def _lookahead_step(self, gen_slots):
+        """One [n_slots, N + (W+G)*(N-1)] forward per step: each greedy slot
+        carries its pending tokens (committed to real cache slots), W Jacobi
+        window columns per level, and G verification n-grams, all separated
+        by an explicit block mask; speculative columns store K/V in the
+        prefill-chunk headroom past max_len and are overwritten next step.
+        Acceptance (the longest gram chain matching the greedy argmax) is
+        bit-identical to plain greedy decode.  Non-greedy slots ride along
+        in their pending columns and sample normally."""
+        jnp = self._jnp
+        n, w, g = self.la_n, self.la_w, self.la_g
+        lvls = n - 1
+        t = n + (w + g) * lvls
+        S = self.kv.max_len
+        ns = self.n_slots
+        toks = np.zeros((ns, t), dtype=np.int32)
+        pos = np.full((ns, t), S - 1, dtype=np.int32)  # trash for idle rows
+        slots_arr = np.full((ns, t), S - 1, dtype=np.int32)
+        mask = np.zeros((ns, t, S), dtype=bool)
+
+        if self._la_fn is None:
+            import functools
+
+            import jax
+
+            from ..models.llama import forward as _fwd
+
+            cfg = self.model.cfg
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def _la_fn(params, toks, pos, kv, slots, mask):
+                return _fwd(params, cfg, toks, pos, kv, mask=mask,
+                            kv_positions=slots, logits_for="all")
+
+            self._la_fn = _la_fn
+
+        la_slots = []
+        meta: dict[int, tuple] = {}
+        col_w0 = n
+        col_v0 = n + lvls * w
+        for s in gen_slots:
+            la = self._la.get(s.idx)
+            spec = self._can_la(s)
+            if spec and la is None:
+                la = self._la_init(s)
+            extra = la["extra"] if la else []
+            pending = list(extra) + [s.last_token]
+            m = len(pending)
+            p0 = s.pos
+            base = p0 + m
+            for j in range(n):
+                if j < m:
+                    toks[s.idx, j] = pending[j]
+                    pos[s.idx, j] = slots_arr[s.idx, j] = p0 + j
+                    mask[s.idx, j, : p0 + j + 1] = True
+                else:  # pad column: parks K/V in a spec slot, attends itself
+                    pos[s.idx, j] = slots_arr[s.idx, j] = base + (j - m)
+                    mask[s.idx, j, base + (j - m)] = True
+            if not spec:
+                meta[s.idx] = (m, pending, [], 0)
+                continue
+            la_slots.append(s)
+            spec0 = base + (n - m)
+            window = la["window"]
+            for j in range(lvls):
+                for i in range(w):
+                    c = col_w0 + j * w + i
+                    toks[s.idx, c] = window[j, i]
+                    pos[s.idx, c] = base + i + j
+                    slots_arr[s.idx, c] = spec0 + (c - n)
+                    mask[s.idx, c, :base] = True
+                    for j2 in range(j):  # own column at lower levels
+                        mask[s.idx, c, spec0 + (col_w0 + j2 * w + i) - n] = True
+                    mask[s.idx, c, spec0 + (c - n)] = True
+            cands = list(la["pool"].get(pending[-1], []))[:g]
+            meta[s.idx] = (m, pending, cands, spec0)
+            for gi in range(g):
+                gram = cands[gi] if gi < len(cands) else (0,) * lvls
+                for tt in range(lvls):
+                    c = col_v0 + gi * lvls + tt
+                    toks[s.idx, c] = gram[tt]
+                    pos[s.idx, c] = base + tt
+                    slots_arr[s.idx, c] = spec0 + (c - n)
+                    mask[s.idx, c, :base] = True
+                    for t2 in range(tt):  # own gram's earlier tokens
+                        mask[s.idx, c, spec0 + (col_v0 + gi * lvls + t2) - n] = True
+                    mask[s.idx, c, spec0 + (c - n)] = True
+        empty = ~mask.any(-1)  # NaN guard: untouched rows attend one junk slot
+        mask[empty, S - 1] = True
+
+        logits, self.kv = self._la_fn(
+            self._p, jnp.asarray(toks), jnp.asarray(pos), self.kv,
+            jnp.asarray(slots_arr), jnp.asarray(mask),
+        )
+        self.metrics["decode_steps_total"] += 1
+        self.metrics["lookahead_steps_total"] += 1
+
+        for s in gen_slots:  # pending K/V is in the cache now
+            m, pending = meta[s.idx][0], meta[s.idx][1]
+            s.cache_tokens.extend(pending)
+            s.pos += m
+            if self._la.get(s.idx):
+                self._la[s.idx]["extra"] = []
+
+        la_set = {s.idx for s in la_slots}
+        plain = [s for s in gen_slots if s.idx not in la_set]
+        if la_slots:
+            rows_np = np.asarray(logits[np.asarray([s.idx for s in la_slots])])
+            for s, row in zip(la_slots, rows_np):
+                m, pending, cands, spec0 = meta[s.idx]
+                arg = row.argmax(axis=-1)
+                la = self._la[s.idx]
+                x_next = int(arg[m - 1])
+                accepted = [x_next]
+                best, best_out = 0, []
+                for gi in range(len(cands)):
+                    gram = cands[gi]
+                    cur, outs, cnt = x_next, [], 0
+                    for tt in range(lvls):
+                        if gram[tt] != cur:
+                            break
+                        cur = int(arg[col_v0 + gi * lvls + tt])
+                        outs.append(cur)
+                        cnt += 1
+                    if cnt > best:
+                        best, best_out = cnt, outs
+                accepted += best_out
+                self.metrics["lookahead_accepted_total"] += best
+                # harvest trajectory grams + Jacobi shift
+                window = la["window"]
+                new_last = arg[col_w0 + (lvls - 1) * w : col_w0 + lvls * w]
+                for i in range(w):
+                    gram2 = tuple(int(window[j, i]) for j in range(1, lvls)) + (
+                        int(new_last[i]),)
+                    lst = la["pool"].setdefault(int(window[0, i]), [])
+                    if gram2 not in lst:
+                        lst.insert(0, gram2)
+                        del lst[g:]
+                window[:-1] = window[1:]
+                window[-1] = new_last
+                emitted = []
+                for tok in accepted:
+                    self._emit_token(s, tok)
+                    emitted.append(tok)
+                    if s.state == SlotState.IDLE:
+                        break
+                if s.state != SlotState.IDLE:
+                    la["extra"] = emitted[:-1]
+        if plain:
+            cols = np.zeros((self.n_slots,), np.int32)
+            for s in plain:
+                cols[s.idx] = meta[s.idx][0] - 1
+            self._sample_and_emit(logits, cols, plain)
 
     def _decode_step(self, gen_slots):
         jnp = self._jnp

@@ -54,7 +54,7 @@ class ZllmServer:
                  slot_save_path: str = "", speculative: bool = False, n_draft: int = 6,
                  kv_layout: str = "auto", draft_model=None, jinja: bool = False,
                  tp: int = 1, dp: int = 1, pp: int = 1, kv_dtype=None,
-                 mmproj: str = ""):
+                 mmproj: str = "", lookahead: bool = False):
         self.model = model
         self.jinja = jinja
         self.clip = None
@@ -65,7 +65,7 @@ class ZllmServer:
         self.engine = Engine(model, n_slots=n_slots, max_len=max_len,
                              speculative=speculative, n_draft=n_draft, kv_layout=kv_layout,
                              draft_model=draft_model, tp=tp, dp=dp, pp=pp,
-                             kv_dtype=kv_dtype)
+                             kv_dtype=kv_dtype, lookahead=lookahead)
         self.slot_save_path = slot_save_path
         self.host = host
         self.port = port
