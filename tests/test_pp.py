@@ -109,18 +109,80 @@ def test_pp_interleaved_swa_parity(model):
     np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+def _pp_vs_single(cfg, params, pp=2, n_micro=2, t=8, seed=5):
+    mesh = make_pp_mesh(jax.devices()[:pp], pp=pp)
+    shared, stages = stage_params(params, pp)
+    shared, stages = pp_put(shared, stages, mesh)
+    b = n_micro * 2
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)).astype(np.int32))
+    positions = jnp.asarray(np.broadcast_to(np.arange(t, dtype=np.int32), (b, t)))
+    step = pp_forward_fn(cfg, mesh, n_micro)
+    got = np.asarray(step(shared, stages, tokens, positions))
+    want, _ = forward(params, cfg, tokens, positions, None)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pp_nope_parity(model):
+    """smollm3/exaone4-class per-layer NoPE runs under PP via lax.cond on
+    the gathered global-layer mask (the round-4 guard rejected these)."""
+    _pp_vs_single(model.cfg.with_(nope_step=2), model.params)
+
+
+def test_pp_nope_swa_combined_parity(model):
+    """cohere2 geometry: interleaved SWA where the full-attention layer of
+    each group is NoPE — the 4-way lax.switch dispatch."""
+    cfg = model.cfg.with_(sliding_window=4, swa_pattern=2, nope_step=2)
+    _pp_vs_single(cfg, model.params)
+
+
+def test_pp_xielu_parity(model):
+    """apertus xIELU: per-layer activation params gathered by the GLOBAL
+    traced layer index (distinct per layer, so a local-index bug would
+    show as a mismatch)."""
+    params = dict(model.params)
+    params["layers"] = [
+        {k: v for k, v in layer.items() if k != "ffn_gate"}
+        for layer in model.params["layers"]
+    ]
+    xielu = tuple((0.8 + 0.1 * i, 0.6 + 0.05 * i, 0.5 - 0.03 * i, -1e-6)
+                  for i in range(model.cfg.n_layers))
+    cfg = model.cfg.with_(act="xielu", xielu=xielu)
+    _pp_vs_single(cfg, params)
+
+
+def test_pp_gptoss_geometry_parity():
+    """gpt-oss geometry under PP: dense-first interleaved SWA + clamped
+    swiglu_oai MoE + per-head attention sinks (reference
+    src/models/gpt-oss.cpp; PP is the reference's default multi-GPU
+    mode, include/llama.h:193)."""
+    path = os.path.join(tempfile.gettempdir(), "zllm_pp_gptoss.gguf")
+    if not os.path.exists(path):
+        make_llama_gguf(
+            path, n_layers=4, n_embd=128, n_heads=4, n_kv_heads=2,
+            n_ff=256, vocab_size=512, gtype=GGMLType.Q8_0, n_experts=4,
+        )
+    m = Model.load(path, quantized=True, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    params = dict(m.params)
+    params["layers"] = [dict(layer) for layer in m.params["layers"]]
+    for layer in params["layers"]:
+        layer["attn_sinks"] = jnp.asarray(
+            rng.normal(size=(m.cfg.n_heads,)).astype(np.float32))
+    cfg = m.cfg.with_(sliding_window=4, swa_pattern=2, swa_dense_first=True,
+                      act="swiglu_oai")
+    _pp_vs_single(cfg, params)
+
+
 def test_pp_rejects_per_layer_variation(model):
     """Archs whose layers differ in graph STRUCTURE by concrete index
-    (NoPE patterns, hybrid stacks) must be rejected, not silently
-    mis-served."""
+    (recurrent/hybrid stacks) must be rejected, not silently mis-served."""
     import jax
     import pytest as _pytest
 
     from zllm.parallel.pp import make_pp_mesh, pp_forward_fn
 
     mesh = make_pp_mesh(jax.devices()[:2], pp=2)
-    base = model.cfg
-
-    nope = base.with_(nope_step=4)
+    hybrid = model.cfg.with_(attn_layers=(1, 3))
     with _pytest.raises(NotImplementedError):
-        pp_forward_fn(nope, mesh, 2)
+        pp_forward_fn(hybrid, mesh, 2)

@@ -340,6 +340,8 @@ def layer_forward(
     stats: dict | None = None,
     mask: jax.Array | None = None,  # [B, T, S] explicit attention mask
     kv_positions: jax.Array | None = None,  # cache STORAGE slots (lookahead)
+    nope: bool | None = None,  # override per-layer NoPE (PP stage dispatch)
+    il_global: jax.Array | None = None,  # global layer idx when il is stage-local
 ):
     """One transformer block (the loop body of src/models/llama.cpp:29-147):
     pre-norm attention with RoPE'd GQA + KV-cache insert, then SwiGLU/MoE
@@ -348,6 +350,8 @@ def layer_forward(
     [B, Hkv, S, D] — KVCache/KVCacheQ8 (int il) or a pipeline StageKV
     (traced il)."""
     b, t = x.shape[:2]
+    # per-layer config lookups (xielu) use the GLOBAL index under PP scans
+    fil = il if il_global is None else il_global
     x_in = x  # raw layer input (arctic residual-MoE, smallthinker router)
     scale = cfg.attn_scale if cfg.attn_scale else 1.0 / (cfg.head_dim**0.5)
     tapname = f"blk.{il}" if isinstance(il, int) else "blk.x"
@@ -365,7 +369,7 @@ def layer_forward(
             h0 = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
             x = x + lora_linear(layer, "wo", h0)
         return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
-                          il=il, x_in=x_in), kv
+                          il=fil, x_in=x_in), kv
 
     # decode fast path: RMS-norm fused into the QKV matvec prologue (one
     # Pallas launch replaces norm + matvec; zllm/ops/qmatmul.qmatvec_norm)
@@ -397,7 +401,7 @@ def layer_forward(
         att = lora_linear(layer, "wo", att.reshape(b, t, -1))
         x = x + att
         return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
-                          il=il, x_in=x_in), kv
+                          il=fil, x_in=x_in), kv
     if "wqkv" in layer:  # load-time fused projection (loader.fuse_projections)
         if fused_qkv is not None:
             qkv = fused_qkv.reshape(b, t, -1)
@@ -433,7 +437,10 @@ def layer_forward(
     # the round-4 replacement for the rope/split XLA glue that capped
     # decode at 66% of roofline
     att = None
-    nope_layer = bool(isinstance(il, int) and cfg.is_nope_layer(il))
+    if nope is not None:  # PP stage dispatch passes a concrete branch flag
+        nope_layer = bool(nope)
+    else:
+        nope_layer = bool(isinstance(il, int) and cfg.is_nope_layer(il))
     qk_norm_perhead = "attn_q_norm" in layer and (
         layer["attn_q_norm"].shape[-1] == q.shape[-1]
     )
@@ -624,11 +631,11 @@ def layer_forward(
         # A separate ffn norm is used when the layer carries one,
         # otherwise the attention norm output feeds both branches.
         h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else h
-        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il)
+        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=fil)
         return x + att + ff, kv
     x = x + att
 
-    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=il,
+    return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=fil,
                       x_in=x_in), kv
 
 
@@ -676,7 +683,10 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
             # apertus xIELU (reference ggml_xielu, ggml-cpu/unary-ops.cpp:55;
             # effective alphas precomputed in ModelConfig.from_gguf):
             # x>0: ap*x^2 + b*x ; else (expm1(min(x,eps)) - x)*an + b*x
-            an, ap, bb, eps = cfg.xielu[il if isinstance(il, int) else 0]
+            if isinstance(il, int):
+                an, ap, bb, eps = cfg.xielu[il]
+            else:  # traced index (PP stage scan passes the global layer idx)
+                an, ap, bb, eps = jnp.asarray(cfg.xielu, jnp.float32)[il]
             gu = jnp.where(
                 uf > 0,
                 ap * uf * uf + bb * uf,

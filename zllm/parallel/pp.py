@@ -128,20 +128,43 @@ def _run_stage(stage_stack, cfg, x, positions, kvk, kvv, batch_off, mb, base=0):
 
     lp = jax.tree_util.tree_leaves(stage_stack)[0].shape[0]
     interleaved = cfg.sliding_window > 0 and cfg.swa_pattern > 1
+    has_nope = bool(cfg.nope_step)
     window = cfg.sliding_window or 0  # uniform-window models under PP
+    # per-GLOBAL-layer dispatch masks: the scan's layer index is traced, so
+    # SWA interleave (gemma2/3, gpt-oss) and per-layer NoPE (smollm3,
+    # cohere2, exaone4, smallthinker) select their branch via lax.cond /
+    # lax.switch on a gathered constant — every branch builds the same
+    # uniform graph shape (this is what lifted the round-4 NoPE rejection)
+    swa_mask = (np.asarray([cfg.is_swa_layer(l) for l in range(cfg.n_layers)])
+                if interleaved else None)
+    nope_mask = (np.asarray([cfg.is_nope_layer(l) for l in range(cfg.n_layers)])
+                 if has_nope else None)
 
     def run_layer(layer, x, kvk, kvv, i):
-        def go(w):
+        gil = base + i  # global layer index (traced)
+
+        def go(w, nope=None):
             kv = _MBView(StageKV(kvk, kvv, batch_off), mb) if kvk is not None else None
-            x2, kv2 = layer_forward(layer, cfg, x, positions, kv, i, window=w)
+            x2, kv2 = layer_forward(layer, cfg, x, positions, kv, i, window=w,
+                                    nope=nope, il_global=gil)
             if kvk is None:
                 return x2
             return x2, kv2.kv.k, kv2.kv.v
 
-        if not interleaved:
+        if not interleaved and not has_nope:
             return go(window)
-        is_swa = ((base + i) + 1) % cfg.swa_pattern != 0
-        return lax.cond(is_swa, lambda: go(cfg.sliding_window), lambda: go(0))
+        if interleaved and has_nope:
+            sel = (jnp.asarray(swa_mask)[gil].astype(jnp.int32)
+                   + 2 * jnp.asarray(nope_mask)[gil].astype(jnp.int32))
+            return lax.switch(sel, [
+                lambda: go(0, False), lambda: go(cfg.sliding_window, False),
+                lambda: go(0, True), lambda: go(cfg.sliding_window, True),
+            ])
+        if interleaved:
+            is_swa = jnp.asarray(swa_mask)[gil]
+            return lax.cond(is_swa, lambda: go(cfg.sliding_window), lambda: go(0))
+        is_nope = jnp.asarray(nope_mask)[gil]
+        return lax.cond(is_nope, lambda: go(window, True), lambda: go(window, False))
 
     if kvk is None:
         def body(carry, i):
@@ -196,18 +219,12 @@ def pp_forward_fn(cfg, mesh: Mesh, n_micro: int, *, with_kv: bool = False, logit
     from ..ops.linear import linear
 
     # PP scans the layer stack with a TRACED layer index.  Interleaved
-    # sliding-window patterns (gemma2/3) dispatch per layer via lax.cond on
-    # the global index (_run_stage.run_layer); per-layer NoPE and
-    # recurrent/hybrid stacks still vary the graph in ways the scan body
-    # can't express, so those stay rejected rather than silently wrong.
-    if cfg.nope_step:
-        raise NotImplementedError(
-            f"{cfg.arch}: per-layer NoPE (nope_step={cfg.nope_step}) is not "
-            "supported under pipeline parallelism")
-    if cfg.xielu is not None:
-        raise NotImplementedError(
-            f"{cfg.arch}: per-layer xIELU parameters need a concrete layer "
-            "index, unavailable under the PP layer scan")
+    # sliding-window patterns (gemma2/3, gpt-oss), per-layer NoPE
+    # (smollm3/cohere2/exaone4), and per-layer xIELU params (apertus)
+    # dispatch per layer via lax.cond/switch/gather on the global index
+    # (_run_stage.run_layer); recurrent/hybrid stacks still vary the graph
+    # in ways the scan body can't express, so those stay rejected rather
+    # than silently wrong.
     if cfg.attn_layers is not None or cfg.is_recurrent or cfg.is_hybrid:
         raise NotImplementedError(
             f"{cfg.arch}: recurrent/hybrid layer stacks are not supported "
