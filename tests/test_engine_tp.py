@@ -112,8 +112,60 @@ def test_tp_engine_context_shift(model):
     assert len(out[0]) == 40
 
 
-def test_tp_engine_rejects_paged(model):
+def test_tp_engine_paged_parity(model):
+    """Paged KV under a tp mesh (pools sharded on the head axis, table
+    replicated) must match the single-device contiguous engine — the
+    reference's split buffers compose with every cache type
+    (ggml/src/ggml-cuda/ggml-cuda.cu:811-867)."""
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, model.cfg.vocab_size, 23).tolist()
+    want = _run(model, [prompt], kv_layout="contiguous")
+    got = _run(model, [prompt], tp=4, kv_layout="paged")
+    assert got == want
+
+
+def test_tp_engine_paged_is_auto_default(model):
+    """Pure-tp meshes keep the paged auto-default (prefix-page sharing);
+    dp>1 falls back to the batch-striped contiguous stripe."""
     from zllm.server.engine import Engine
 
+    eng = Engine(model, n_slots=2, max_len=256, tp=2)
+    assert eng.paged
+    eng2 = Engine(model, n_slots=2, max_len=256, tp=2, dp=2)
+    assert not eng2.paged
     with pytest.raises(ValueError):
-        Engine(model, n_slots=2, tp=2, kv_layout="paged")
+        Engine(model, n_slots=2, max_len=256, dp=2, kv_layout="paged")
+
+
+def test_tp_engine_paged_prefix_sharing(model):
+    """Cross-slot prefix-page sharing must survive the tp mesh: a second
+    request with a >=1-page shared prefix reuses the first slot's pages
+    (host-side allocator is sharding-agnostic) and output stays exact."""
+    from zllm.server.engine import Engine, Request
+
+    rng = np.random.default_rng(6)
+    prefix = rng.integers(0, model.cfg.vocab_size, 140).tolist()
+    p1 = prefix + [7, 8]
+    p2 = prefix + [9, 1, 2]
+    want = _run(model, [p1, p2], max_len=256, kv_layout="contiguous")
+
+    eng = Engine(model, n_slots=2, max_len=256, prefill_chunk=16,
+                 tp=2, kv_layout="paged")
+    eng.start()
+    try:
+        r1 = Request(prompt_tokens=p1, max_new=12, temp=0.0)
+        eng.submit(r1)
+        while not r1.done:
+            if r1.stream_q.get(timeout=120) is None:
+                break
+        r2 = Request(prompt_tokens=p2, max_new=12, temp=0.0)
+        eng.submit(r2)
+        while not r2.done:
+            if r2.stream_q.get(timeout=120) is None:
+                break
+        assert not r1.error and not r2.error
+        assert [list(r1.out_tokens), list(r2.out_tokens)] == want
+        # the second slot mapped the first's full prefix page read-only
+        assert eng.metrics["tokens_prefix_reused_total"] >= 128
+    finally:
+        eng.stop()

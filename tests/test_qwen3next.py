@@ -110,3 +110,40 @@ def test_qwen3next_engine_serving(q3n_gguf):
     for p, r in zip(prompts, reqs):
         want = _hybrid_oracle(model, p, n_new)
         assert list(r.out_tokens) == want, (r.out_tokens, want)
+
+
+def test_qwen3next_engine_tp_mesh(q3n_gguf):
+    """Hybrid stacks under a tp mesh (round-4 rejected them): the
+    attention layers' KV shards heads over tp, the deltanet state
+    replicates, and greedy serving matches the single-device engine."""
+    import time
+
+    import jax.numpy as jnp
+
+    from zllm.models.loader import Model
+    from zllm.server.engine import Engine, Request
+
+    model = Model.load(q3n_gguf, quantized=False, dtype=jnp.float32)
+    prompts = [
+        list(np.random.default_rng(2).integers(1, 150, size=11)),
+        list(np.random.default_rng(3).integers(1, 150, size=4)),
+    ]
+
+    def run(**kw):
+        eng = Engine(model, n_slots=2, max_len=128, prefill_chunk=8,
+                     kv_dtype=jnp.float32, **kw)
+        assert eng.hybrid
+        eng.start()
+        try:
+            reqs = [eng.submit(Request(prompt_tokens=p, max_new=6, temp=0.0))
+                    for p in prompts]
+            deadline = time.time() + 180
+            while not all(r.done for r in reqs):
+                assert time.time() < deadline, "engine timed out"
+                time.sleep(0.02)
+            assert all(r.error == "" for r in reqs), [r.error for r in reqs]
+            return [list(r.out_tokens) for r in reqs]
+        finally:
+            eng.stop()
+
+    assert run(tp=2) == run()

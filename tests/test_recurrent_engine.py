@@ -106,3 +106,48 @@ def test_rwkv_engine(tmp_path):
     path = str(tmp_path / "rwkv6.gguf")
     convert_hf_rwkv6(sd, RWKV_CFG, path, gtype=GGMLType.F32)
     _check_model(path)
+
+
+def _run_engine_mesh(model, prompts, n_new, **kw):
+    from zllm.server.engine import Engine, Request
+
+    eng = Engine(model, n_slots=2, max_len=256, prefill_chunk=8, **kw)
+    assert eng.recurrent
+    eng.start()
+    try:
+        reqs = [eng.submit(Request(prompt_tokens=p, max_new=n_new, temp=0.0))
+                for p in prompts]
+        import time
+
+        deadline = time.time() + 180
+        while not all(r.done for r in reqs):
+            assert time.time() < deadline, "engine timed out"
+            time.sleep(0.02)
+        assert all(r.error == "" for r in reqs), [r.error for r in reqs]
+        return [list(r.out_tokens) for r in reqs]
+    finally:
+        eng.stop()
+
+
+@pytest.mark.parametrize("axes", [{"dp": 2}, {"tp": 2}])
+def test_recurrent_engine_mesh(tmp_path, axes):
+    """Recurrent models under the serving mesh (round-4 rejected them):
+    state tensors shard over dp on their leading batch axis (tp replicates
+    the small recurrent weights) and greedy output matches single-device."""
+    import jax.numpy as jnp
+
+    from test_rwkv import RWKV_CFG, _rng_state_dict
+    from zllm.convert.hf import convert_hf_rwkv6
+    from zllm.models.loader import Model
+
+    sd = _rng_state_dict(RWKV_CFG)
+    path = str(tmp_path / "rwkv6.gguf")
+    convert_hf_rwkv6(sd, RWKV_CFG, path, gtype=GGMLType.F32)
+    model = Model.load(path, quantized=False, dtype=jnp.float32)
+    prompts = [
+        list(np.random.default_rng(0).integers(1, 200, size=13)),
+        list(np.random.default_rng(1).integers(1, 200, size=5)),
+    ]
+    want = _run_engine_mesh(model, prompts, 8)
+    got = _run_engine_mesh(model, prompts, 8, **axes)
+    assert got == want

@@ -67,7 +67,13 @@ class TpPlan:
 
 
 def plan_for(cfg, params, tp: int) -> TpPlan:
-    layer0 = params["layers"][0] if params["layers"] else {}
+    # probe the first layer carrying each block: hybrid stacks (jamba,
+    # qwen3next, falcon-h1) interleave recurrent layers whose dicts have no
+    # wq/ffn keys — the attention/FFN/MoE layers still shard by key name
+    layers = params["layers"]
+    layer0 = next((l for l in layers if "wq" in l), layers[0] if layers else {})
+    ffn0 = next((l for l in layers if "ffn_down" in l), layer0)
+    moe0 = next((l for l in layers if "ffn_gate_exps" in l), layer0)
     attn = (
         cfg.n_heads % tp == 0
         and cfg.n_kv_heads % tp == 0
@@ -78,14 +84,15 @@ def plan_for(cfg, params, tp: int) -> TpPlan:
         and _n_shardable(layer0["wk"], tp)
     )
     ffn = (
-        "ffn_down" in layer0
+        "ffn_down" in ffn0
+        and "ffn_gate" in ffn0
         and cfg.n_ff % tp == 0
-        and _k_shardable(layer0["ffn_down"], tp)
-        and _n_shardable(layer0["ffn_gate"], tp)
+        and _k_shardable(ffn0["ffn_down"], tp)
+        and _n_shardable(ffn0["ffn_gate"], tp)
     )
     vocab = isinstance(params["output"], QTensor) and _n_shardable(params["output"], tp)
     moe = (
-        "ffn_gate_exps" in layer0
+        "ffn_gate_exps" in moe0
         and cfg.moe is not None
         and cfg.moe.n_experts % tp == 0
     )
@@ -183,10 +190,25 @@ def _expand_qtensor_specs(params, specs):
     )
 
 
-def kv_spec(plan: TpPlan, mesh: Mesh | None = None) -> P:
+def kv_spec(plan: TpPlan, mesh: Mesh | None = None, kv=None):
     """KV cache leaves (per-layer [B, H, S, D]): batch over the data axes
     (("dcn","dp") on hybrid multi-host meshes), kv-heads over tp; one spec
-    serves every leaf of the KVCache pytree."""
+    serves every leaf of the KVCache pytree.
+
+    Paged caches (`kv` a PagedKVCache) get a per-leaf spec pytree instead:
+    page pools [Hkv, D, P*ps] shard their head axis over tp (the same axis
+    the contiguous stripe shards) while the page table stays replicated —
+    page indices are logical, so prefix sharing and CoW page surgery work
+    unchanged under TP.  Pools hold every slot's pages, so the batch (dp)
+    axis cannot shard a paged cache (callers gate dp>1 to contiguous)."""
+    from ..runtime.paged import PagedKVCache
+
+    if isinstance(kv, PagedKVCache):
+        n = kv.n_layers
+        pool = P("tp" if plan.kv else None, None, None)
+        leaves = [pool] * (2 * n) + [P(None, None)]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(kv), leaves)
     baxes = _batch_axes(mesh)
     return P(baxes, "tp" if plan.kv else None, None, None)
 
@@ -202,7 +224,7 @@ def _batch_axes(mesh: Mesh | None):
 
 def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bool = True,
                        logits_for="all", replicate_logits: bool = False,
-                       with_stats: bool = False):
+                       with_stats: bool = False, kv_tree=None):
     """Jitted shard_map forward: (params, tokens, positions[, kv]) ->
     (logits, kv[, stats]) | logits.  Batch shards over dp; activations
     replicate over tp; weight collectives fire inside linear().
@@ -239,10 +261,11 @@ def sharded_forward_fn(cfg, mesh: Mesh, leaf_specs, plan: TpPlan, *, with_kv: bo
             return logits, kv
 
         lspec = P(None, None, None) if replicate_logits else P(baxes, None, None)
-        out_specs = (lspec, kv_spec(plan, mesh)) + ((P(),) if with_stats else ())
+        kspec = kv_spec(plan, mesh, kv_tree)
+        out_specs = (lspec, kspec) + ((P(),) if with_stats else ())
         mapped = jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(leaf_specs, data_spec, data_spec, kv_spec(plan, mesh)),
+            in_specs=(leaf_specs, data_spec, data_spec, kspec),
             out_specs=out_specs,
             check_vma=False,
         )

@@ -181,9 +181,13 @@ class Engine:
         # that require the contiguous stripe (mesh/pp serving, q8 KV,
         # SWA ring, speculation, coordination) fall back automatically.
         if kv_layout == "auto":
+            # tp shards the paged pools on their head axis (parallel.tp
+            # kv_spec), so pure-tp meshes keep the paged default and its
+            # prefix-page sharing; dp>1 needs the batch-striped contiguous
+            # stripe (page pools hold every slot's pages)
             kv_layout = "paged" if (
                 not self.recurrent and not self.hybrid
-                and mesh is None and (tp or 1) * (dp or 1) <= 1 and (pp or 1) <= 1
+                and mesh is None and (dp or 1) <= 1 and (pp or 1) <= 1
                 and not isinstance(kv_dtype, str)
                 and model.cfg.sliding_window == 0
                 and model.cfg.kv_heads_layers is None
@@ -225,12 +229,14 @@ class Engine:
 
             self.mesh = make_mesh(jax.devices()[: tp * dp], dp=dp, tp=tp)
         if self.mesh is not None:
-            if self.recurrent or self.hybrid:
-                raise ValueError("mesh serving supports standard attention models only")
-            if self.paged:
-                raise ValueError("mesh serving requires the contiguous KV layout")
             n_dp = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names
                                 if a != "tp"]))
+            if self.paged and n_dp > 1:
+                # page pools hold every slot's pages; only the head axis
+                # (tp) can shard them — batch striping needs the
+                # contiguous layout
+                raise ValueError("paged KV shards over tp only; use "
+                                 "kv_layout='contiguous' with dp")
             if n_slots % max(n_dp, 1) != 0:
                 raise ValueError(f"n_slots ({n_slots}) must divide by dp ({n_dp})")
         if self.recurrent or self.hybrid:
@@ -424,41 +430,98 @@ class Engine:
         if self.pp == 1:
             self._p = model.params
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as _P
 
             from ..parallel import kv_spec, shard_params, sharded_forward_fn
 
             self._p, leaf_specs, plan = shard_params(model.params, self.mesh, cfg)
             self.plan = plan
-            self._kv_sharding = NamedSharding(self.mesh, kv_spec(plan, self.mesh))
-            self.kv = jax.device_put(self.kv, self._kv_sharding)
-            # coordinated multi-host serving: rank 0 samples every row but
-            # only addresses its local shards -> gather logits in-map
-            _s_all = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
-                                        with_kv=True, logits_for="all",
-                                        replicate_logits=coordinated,
-                                        with_stats=plan.moe)
-            _s_last = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
-                                         with_kv=True, logits_for="last",
-                                         replicate_logits=coordinated,
-                                         with_stats=plan.moe)
-            if plan.moe:
-                # EP capacity-drop counter accumulates ON DEVICE (a host
-                # fetch per step would add a tunnel roundtrip); /metrics
-                # reads it lazily via metrics_view()
-                self._ep_dropped = jnp.zeros((), jnp.int32)
+            if self.recurrent or self.hybrid:
+                # recurrent/hybrid under the mesh: state tensors are all
+                # batch-leading, so they shard over the data axes; hybrid
+                # attention layers' KV shards heads over tp like any
+                # standard model (the recurrent layers' weights replicate
+                # unless the plan shards them by key).  This lifts the
+                # round-4 standard-attention-only gate.
+                from ..parallel.tp import _batch_axes
 
-            def _step(params, tokens, positions, kv, logits_for="last"):
-                out = (_s_all if logits_for == "all" else _s_last)(
-                    params, tokens, positions, kv
-                )
-                if len(out) == 3:
-                    logits, kv, dropped = out
-                    self._ep_dropped = self._ep_dropped + dropped
-                    return logits, kv
-                return out
+                baxes = _batch_axes(self.mesh)
+                bspec = _P(baxes)
+                state_sh = NamedSharding(self.mesh, bspec)
+                ep = "tp" if plan.moe else None
+                if self.recurrent:
+                    from ..models.recurrent import recurrent_forward as _rfwd
 
-            self._step = _step
+                    self._kv_sharding = state_sh
+                    self.kv = jax.device_put(self.kv, state_sh)
+
+                    def _rfn(params, tokens, lengths, state):
+                        return _rfwd(params, cfg, tokens, state,
+                                     lengths=lengths, logits_for="all")
+
+                    mapped = jax.shard_map(
+                        _rfn, mesh=self.mesh,
+                        in_specs=(leaf_specs, _P(baxes, None), bspec, bspec),
+                        out_specs=(_P(baxes, None, None), bspec),
+                        check_vma=False)
+                    self._step = jax.jit(mapped, donate_argnums=(3,))
+                else:
+                    from ..models.hybrid import hybrid_forward as _hfwd
+
+                    kspec = kv_spec(plan, self.mesh)
+                    self._kv_sharding = NamedSharding(self.mesh, kspec)
+                    self.kv = jax.device_put(self.kv, self._kv_sharding)
+                    self._rstate_sharding = state_sh
+                    self.rstate = jax.device_put(self.rstate, state_sh)
+
+                    def _hfn(params, tokens, positions, lengths, kv, state):
+                        return _hfwd(params, cfg, tokens, positions, kv, state,
+                                     lengths=lengths, logits_for="all",
+                                     ep_axis=ep)
+
+                    mapped = jax.shard_map(
+                        _hfn, mesh=self.mesh,
+                        in_specs=(leaf_specs, _P(baxes, None), _P(baxes, None),
+                                  bspec, kspec, bspec),
+                        out_specs=(_P(baxes, None, None), kspec, bspec),
+                        check_vma=False)
+                    self._step = jax.jit(mapped, donate_argnums=(4, 5))
+            else:
+                kspec = kv_spec(plan, self.mesh, self.kv)
+                if isinstance(kspec, _P):
+                    self._kv_sharding = NamedSharding(self.mesh, kspec)
+                else:  # paged: per-leaf spec pytree (pools on tp, table replicated)
+                    self._kv_sharding = jax.tree_util.tree_map(
+                        lambda s: NamedSharding(self.mesh, s), kspec,
+                        is_leaf=lambda x: isinstance(x, _P))
+                self.kv = jax.device_put(self.kv, self._kv_sharding)
+                # coordinated multi-host serving: rank 0 samples every row
+                # but only addresses its local shards -> gather logits in-map
+                _s_all = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
+                                            with_kv=True, logits_for="all",
+                                            replicate_logits=coordinated,
+                                            with_stats=plan.moe, kv_tree=self.kv)
+                _s_last = sharded_forward_fn(cfg, self.mesh, leaf_specs, plan,
+                                             with_kv=True, logits_for="last",
+                                             replicate_logits=coordinated,
+                                             with_stats=plan.moe, kv_tree=self.kv)
+                if plan.moe:
+                    # EP capacity-drop counter accumulates ON DEVICE (a host
+                    # fetch per step would add a tunnel roundtrip); /metrics
+                    # reads it lazily via metrics_view()
+                    self._ep_dropped = jnp.zeros((), jnp.int32)
+
+                def _step(params, tokens, positions, kv, logits_for="last"):
+                    out = (_s_all if logits_for == "all" else _s_last)(
+                        params, tokens, positions, kv
+                    )
+                    if len(out) == 3:
+                        logits, kv, dropped = out
+                        self._ep_dropped = self._ep_dropped + dropped
+                        return logits, kv
+                    return out
+
+                self._step = _step
         elif self.pp == 1 and not self.recurrent and not self.hybrid:
             @functools.partial(jax.jit, static_argnames=("logits_for",), donate_argnums=(3,))
             def _step(params, tokens, positions, kv, logits_for="last"):
@@ -734,10 +797,15 @@ class Engine:
                 from ..models.recurrent import reset_rows
 
                 self.kv = reset_rows(self.kv, [slot.idx])
+                if self.mesh is not None:  # pin back for the donated step
+                    self.kv = self._jax.device_put(self.kv, self._kv_sharding)
             elif self.hybrid:
                 from ..models.recurrent import reset_rows
 
                 self.rstate = reset_rows(self.rstate, [slot.idx])
+                if self.mesh is not None:
+                    self.rstate = self._jax.device_put(
+                        self.rstate, self._rstate_sharding)
             if self.draft is not None and self.speculative:
                 self._draft_seen[slot.idx] = 0  # full catch-up on first spec
             self._la.pop(slot.idx, None)  # fresh Jacobi window per request
