@@ -14,7 +14,9 @@ from zllm.ops import qmatmul as qmm
 from zllm.quant import blocks as qb
 from zllm.quant.repack import can_npack, from_npack, repack, to_npack
 
-FMTS = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K]
+FMTS = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K,
+        GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K]
+Q5_FMTS = {GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K}
 K, N = 512, 512
 
 
@@ -144,6 +146,8 @@ def test_npack_hbm_kernel_parity(fmt, fuse):
     """The HBM-pinned in-kernel-DMA variant (ZLLM_QMM_HBM=1 experiment)
     is bit-identical to the auto-pipelined npack kernel for every fused
     prologue."""
+    if fmt in Q5_FMTS:
+        pytest.skip("Q5 bit-plane not wired into the HBM DMA-chain variant")
     nqt = _qt(fmt)
     rng = np.random.default_rng(5)
     names = qmm._plane_names(nqt)

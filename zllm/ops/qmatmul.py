@@ -692,8 +692,13 @@ def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, diet, x_ref, *refs):
         aux_ref, srefs = refs[0], refs[1:-1]
     else:
         aux_ref, srefs = None, refs[:-1]
-    qs_ref = srefs[-1]
-    scale_refs = srefs[:-1]  # (a_lo, a_hi[, b_lo, b_hi]) or (d_lo, d_hi)
+    q5 = fmt in (GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K)
+    if q5:  # high-bit planes ride after qs (see _qmm_w4a8np_call)
+        qs_ref, qh_lo_ref, qh_hi_ref = srefs[-3], srefs[-2], srefs[-1]
+        scale_refs = srefs[:-3]
+    else:
+        qs_ref = srefs[-1]
+        scale_refs = srefs[:-1]  # (a_lo, a_hi[, b_lo, b_hi]) or (d_lo, d_hi)
 
     x_bd, dx, sx = _prologue_quant(fuse, eps, group, gt, tk, j, x_ref, aux_ref, r_ref)
 
@@ -713,6 +718,19 @@ def _w4a8np_kernel(fmt, tk, tn, group, has_b, fuse, eps, diet, x_ref, *refs):
     if fmt == GGMLType.Q4_0:  # constant -8 code offset
         pi_lo = pi_lo - 8 * sx
         pi_hi = pi_hi - 8 * sx
+    if q5:
+        # the 5th bit rides a separate [TK/8, TN/2] bit-plane per column
+        # half: unpack to 0/1 int8 and add its dot scaled by 16 (the lo
+        # nibbles in the packed bytes hold Q5 codes' low 4 bits only)
+        b5_lo = _q5k_bits(qh_lo_ref[:].astype(jnp.int32), tk, tn // 2).astype(jnp.int8)
+        b5_hi = _q5k_bits(qh_hi_ref[:].astype(jnp.int32), tk, tn // 2).astype(jnp.int8)
+        pi_lo = pi_lo + 16 * jax.lax.dot_general(
+            x_bd, b5_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        pi_hi = pi_hi + 16 * jax.lax.dot_general(
+            x_bd, b5_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        if fmt == GGMLType.Q5_0:  # constant -16 code offset
+            pi_lo = pi_lo - 16 * sx
+            pi_hi = pi_hi - 16 * sx
     half = tn // 2
     if diet:
         # Q4_K: per-group a/b reconstructed from the 6-bit fields + the
@@ -776,7 +794,12 @@ def _qmm_w4a8np_call(
     # scale planes [K/group, N]: lo view at block (j, i), hi at (j, i + nb).
     # Diet super planes [K/256, N] ride whole (their per-tile rows break
     # the (8, 128) block rule) and are row-sliced in-kernel.
-    qs, scale_planes = planes_tuple[0], planes_tuple[1:]
+    q5 = fmt in (GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K)
+    if q5:  # planes: qs, qh (bit-plane [K/8, N]), a[, b]
+        qs, qh = planes_tuple[0], planes_tuple[1]
+        scale_planes = planes_tuple[2:]
+    else:
+        qs, scale_planes = planes_tuple[0], planes_tuple[1:]
     for pi_, p in enumerate(scale_planes):
         if diet and pi_ > 0:  # sd / sb (rows carry 8-alignment padding)
             in_specs.append(
@@ -795,11 +818,21 @@ def _qmm_w4a8np_call(
     in_specs.append(
         pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
     args.append(qs)
+    if q5:  # [TK/8, TN/2] bit-plane tiles for each column half
+        in_specs.append(
+            pl.BlockSpec((tk // 8, tn // 2), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((tk // 8, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                         memory_space=pltpu.VMEM))
+        args.extend([qh, qh])
 
     kernel = functools.partial(_w4a8np_kernel, fmt, tk, tn, group, has_b, fuse,
                                eps, diet)
     qbytes = int(np.prod(qs.shape)) + sum(
         2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
+    if q5:
+        qbytes += int(np.prod(planes_tuple[1].shape))
     out2 = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1350,6 +1383,8 @@ def _hbm_np_ok(qt: QTensor, tn: int, tk: int, k: int, n: int) -> bool:
 
     if os.environ.get("ZLLM_QMM_HBM", "0") != "1":
         return False
+    if "qh" in qt.planes:  # Q5 bit-plane not wired into the DMA chain
+        return False
     group = _INT_FMT[qt.fmt][0]
     return (
         tk % (8 * group) == 0  # >=8 scale-plane rows per k-step DMA
@@ -1366,8 +1401,13 @@ def _hbm_np_ok(qt: QTensor, tn: int, tk: int, k: int, n: int) -> bool:
 
 def _qmm_np_kernel(fmt, tk, tn, diet, x_ref, *refs):
     out_ref = refs[-1]  # [2, M, TN/2]
-    qs_ref = refs[-2]
-    scale_refs = refs[:-2]
+    q5 = fmt in (GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K)
+    if q5:
+        qs_ref, qh_lo_ref, qh_hi_ref = refs[-4], refs[-3], refs[-2]
+        scale_refs = refs[:-4]
+    else:
+        qs_ref = refs[-2]
+        scale_refs = refs[:-2]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -1378,6 +1418,11 @@ def _qmm_np_kernel(fmt, tk, tn, diet, x_ref, *refs):
     bp = pltpu.bitcast(qs_ref[:], jnp.uint8).astype(jnp.int32)  # [TK, TN/2]
     lo = (bp & 0xF).astype(jnp.float32)
     hi = ((bp >> 4) ^ 0x8).astype(jnp.float32)  # XOR 0x80 flipped the top bit
+    if q5:  # the 5th bit rides separate per-half bit-planes
+        lo = lo + 16.0 * _q5k_bits(
+            qh_lo_ref[:].astype(jnp.int32), tk, half).astype(jnp.float32)
+        hi = hi + 16.0 * _q5k_bits(
+            qh_hi_ref[:].astype(jnp.int32), tk, half).astype(jnp.float32)
     if diet:  # Q4_K exact two-level scales (see _q4k_group_scales)
         g32 = tk // 32
         al32, bl32 = _q4k_group_scales(
@@ -1394,6 +1439,9 @@ def _qmm_np_kernel(fmt, tk, tn, diet, x_ref, *refs):
         if fmt == GGMLType.Q4_0:
             w_lo = (lo - 8.0) * a_lo
             w_hi = (hi - 8.0) * a_hi
+        elif fmt == GGMLType.Q5_0:
+            w_lo = (lo - 16.0) * a_lo
+            w_hi = (hi - 16.0) * a_hi
         else:
             w_lo = lo * a_lo - _gexpand(_load_f16(scale_refs[2][:]), 32, tk, half)
             w_hi = hi * a_hi - _gexpand(_load_f16(scale_refs[3][:]), 32, tk, half)
@@ -1415,7 +1463,12 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=
     gt = tk // 32
     nb = n // tn
     grid = (nb, k // tk)
-    qs, scale_planes = planes_tuple[0], planes_tuple[1:]
+    q5 = fmt in (GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K)
+    if q5:  # planes: qs, qh (bit-plane [K/8, N]), a[, b]
+        qs, qh = planes_tuple[0], planes_tuple[1]
+        scale_planes = planes_tuple[2:]
+    else:
+        qs, scale_planes = planes_tuple[0], planes_tuple[1:]
 
     in_specs = [pl.BlockSpec((m, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)]
     args = [x]
@@ -1437,10 +1490,20 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=
     in_specs.append(
         pl.BlockSpec((tk, tn // 2), lambda i, j: (j, i), memory_space=pltpu.VMEM))
     args.append(qs)
+    if q5:  # [TK/8, TN/2] bit-plane tiles per column half
+        in_specs.append(
+            pl.BlockSpec((tk // 8, tn // 2), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((tk // 8, tn // 2), lambda i, j, _nb=nb: (j, i + _nb),
+                         memory_space=pltpu.VMEM))
+        args.extend([qh, qh])
 
     kernel = functools.partial(_qmm_np_kernel, fmt, tk, tn, diet)
     qbytes = int(np.prod(qs.shape)) + sum(
         2 * int(np.prod(p.shape)) * p.dtype.itemsize for p in scale_planes)
+    if q5:
+        qbytes += int(np.prod(planes_tuple[1].shape))
     out = pl.pallas_call(
         kernel,
         grid=grid,

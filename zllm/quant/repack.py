@@ -977,7 +977,8 @@ _DEQUANT[GGMLType.TQ2_0] = _dq_ternary
 # global c <-> c+N/2 pairing); zllm.parallel.shard_params converts back
 # since an N-shard of the packed plane would pair across shard boundaries.
 
-NPACK_FORMATS = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K}
+NPACK_FORMATS = {GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K,
+                 GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K}
 
 
 def can_npack(qt: QTensor) -> bool:
@@ -1026,11 +1027,16 @@ def from_npack(qt: QTensor) -> QTensor:
 
 
 def _dequant_npack(qt: QTensor, dtype):
-    q = _npack_codes(qt).astype(jnp.float32)
+    q = _npack_codes(qt)
     p = qt.planes
+    if "qh" in p:  # Q5: the packed bytes hold the LO nibbles only
+        q = q | (_jnp_bitplane(p["qh"]) << 4)
+    q = q.astype(jnp.float32)
     if qt.fmt == GGMLType.Q4_0:
         return ((q - 8.0) * _group_repeat(_f32s(p["d"]), 32)).astype(dtype)
-    # Q4_1 / Q4_K share the w = q*a - b contract
+    if qt.fmt == GGMLType.Q5_0:
+        return ((q - 16.0) * _group_repeat(_f32s(p["a"]), 32)).astype(dtype)
+    # Q4_1 / Q4_K / Q5_1 / Q5_K share the w = q*a - b contract
     if "sm" in p:  # Q4_K diet layout
         a32, b32 = q4k_scale_planes(p)
         a, b = _group_repeat(a32, 32), _group_repeat(b32, 32)
