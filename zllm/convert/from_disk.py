@@ -307,6 +307,13 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "GraniteForCausalLM": ("llama", "granite"),
     "Qwen2MoeForCausalLM": ("llama", "qwen2moe"),
     "Qwen3MoeForCausalLM": ("llama", "qwen3moe"),
+    # diffusion LMs (reference convert: DreamModel/LLaDAModel/LLaDAMoEModel/
+    # RND1Model; generation via tools/diffusion.py)
+    "DreamModel": ("llama", "dream"),
+    "LLaDAModelLM": ("llama", "llada"),
+    "LLaDAMoEModel": ("llama", "llada-moe"),
+    "LLaDAMoEModelLM": ("llama", "llada-moe"),
+    "RND1": ("llama", "rnd1"),
     "GptOssForCausalLM": ("llama", "gpt-oss"),
     "BertModel": ("bert", "bert"),
     "BertForMaskedLM": ("bert", "bert"),

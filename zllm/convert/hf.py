@@ -99,6 +99,14 @@ _ARCH_RULES = {
     "arcee": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # ernie 4.5 dense: llama clone, neox rope
     "ernie4_5": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # dream (diffusion): qwen2 weights (attn biases, neox rope), non-causal
+    "dream": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # llada (diffusion): llama weights, undo_permute -> adjacent-pair rope
+    "llada": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # llada-moe (diffusion): qwen3moe-style per-head QK norm + softmax MoE
+    "llada-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # rnd1 (diffusion): qwen2moe weights (shared expert), non-causal
+    "rnd1": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
     # (rope only on sliding layers -> nope_step on the full-attn layers)
     "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),

@@ -230,6 +230,15 @@ class ModelConfig:
         return self.arch in ("bert", "nomic-bert", "jina-bert-v2")
 
     @property
+    def is_diffusion(self) -> bool:
+        """Diffusion LMs (dream/llada class): standard decoder weights but
+        NON-causal attention and no KV cache — generation is iterative
+        denoising via tools/diffusion.py (reference:
+        examples/diffusion/diffusion-cli.cpp + src/models/dream.cpp
+        build_attn_inp_no_cache)."""
+        return self.arch in ("dream", "llada", "llada-moe", "rnd1")
+
+    @property
     def q_dim(self) -> int:
         return self.n_heads * self.head_dim
 
@@ -607,4 +616,7 @@ _NEOX_ROPE_ARCHES = {
     "baichuan",
     "internlm2",
     "granitemoe",
+    "dream",
+    "llada-moe",
+    "rnd1",
 }

@@ -849,6 +849,12 @@ def forward(
                                ep_axis=ep_axis, stats=stats)
     x = embed(params, cfg, tokens, positions, embeds=embeds, embeds_mask=embeds_mask)
 
+    if cfg.is_diffusion and mask is None and kv is None:
+        # dream/llada-class diffusion LMs attend bidirectionally with no
+        # cache (reference: build_attn_inp_no_cache, src/models/dream.cpp)
+        b0, t0 = tokens.shape
+        mask = jnp.ones((b0, t0, t0), bool)
+
     for il, layer in enumerate(params["layers"]):
         window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
         x, kv = layer_forward(

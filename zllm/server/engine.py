@@ -169,6 +169,10 @@ class Engine:
         from ..sampling.batched import SlotParams
 
         self.model = model
+        if getattr(model.cfg, "is_diffusion", False):
+            raise ValueError(
+                "diffusion LMs (dream/llada) have no KV cache; generate with "
+                "tools/diffusion.py")
         self.n_slots = n_slots
         self.max_len = max_len
         self.prefill_chunk = prefill_chunk
