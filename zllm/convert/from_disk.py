@@ -318,6 +318,8 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "BertModel": ("bert", "bert"),
     "BertForMaskedLM": ("bert", "bert"),
     "DeepseekV2ForCausalLM": ("deepseek2", "deepseek2"),
+    "DeepseekV3ForCausalLM": ("deepseek2", "deepseek2"),
+    "MiniCPM3ForCausalLM": ("deepseek2", "minicpm3"),
     "MambaForCausalLM": ("mamba", "mamba"),
     "Rwkv6ForCausalLM": ("rwkv6", "rwkv6"),
     "RwkvForCausalLM": ("rwkv6", "rwkv6"),
@@ -389,7 +391,8 @@ def convert_hf_dir(
         if family == "bert":
             return hfmod.convert_hf_bert(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "deepseek2":
-            return hfmod.convert_hf_deepseek2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+            return hfmod.convert_hf_deepseek2(sd, config, out_path, arch=gguf_arch,
+                                              gtype=gtype, tokenizer_kv=tok_kv)
         if family == "mamba":
             return hfmod.convert_hf_mamba(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "rwkv6":

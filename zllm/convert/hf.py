@@ -674,14 +674,16 @@ def convert_hf_deepseek2(
     config: Mapping[str, Any],
     out_path: str,
     *,
+    arch: str = "deepseek2",
     gtype: GGMLType = GGMLType.F32,
     tokenizer_kv: Mapping[str, Any] | None = None,
 ) -> str:
     """HF DeepseekV2/V3ForCausalLM -> GGUF with the MLA absorption split
     (reference: convert_hf_to_gguf.py DeepseekV2Model.modify_tensors —
-    kv_b_proj splits into k_b [transposed] and v_b per head)."""
+    kv_b_proj splits into k_b [transposed] and v_b per head).  Also
+    serves minicpm3 (arch="minicpm3": same MLA module names plus the
+    minicpm scale_emb/scale_depth/dim_model_base scaling knobs)."""
     npy = _npy
-    arch = "deepseek2"
     n_layer = int(config["num_hidden_layers"])
     n_head = int(config["num_attention_heads"])
     dn = int(config["qk_nope_head_dim"])
@@ -707,6 +709,16 @@ def convert_hf_deepseek2(
     w.add(f"{arch}.rope.dimension_count", dr)
     w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
     w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    # minicpm3 scaling knobs (reference minicpm3.cpp:5-7 hardcodes; the
+    # HF config carries them)
+    if "scale_emb" in config:
+        w.add(f"{arch}.embedding_scale", float(config["scale_emb"]))
+    if "scale_depth" in config:
+        w.add(f"{arch}.residual_scale",
+              float(config["scale_depth"]) / float(n_layer) ** 0.5)
+    if "dim_model_base" in config:
+        w.add(f"{arch}.logit_scale",
+              float(config["dim_model_base"]) / float(config["hidden_size"]))
     if config.get("n_routed_experts"):
         w.add(f"{arch}.expert_count", int(config["n_routed_experts"]))
         w.add(f"{arch}.expert_used_count", int(config["num_experts_per_tok"]))

@@ -348,7 +348,7 @@ class ModelConfig:
         mla = None
         kv_lora = int(kv("attention.kv_lora_rank", 0))
         attn_scale_override = 0.0
-        if arch == "deepseek2" and kv_lora > 0:
+        if arch in ("deepseek2", "minicpm3") and kv_lora > 0:
             mla = MlaConfig(
                 kv_lora_rank=kv_lora,
                 q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
@@ -357,12 +357,13 @@ class ModelConfig:
                 v_head_dim=int(kv("attention.value_length")),
             )
             # YaRN-aware kq scale (reference deepseek2.cpp:20-30: mscale^2 /
-            # sqrt(full qk head dim)); mscale = 1 without rope scaling
+            # sqrt(full qk head dim)); mscale = 1 without rope scaling.
+            # minicpm3 uses the plain 1/sqrt(head_k) (minicpm3.cpp:8)
             import math
 
             head_k = int(kv("attention.key_length"))
             mscale = 1.0
-            if scale_factor > 1.0 and scaling == "yarn":
+            if arch == "deepseek2" and scale_factor > 1.0 and scaling == "yarn":
                 log_mul = float(kv("rope.scaling.yarn_log_multiplier", 0.1))
                 mscale = 1.0 + log_mul * math.log(scale_factor)
             attn_scale_override = mscale * mscale / math.sqrt(head_k)

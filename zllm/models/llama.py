@@ -396,9 +396,11 @@ def layer_forward(
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
 
-    if "wkv_a_mqa" in layer:  # deepseek2 multi-head latent attention
+    if "wkv_a_mqa" in layer:  # deepseek2/minicpm3 multi-head latent attention
         att, kv = _mla_attention(layer, cfg, h, positions, kv, il, scale)
         att = lora_linear(layer, "wo", att.reshape(b, t, -1))
+        if cfg.residual_scale != 1.0:  # minicpm3 scale_depth/sqrt(L)
+            att = att * jnp.asarray(cfg.residual_scale, att.dtype)
         x = x + att
         return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
                           il=fil, x_in=x_in), kv

@@ -195,10 +195,14 @@ class Engine:
                 and not isinstance(kv_dtype, str)
                 and model.cfg.sliding_window == 0
                 and model.cfg.kv_heads_layers is None
+                and model.cfg.mla is None  # latent-suffix V view needs the stripe
                 and not speculative and draft_model is None and not coordinated
                 and not lookahead
             ) else "contiguous"
         self.paged = kv_layout == "paged" and not self.recurrent and not self.hybrid
+        if self.paged and model.cfg.mla is not None:
+            raise ValueError("MLA models read V as a latent-suffix view of the "
+                             "contiguous K stripe; use kv_layout='contiguous'")
         # multi-device serving: shard weights/KV over a (dp, tp) mesh and run
         # the jitted shard_map step inside the same slot loop (the TPU-native
         # counterpart of the reference's LLAMA_SPLIT_MODE_LAYER/ROW serving,
