@@ -336,6 +336,9 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "BaichuanForCausalLM": ("llama", "baichuan"),
     "BaiChuanForCausalLM": ("llama", "baichuan"),
     "InternLM2ForCausalLM": ("internlm2", "internlm2"),
+    "OpenELMForCausalLM": ("openelm", "openelm"),
+    "ChameleonForCausalLM": ("llama", "chameleon"),
+    "ChameleonForConditionalGeneration": ("llama", "chameleon"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
@@ -399,6 +402,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_rwkv6(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "internlm2":
             return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "openelm":
+            return hfmod.convert_hf_openelm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":
             return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bailingmoe":

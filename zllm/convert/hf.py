@@ -107,6 +107,9 @@ _ARCH_RULES = {
     "llada-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # rnd1 (diffusion): qwen2moe weights (shared expert), non-causal
     "rnd1": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # chameleon: llama layout (permuted rope) + per-head q/k LAYERNORM with
+    # bias (weights interleaved into the adjacent-pair basis) + swin_norm
+    "chameleon": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
     # (rope only on sliding layers -> nope_step on the full-attn layers)
     "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
@@ -294,6 +297,8 @@ def convert_hf_llama(
     if int(config.get("n_group", 1) or 1) > 1:
         w.add(f"{arch}.expert_group_count", int(config["n_group"]))
         w.add(f"{arch}.expert_group_used_count", int(config.get("topk_group", 1)))
+    if arch == "chameleon" and config.get("swin_norm"):
+        w.add(f"{arch}.swin_norm", True)
     # minicpm scaling knobs (reference llama-model.cpp minicpm loading)
     if "scale_emb" in config:
         w.add(f"{arch}.embedding_scale", float(config["scale_emb"]))
@@ -431,7 +436,26 @@ def convert_hf_llama(
             _emit(w, o + "attn_output.bias", npy(state_dict[p + "self_attn.o_proj.bias"]), GGMLType.F32)
         if p + "self_attn.sinks" in state_dict:  # gpt-oss attention sinks
             _emit(w, o + "attn_sinks.weight", npy(state_dict[p + "self_attn.sinks"]), GGMLType.F32)
-        if p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2/gemma3 QK-norm
+        if arch == "chameleon" and p + "self_attn.q_norm.weight" in state_dict:
+            # per-head LayerNorm vectors move into the adjacent-pair rope
+            # basis with the same half-split interleave the reference
+            # applies (convert_hf_to_gguf.py ChameleonModel._reverse_hf_permute);
+            # HF stores [n_heads, head_dim] with identical rows
+            def _cham(v):
+                v = npy(v)
+                if v.ndim == 2:
+                    v = v[0]
+                half = v.shape[-1] // 2
+                out = np.empty_like(v)
+                out[0::2] = v[:half]
+                out[1::2] = v[half:]
+                return out
+
+            for nm, gg in (("q_norm", "attn_q_norm"), ("k_norm", "attn_k_norm")):
+                _emit(w, o + f"{gg}.weight", _cham(state_dict[p + f"self_attn.{nm}.weight"]), GGMLType.F32)
+                if p + f"self_attn.{nm}.bias" in state_dict:
+                    _emit(w, o + f"{gg}.bias", _cham(state_dict[p + f"self_attn.{nm}.bias"]), GGMLType.F32)
+        elif p + "self_attn.q_norm.weight" in state_dict:  # qwen3/olmo2/gemma3 QK-norm
             _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.q_norm.weight"]), GGMLType.F32)
             _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.k_norm.weight"]), GGMLType.F32)
         if p + "self_attn.query_layernorm.weight" in state_dict:  # hunyuan QK-norm
@@ -2248,5 +2272,69 @@ def convert_hf_jais(state_dict, config, out_path, *, gtype=GGMLType.F32,
     out = npy(state_dict.get("lm_head.weight",
                              state_dict["transformer.wte.weight"]))
     _emit(w, "output.weight", out * width_scale, gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_openelm(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                       tokenizer_kv=None):
+    """apple OpenELM: per-layer query/kv head counts AND per-layer FFN
+    widths (ffn_multipliers), fused qkv split here, fused proj_1 split
+    into gate|up, per-head q/k RMS norms, tied embeddings (reference
+    convert_hf_to_gguf.py OpenELMModel; src/models/openelm.cpp)."""
+    npy = _npy
+    arch = "openelm"
+    n_layer = int(config["num_transformer_layers"])
+    n_embd = int(config["model_dim"])
+    head_dim = int(config["head_dim"])
+    nq = [int(v) for v in config["num_query_heads"]]
+    nkv = [int(v) for v in config["num_kv_heads"]]
+
+    def _divisible(v, divisor):
+        out = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if out < 0.9 * v:
+            out += divisor
+        return out
+
+    div = int(config.get("ffn_dim_divisor", 256))
+    ffn = [_divisible(m * n_embd, div) for m in config["ffn_multipliers"]]
+    rot_pct = float(config.get("rope_percentage", 1.0) or 1.0)
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_context_length", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", ffn)
+    w.add(f"{arch}.attention.head_count", nq)
+    w.add(f"{arch}.attention.head_count_kv", nkv)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_freq_constant", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", int(rot_pct * head_dim))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.token_embeddings.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.norm.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"transformer.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "attn_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ffn_norm.weight"]), GGMLType.F32)
+        qkv = npy(state_dict[p + "attn.qkv_proj.weight"])  # [(nq+2nkv)*hd, H]
+        qd, kd = nq[il] * head_dim, nkv[il] * head_dim
+        _emit(w, o + "attn_q.weight", qkv[:qd], gtype)
+        _emit(w, o + "attn_k.weight", qkv[qd : qd + kd], gtype)
+        _emit(w, o + "attn_v.weight", qkv[qd + kd : qd + 2 * kd], gtype)
+        _emit(w, o + "attn_q_norm.weight", npy(state_dict[p + "attn.q_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_k_norm.weight", npy(state_dict[p + "attn.k_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attn.out_proj.weight"]), gtype)
+        p1 = npy(state_dict[p + "ffn.proj_1.weight"])  # [2*ffn_il, H] = gate|up
+        _emit(w, o + "ffn_gate.weight", p1[: ffn[il]], gtype)
+        _emit(w, o + "ffn_up.weight", p1[ffn[il] :], gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "ffn.proj_2.weight"]), gtype)
     w.write()
     return out_path

@@ -165,6 +165,12 @@ class ModelConfig:
     # hunyuan: per-head q/k RMS norms apply AFTER rope, not before
     # (reference src/models/hunyuan-moe.cpp: rope_ext then build_norm)
     qk_norm_post_rope: bool = False
+    # chameleon: per-head q/k norms are LAYERNORM with bias (LLM_NORM in
+    # src/models/chameleon.cpp) instead of RMS
+    qk_norm_layer: bool = False
+    # chameleon swin_norm: block norms apply AFTER attention/FFN instead
+    # of before (reference hparams.swin_norm, chameleon.cpp:17-20,72-95)
+    swin_norm: bool = False
     # apertus xIELU activation: per-layer (alpha_n, alpha_p, beta, eps)
     # EFFECTIVE values (softplus already applied — the GGUF stores the raw
     # HF parameters; see from_gguf)
@@ -405,9 +411,9 @@ class ModelConfig:
             hasattr(hckv, "ndim") and getattr(hckv, "ndim", 0) == 1
         ):
             vals = [int(v) for v in hckv]
-            if arch == "deci":
-                # per-layer GQA widths (0 = linear/dummy block), NOT a
-                # hybrid recurrent marker (reference deci.cpp)
+            if arch in ("deci", "openelm"):
+                # per-layer GQA widths (deci: 0 = linear/dummy block;
+                # openelm: per-layer varied GQA), NOT a hybrid marker
                 kv_heads_layers = tuple(vals)
             else:
                 attn_layers = tuple(v > 0 for v in vals)
@@ -440,7 +446,9 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=1 if mla else int(hckv),
             head_dim=(mla.qk_rope_dim + mla.kv_lora_rank) if mla else head_dim,
-            n_ff=int(kv("feed_forward_length", 0) or 0),
+            n_ff=(max(int(v) for v in _ffl) if isinstance((_ffl := kv(
+                "feed_forward_length", 0)), (list, tuple)) or getattr(
+                    _ffl, "ndim", 0) == 1 else int(_ffl or 0)),
             vocab_size=vocab_size,
             ctx_len=int(kv("context_length", 4096)),
             norm_eps=float(
@@ -470,6 +478,8 @@ class ModelConfig:
             qkv_bias=arch in ("qwen2", "qwen2moe"),
             clamp_kqv=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             qk_norm_post_rope=arch in ("hunyuan-moe", "hunyuan-dense"),
+            qk_norm_layer=arch == "chameleon",
+            swin_norm=bool(kv("swin_norm", False)),
             xielu=_xielu_params(f, int(kv("block_count"))) if arch == "apertus" else None,
             act=(
                 "swiglu_oai" if arch == "gpt-oss"

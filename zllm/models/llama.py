@@ -379,6 +379,7 @@ def layer_forward(
     fused_qkv = None
     if (
         t == 1 and b == 1 and taps is None and cfg.parallel_residual == "none"
+        and not cfg.swin_norm
         and cfg.norm_kind == "rms" and "attn_norm" in layer and "wqkv" in layer
         and "wkv_a_mqa" not in layer
         and layer.get("wqkv.lora") is None and isinstance(layer["wqkv"], _QT)
@@ -392,7 +393,8 @@ def layer_forward(
     if fused_qkv is not None:
         h = None  # unused on the fused path (taps/parallel_residual gated off)
     else:
-        h = block_norm(x, layer, "attn_norm", cfg) if "attn_norm" in layer else x
+        h = (x if cfg.swin_norm else
+             block_norm(x, layer, "attn_norm", cfg)) if "attn_norm" in layer else x
     if taps is not None:
         taps[f"{tapname}.attn_q.weight"] = h
 
@@ -454,7 +456,8 @@ def layer_forward(
         and mask is None and kv_positions is None
         and cfg.alibi_bias_max <= 0
         and layer.get("attn_sinks") is None
-        and ("attn_q_norm" not in layer or (qk_norm_perhead and not cfg.qk_norm_post_rope))
+        and ("attn_q_norm" not in layer or (qk_norm_perhead and not cfg.qk_norm_post_rope
+                                            and not cfg.qk_norm_layer))
         and q.shape[2] % k.shape[2] == 0
         and use_decode_qkv(
             t, kv.max_len, cfg.head_dim, q.shape[2] // k.shape[2],
@@ -482,7 +485,14 @@ def layer_forward(
         kv = kv.replace_layer(il, kl, vl)
 
     if att is None and "attn_q_norm" in layer:
-        if qk_norm_perhead and cfg.qk_norm_post_rope:
+        if cfg.qk_norm_layer:
+            # chameleon: per-head LayerNorm with bias before rope
+            # (reference chameleon.cpp LLM_NORM on Qcur/Kcur views)
+            q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
+                           cfg.norm_eps)
+            k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
+                           cfg.norm_eps)
+        elif qk_norm_perhead and cfg.qk_norm_post_rope:
             pass  # hunyuan: norms apply AFTER rope (below)
         elif qk_norm_perhead:
             # qwen3/gemma3: per-head RMS over head_dim
@@ -635,6 +645,8 @@ def layer_forward(
         h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else h
         ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=fil)
         return x + att + ff, kv
+    if cfg.swin_norm:  # chameleon: attn_norm applies AFTER attention
+        att = block_norm(att, layer, "attn_norm", cfg)
     x = x + att
 
     return _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=stats, il=fil,
@@ -733,6 +745,7 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None,
     ff = None
     if (
         taps is None and x.ndim == 3 and x.shape[0] == 1 and x.shape[1] == 1
+        and not cfg.swin_norm
         and "ffn_gate_inp" not in layer and cfg.norm_kind == "rms"
         and cfg.act == "silu" and "ffn_norm" in layer and "ffn_gateup" in layer
         and "ffn_gateup_b" not in layer
@@ -754,9 +767,14 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None,
             if "ffn_down_b" in layer:
                 ff = ff + layer["ffn_down_b"].astype(ff.dtype)
     if ff is None:
-        h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
-        ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats, il=il,
-                       x_in=x_in)
+        if cfg.swin_norm:  # chameleon: ffn_norm applies AFTER the FFN
+            ff = _ffn_core(layer, cfg, x, tapname, taps, ep_axis, stats=stats,
+                           il=il, x_in=x_in)
+            ff = block_norm(ff, layer, "ffn_norm", cfg)
+        else:
+            h2 = block_norm(x, layer, "ffn_norm", cfg) if "ffn_norm" in layer else x
+            ff = _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=stats,
+                           il=il, x_in=x_in)
     if "ffn_post_norm" in layer:
         ff = rms_norm(ff, layer["ffn_post_norm"], cfg.norm_eps)
     if cfg.residual_scale != 1.0:
@@ -900,4 +918,9 @@ def forward(
         logits = logits * cfg.logit_scale
     if cfg.final_logit_softcap > 0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    if cfg.arch == "chameleon" and cfg.vocab_size > 8196:
+        # suppress image-token logits for text-only output (reference
+        # chameleon.cpp:158-170: ids [4, 8196) clamped to -FLT_MAX)
+        sup = (jnp.arange(logits.shape[-1]) >= 4) & (jnp.arange(logits.shape[-1]) < 8196)
+        logits = jnp.where(sup, jnp.finfo(logits.dtype).min, logits)
     return logits, kv

@@ -38,6 +38,8 @@ _LAYER_MAP = {
     "attn_v.bias": "bv",
     "attn_output.bias": "bo",
     "attn_q_norm.weight": "attn_q_norm",
+    "attn_q_norm.bias": "attn_q_norm_b",
+    "attn_k_norm.bias": "attn_k_norm_b",
     "attn_k_norm.weight": "attn_k_norm",
     "attn_post_norm.weight": "attn_post_norm",
     "post_attention_norm.weight": "attn_post_norm",
@@ -151,7 +153,8 @@ _MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down", "ffn_g
 
 # 1-D / small tensors stay f32; large dense tensors go bf16 by default
 _VECTOR_KEYS = {
-    "attn_norm", "ffn_norm", "ffn_norm_b", "attn_q_norm", "attn_k_norm", "attn_post_norm",
+    "attn_norm", "ffn_norm", "ffn_norm_b", "attn_q_norm", "attn_k_norm",
+    "attn_q_norm_b", "attn_k_norm_b", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "ffn_gate_b", "ffn_norm_exps",
@@ -375,7 +378,8 @@ _TOP_MAP = {
 }
 
 
-_NEOX_PERMUTED_KEYS = ("wq", "wk", "bq", "bk", "attn_q_norm", "attn_k_norm")
+_NEOX_PERMUTED_KEYS = ("wq", "wk", "bq", "bk", "attn_q_norm", "attn_k_norm",
+                       "attn_q_norm_b", "attn_k_norm_b")
 
 
 def save_params_gguf(src_path: str, params: dict, out_path: str,
@@ -515,7 +519,8 @@ def rope_to_neox(params: dict, cfg) -> tuple[dict, object]:
             w = layer[key]
             n = w.shape[1] if not isinstance(w, QTensor) else w.shape[1]
             layer[key] = _permute_cols(w, neox_head_perm(n, d))
-        for key in ("bq", "bk", "attn_q_norm", "attn_k_norm"):
+        for key in ("bq", "bk", "attn_q_norm", "attn_k_norm",
+                    "attn_q_norm_b", "attn_k_norm_b"):
             if key in layer:
                 layer[key] = vec_perm(layer[key])
     new_rope = cfg.rope._replace(style="neox")
