@@ -322,6 +322,9 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "MiniCPM3ForCausalLM": ("deepseek2", "minicpm3"),
     "MambaForCausalLM": ("mamba", "mamba"),
     "Rwkv6ForCausalLM": ("rwkv6", "rwkv6"),
+    "RWKV7ForCausalLM": ("rwkv7", "rwkv7"),
+    "Rwkv7ForCausalLM": ("rwkv7", "rwkv7"),
+    "RwkvHybridForCausalLM": ("rwkv7", "arwkv7"),
     "RwkvForCausalLM": ("rwkv6", "rwkv6"),
     "ArceeForCausalLM": ("llama", "arcee"),
     "Ernie4_5ForCausalLM": ("llama", "ernie4_5"),
@@ -400,6 +403,9 @@ def convert_hf_dir(
             return hfmod.convert_hf_mamba(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "rwkv6":
             return hfmod.convert_hf_rwkv6(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "rwkv7":
+            return hfmod.convert_hf_rwkv7(sd, config, out_path, arch=gguf_arch,
+                                          gtype=gtype, tokenizer_kv=tok_kv)
         if family == "internlm2":
             return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "openelm":

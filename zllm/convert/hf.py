@@ -2338,3 +2338,99 @@ def convert_hf_openelm(state_dict, config, out_path, *, gtype=GGMLType.F32,
         _emit(w, o + "ffn_down.weight", npy(state_dict[p + "ffn.proj_2.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_rwkv7(state_dict, config, out_path, *, arch="rwkv7",
+                     gtype=GGMLType.F32, tokenizer_kv=None):
+    """RWKV7 "Goose" (fla-hub / BlinkDL HF layout, names normalized like
+    the reference's Rwkv7Model.modify_tensors) and arwkv7
+    (RwkvHybridForCausalLM: rwkv7 time mix + RMS norms + SwiGLU FFN,
+    token_shift_count 1).  Low-rank pairs (w1/w2, a1/a2, v1/v2, g1/g2)
+    arrive in apply order (x @ m1 @ m2) and are stored transposed in the
+    HF-Linear [out, in] convention like every other 2-D weight."""
+    npy = _npy
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    head_size = int(config.get("head_size", config.get("head_dim", 64)))
+    n_ff = int(config.get("intermediate_size") or n_embd * 4)
+    if arch == "arwkv7":  # RMS-norm family
+        eps = float(config.get("rms_norm_eps", 1e-6))
+    else:
+        eps = float(config.get("layer_norm_epsilon", 1e-5))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", 1 << 20)
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", 0)
+    if arch == "arwkv7":
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon", eps)
+        w.add(f"{arch}.token_shift_count", 1)
+    else:
+        w.add(f"{arch}.attention.layer_norm_epsilon", eps)
+    w.add(f"{arch}.wkv.head_size", head_size)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embeddings.weight"]), gtype)
+    if "model.pre_ln.weight" in state_dict:  # rwkv7 embedding norm
+        _emit(w, "token_embd_norm.weight", npy(state_dict["model.pre_ln.weight"]), GGMLType.F32)
+        _emit(w, "token_embd_norm.bias", npy(state_dict["model.pre_ln.bias"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        a = p + "attention."
+        if arch == "arwkv7":
+            _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        else:
+            _emit(w, o + "attn_norm.weight", npy(state_dict[p + "ln1.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_norm.bias", npy(state_dict[p + "ln1.bias"]), GGMLType.F32)
+            _emit(w, o + "attn_norm_2.weight", npy(state_dict[p + "ln2.weight"]), GGMLType.F32)
+            _emit(w, o + "attn_norm_2.bias", npy(state_dict[p + "ln2.bias"]), GGMLType.F32)
+
+        has_gate = a + "g1" in state_dict
+        lerp = npy(state_dict[a + "x_x"]).reshape(6 if has_gate else 5, 1, 1, n_embd)
+        _emit(w, o + "time_mix_lerp_fused.weight", lerp, GGMLType.F32)
+        _emit(w, o + "time_mix_w0.weight", npy(state_dict[a + "w0"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_w1.weight", npy(state_dict[a + "w1"]).T, gtype)
+        _emit(w, o + "time_mix_w2.weight", npy(state_dict[a + "w2"]).T, gtype)
+        _emit(w, o + "time_mix_a0.weight", npy(state_dict[a + "a0"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_a1.weight", npy(state_dict[a + "a1"]).T, gtype)
+        _emit(w, o + "time_mix_a2.weight", npy(state_dict[a + "a2"]).T, gtype)
+        if il > 0:  # layer 0 sets v_first; its v0/v1/v2 are dummies
+            _emit(w, o + "time_mix_v0.weight", npy(state_dict[a + "v0"]).reshape(-1), GGMLType.F32)
+            _emit(w, o + "time_mix_v1.weight", npy(state_dict[a + "v1"]).T, gtype)
+            _emit(w, o + "time_mix_v2.weight", npy(state_dict[a + "v2"]).T, gtype)
+        if has_gate:
+            _emit(w, o + "time_mix_g1.weight", npy(state_dict[a + "g1"]).T, gtype)
+            _emit(w, o + "time_mix_g2.weight", npy(state_dict[a + "g2"]).T, gtype)
+        _emit(w, o + "time_mix_k_k.weight", npy(state_dict[a + "k_k"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_k_a.weight", npy(state_dict[a + "k_a"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_r_k.weight", npy(state_dict[a + "r_k"]).reshape(-1), GGMLType.F32)
+        _emit(w, o + "time_mix_receptance.weight", npy(state_dict[a + "receptance.weight"]), gtype)
+        _emit(w, o + "time_mix_key.weight", npy(state_dict[a + "key.weight"]), gtype)
+        _emit(w, o + "time_mix_value.weight", npy(state_dict[a + "value.weight"]), gtype)
+        _emit(w, o + "time_mix_output.weight", npy(state_dict[a + "output.weight"]), gtype)
+        if a + "ln_x.weight" in state_dict:
+            _emit(w, o + "time_mix_ln.weight", npy(state_dict[a + "ln_x.weight"]), GGMLType.F32)
+            _emit(w, o + "time_mix_ln.bias", npy(state_dict[a + "ln_x.bias"]), GGMLType.F32)
+
+        ff = p + "feed_forward."
+        if arch == "arwkv7":
+            _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_gate.weight", npy(state_dict[ff + "gate_proj.weight"]), gtype)
+            _emit(w, o + "ffn_up.weight", npy(state_dict[ff + "up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[ff + "down_proj.weight"]), gtype)
+        else:
+            _emit(w, o + "channel_mix_lerp_k.weight", npy(state_dict[ff + "x_k"]).reshape(-1), GGMLType.F32)
+            _emit(w, o + "channel_mix_key.weight", npy(state_dict[ff + "key.weight"]), gtype)
+            _emit(w, o + "channel_mix_value.weight", npy(state_dict[ff + "value.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+    if "model.norm.bias" in state_dict:
+        _emit(w, "output_norm.bias", npy(state_dict["model.norm.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

@@ -132,6 +132,19 @@ _LAYER_MAP = {
     "time_mix_ln.weight": "time_mix_ln",
     "time_mix_ln.bias": "time_mix_ln_b",
     "time_mix_output.weight": "time_mix_output",
+    # rwkv7 (generalized delta rule; reference src/models/rwkv7-base.cpp)
+    "time_mix_w0.weight": "time_mix_w0",
+    "time_mix_a0.weight": "time_mix_a0",
+    "time_mix_a1.weight": "time_mix_a1",
+    "time_mix_a2.weight": "time_mix_a2",
+    "time_mix_v0.weight": "time_mix_v0",
+    "time_mix_v1.weight": "time_mix_v1",
+    "time_mix_v2.weight": "time_mix_v2",
+    "time_mix_g1.weight": "time_mix_g1",
+    "time_mix_g2.weight": "time_mix_g2",
+    "time_mix_k_k.weight": "time_mix_k_k",
+    "time_mix_k_a.weight": "time_mix_k_a",
+    "time_mix_r_k.weight": "time_mix_r_k",
     "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
     "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
     "channel_mix_key.weight": "channel_mix_key",
@@ -163,6 +176,8 @@ _VECTOR_KEYS = {
     "ssm_dt_norm", "ssm_b_norm", "ssm_c_norm", "ssm_norm",
     "attn_norm_b", "attn_norm_2", "attn_norm_2_b", "time_mix_first",
     "time_mix_decay", "time_mix_ln", "time_mix_ln_b",
+    "time_mix_w0", "time_mix_a0", "time_mix_v0",
+    "time_mix_k_k", "time_mix_k_a", "time_mix_r_k",
     "ffn_gate_inp_b", "ffn_gate_exps_b", "ffn_up_exps_b", "ffn_down_exps_b",
     "altup_correct_scale", "altup_router_norm", "laurel_post_norm", "pli_post_norm",
 }
@@ -323,10 +338,11 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
             if key in _FLATTEN_KEYS:
                 params["layers"][il][key] = jnp.asarray(f.tensor_f32(name).reshape(-1), jnp.float32)
             elif key == "time_mix_lerp_fused":
-                x = f.tensor_f32(name)  # numpy [5, 1, 1, C]
-                params["layers"][il][key] = jnp.asarray(x.reshape(5, -1), jnp.float32)
-            elif key == "time_mix_w2":
-                # GGUF ne {E, C, 5} -> numpy [5, C, E] -> [5, E, C]
+                x = f.tensor_f32(name)  # numpy [5|6, 1, 1, C] (rwkv6 | rwkv7)
+                params["layers"][il][key] = jnp.asarray(x.reshape(x.shape[0], -1), jnp.float32)
+            elif key == "time_mix_w2" and f.tensor_f32(name).ndim == 3:
+                # rwkv6 GGUF ne {E, C, 5} -> numpy [5, C, E] -> [5, E, C]
+                # (rwkv7's w2 is a plain 2-D matmul and falls through)
                 x = f.tensor_f32(name)
                 params["layers"][il][key] = jnp.asarray(np.swapaxes(x, 1, 2), dtype=dtype)
             elif key in _DENSE3D_KEYS:

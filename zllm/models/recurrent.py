@@ -32,6 +32,11 @@ def recurrent_forward(params, cfg, tokens: jax.Array, state=None, *,
     """(logits, state') for any recurrent family; `lengths` [B] freezes
     per-row state after the row's valid tokens (batched serving)."""
     if cfg.wkv is not None:
+        if cfg.arch in ("rwkv7", "arwkv7"):
+            from .rwkv import rwkv7_forward
+
+            return rwkv7_forward(params, cfg, tokens, state,
+                                 lengths=lengths, logits_for=logits_for)
         from .rwkv import rwkv6_forward
 
         return rwkv6_forward(params, cfg, tokens, state, lengths=lengths, logits_for=logits_for)
