@@ -325,6 +325,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "RWKV7ForCausalLM": ("rwkv7", "rwkv7"),
     "Rwkv7ForCausalLM": ("rwkv7", "rwkv7"),
     "RwkvHybridForCausalLM": ("rwkv7", "arwkv7"),
+    "NemotronHForCausalLM": ("nemotron_h", "nemotron-h"),
     "RwkvForCausalLM": ("rwkv6", "rwkv6"),
     "ArceeForCausalLM": ("llama", "arcee"),
     "Ernie4_5ForCausalLM": ("llama", "ernie4_5"),
@@ -342,6 +343,11 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "OpenELMForCausalLM": ("openelm", "openelm"),
     "ChameleonForCausalLM": ("llama", "chameleon"),
     "ChameleonForConditionalGeneration": ("llama", "chameleon"),
+    "OrionForCausalLM": ("llama", "orion"),
+    "XverseForCausalLM": ("llama", "xverse"),
+    "GPTRefactForCausalLM": ("llama", "refact"),
+    "MaincoderForCausalLM": ("llama", "maincoder"),
+    "PanguEmbeddedForCausalLM": ("llama", "pangu-embedded"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
@@ -403,6 +409,9 @@ def convert_hf_dir(
             return hfmod.convert_hf_mamba(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "rwkv6":
             return hfmod.convert_hf_rwkv6(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "nemotron_h":
+            return hfmod.convert_hf_nemotron_h(sd, config, out_path, gtype=gtype,
+                                               tokenizer_kv=tok_kv)
         if family == "rwkv7":
             return hfmod.convert_hf_rwkv7(sd, config, out_path, arch=gguf_arch,
                                           gtype=gtype, tokenizer_kv=tok_kv)

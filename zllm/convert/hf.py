@@ -110,6 +110,16 @@ _ARCH_RULES = {
     # chameleon: llama layout (permuted rope) + per-head q/k LAYERNORM with
     # bias (weights interleaved into the adjacent-pair basis) + swin_norm
     "chameleon": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # orion: LayerNorm(+bias) norms, neox rope, gated silu FFN
+    "orion": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # xverse: llama clone (NORM rope -> permuted)
+    "xverse": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # pangu-embedded: llama + q/k/v/o biases, neox rope
+    "pangu-embedded": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    # maincoder: llama clone (NORM rope -> permuted)
+    "maincoder": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    # refact: llama layout with NO positional encoding at all
+    "refact": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
     # (rope only on sliding layers -> nope_step on the full-attn layers)
     "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
@@ -2432,5 +2442,88 @@ def convert_hf_rwkv7(state_dict, config, out_path, *, arch="rwkv7",
     if "model.norm.bias" in state_dict:
         _emit(w, "output_norm.bias", npy(state_dict["model.norm.bias"]), GGMLType.F32)
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_nemotron_h(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                          tokenizer_kv=None):
+    """HF NemotronHForCausalLM -> GGUF (reference: convert_hf_to_gguf.py
+    NemotronHModel): the hybrid_override_pattern string assigns each layer
+    exactly ONE component — M = mamba2 mixer, * = NoPE attention,
+    - = squared-relu MLP."""
+    npy = _npy
+    arch = "nemotron-h"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    head_dim = int(config.get("head_dim", config.get("attention_head_dim",
+                                                     n_embd // n_head)))
+    pattern = config["hybrid_override_pattern"]
+    assert len(pattern) == n_layer
+    mamba_heads = int(config.get("mamba_num_heads", config.get("num_heads", 1)))
+    mamba_hd = int(config.get("mamba_head_dim", 64))
+    d_inner = mamba_heads * mamba_hd
+    kv_vec = [n_kv if ch == "*" else 0 for ch in pattern]
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", kv_vec)
+    w.add(f"{arch}.attention.key_length", head_dim)
+    w.add(f"{arch}.attention.value_length", head_dim)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.ssm.conv_kernel", int(config.get("conv_kernel", 4)))
+    w.add(f"{arch}.ssm.inner_size", d_inner)
+    w.add(f"{arch}.ssm.state_size", int(config.get("ssm_state_size", 128)))
+    w.add(f"{arch}.ssm.time_step_rank", mamba_heads)
+    w.add(f"{arch}.ssm.group_count", int(config.get("n_groups", 1)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["backbone.embeddings.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"backbone.layers.{il}."
+        o = f"blk.{il}."
+        kind = pattern[il]
+        # the shared pre-norm keys to the component the layer carries
+        # (zllm ffn-only blocks norm through ffn_norm)
+        _emit(w, o + ("ffn_norm.weight" if kind == "-" else "attn_norm.weight"),
+              npy(state_dict[p + "norm.weight"]), GGMLType.F32)
+        if kind == "M":
+            m = p + "mixer."
+            _emit(w, o + "ssm_in.weight", npy(state_dict[m + "in_proj.weight"]), gtype)
+            conv = npy(state_dict[m + "conv1d.weight"])
+            _emit(w, o + "ssm_conv1d.weight", conv.reshape(conv.shape[0], conv.shape[-1]), GGMLType.F32)
+            if m + "conv1d.bias" in state_dict:
+                _emit(w, o + "ssm_conv1d.bias", npy(state_dict[m + "conv1d.bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_dt.bias", npy(state_dict[m + "dt_bias"]), GGMLType.F32)
+            _emit(w, o + "ssm_a", -np.exp(npy(state_dict[m + "A_log"])), GGMLType.F32)
+            _emit(w, o + "ssm_d", npy(state_dict[m + "D"]), GGMLType.F32)
+            _emit(w, o + "ssm_norm.weight", npy(state_dict[m + "norm.weight"]), GGMLType.F32)
+            _emit(w, o + "ssm_out.weight", npy(state_dict[m + "out_proj.weight"]), gtype)
+        elif kind == "*":
+            m = p + "mixer."
+            for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                           ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+                _emit(w, o + f"{gg}.weight", npy(state_dict[m + f"{hf}.weight"]), gtype)
+        else:  # '-' MLP layer (squared relu, non-gated)
+            m = p + "mixer."
+            _emit(w, o + "ffn_up.weight", npy(state_dict[m + "up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[m + "down_proj.weight"]), gtype)
+            if m + "up_proj.bias" in state_dict:
+                _emit(w, o + "ffn_up.bias", npy(state_dict[m + "up_proj.bias"]), GGMLType.F32)
+                _emit(w, o + "ffn_down.bias", npy(state_dict[m + "down_proj.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["backbone.norm_f.weight"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    else:
+        _emit(w, "output.weight", npy(state_dict["backbone.embeddings.weight"]), gtype)
     w.write()
     return out_path

@@ -487,7 +487,7 @@ class ModelConfig:
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
                 else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
-                else "relu2" if arch in ("nemotron", "arcee")
+                else "relu2" if arch in ("nemotron", "arcee", "nemotron-h")
                 else "xielu" if arch == "apertus"
                 else "gelu" if arch == "grok"
                 else "relu" if arch == "smallthinker"
@@ -515,14 +515,16 @@ class ModelConfig:
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
-                            "phi2", "cohere2", "bloom", "dbrx", "jais")
+                            "phi2", "cohere2", "bloom", "dbrx", "jais",
+                            "orion", "codeshell")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
             attn_layers=attn_layers,
             # jamba attention has no rope; gpt2 uses learned position
             # embeddings; mpt uses ALiBi
-            use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom", "jais"),
+            use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom", "jais",
+                                  "nemotron-h", "refact"),
             parallel_residual=(
                 "shared" if arch in ("command-r", "phi2", "cohere2")
                 else "separate" if bool(kv("use_parallel_residual", False))
@@ -630,4 +632,8 @@ _NEOX_ROPE_ARCHES = {
     "dream",
     "llada-moe",
     "rnd1",
+    "orion",
+    "pangu-embedded",
+    "codeshell",
+    "qwen",
 }

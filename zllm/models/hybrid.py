@@ -117,7 +117,8 @@ def hybrid_forward(
             x, kv = layer_forward(
                 layer, cfg, x, positions, kv, ai, taps=taps, ep_axis=ep_axis
             )
-            ai += 1
+            if "wq" in layer or "wqkv" in layer:  # nemotron-h ffn-only
+                ai += 1  # layers must not consume a kv ordinal
     x = rms_norm(x, params["out_norm"], cfg.norm_eps)
     if taps is not None:
         taps["hidden"] = x

@@ -718,9 +718,16 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
 
 def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None,
                x_in=None):
-    """Post-attention half of a block: FFN/MoE + residual + cvector."""
+    """Post-attention half of a block: FFN/MoE + residual + cvector.
+    A block with no FFN weights contributes nothing (nemotron-h
+    attention/mamba layers are single-component; reference
+    src/models/nemotron-h.cpp dispatches one component per layer)."""
     from ..ops import linear as linmod
     from ..quant.repack import QTensor as _QT
+
+    if not any(k in layer for k in ("ffn_gate", "ffn_gateup", "ffn_up",
+                                    "ffn_gate_inp", "ffn_norm_exps")):
+        return x
 
     if "ffn_norm_exps" in layer:
         # arctic residual MoE (reference src/models/arctic.cpp:96-115):
