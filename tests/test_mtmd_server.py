@@ -153,3 +153,63 @@ def test_server_image_request(llava_model):
         assert out["usage"]["prompt_tokens"] >= n_img
     finally:
         srv.shutdown()
+
+
+def test_server_multi_image_request(llava_model):
+    """Two images in one chat request: both get encoded, both spans ride
+    the prompt (reference: server-context handles N media chunks per
+    prompt through libmtmd)."""
+    from zllm.server import ZllmServer
+
+    model, clip, data, mm_path = llava_model
+    srv = ZllmServer(model, n_slots=2, max_len=512, port=0, mmproj=mm_path)
+    srv.start_background()
+    try:
+        uri = "data:image/png;base64," + base64.b64encode(
+            _png_bytes(LLAVA_CFG["vision"]["image_size"])).decode()
+        body = {
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "first: "},
+                {"type": "image_url", "image_url": {"url": uri}},
+                {"type": "text", "text": " second: "},
+                {"type": "image_url", "image_url": {"url": uri}},
+            ]}],
+            "max_tokens": 6, "temperature": 0,
+        }
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["finish_reason"] in ("length", "stop")
+        n_img = clip.cfg.n_tokens
+        assert out["usage"]["prompt_tokens"] >= 2 * n_img
+    finally:
+        srv.shutdown()
+
+
+def test_image_slicing_llava_uhd(llava_model):
+    """Aspect-preserving tiling: a wide image slices into an overview +
+    an aspect-matched grid; embeddings concatenate overview-first."""
+    from zllm.mtmd import MtmdModel
+    from zllm.mtmd.media import best_slice_grid, preprocess_image_slices
+
+    model, clip, data, mm_path = llava_model
+    s = clip.cfg.image_size
+    rng = np.random.default_rng(1)
+    wide = rng.integers(0, 255, size=(s * 2, s * 4, 3), dtype=np.uint8)
+    tiles = preprocess_image_slices(wide, clip.cfg, max_slices=8)
+    gx, gy = best_slice_grid(s * 4, s * 2, 8)
+    assert (gx, gy) == (4, 2)  # 2:1 aspect at 8 slices
+    assert len(tiles) == 1 + gx * gy
+    assert all(t.shape == (3, s, s) for t in tiles)
+
+    mm = MtmdModel(mm_path)
+    emb = np.asarray(mm.encode_image_slices(wide, max_slices=8))
+    assert emb.shape[0] == (1 + gx * gy) * clip.cfg.n_tokens
+
+    # a small square image stays a single overview
+    small = rng.integers(0, 255, size=(s, s, 3), dtype=np.uint8)
+    assert len(preprocess_image_slices(small, clip.cfg, max_slices=8)) == 1

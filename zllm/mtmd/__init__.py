@@ -44,6 +44,22 @@ class MtmdModel:
 
         return clip_forward(params, cfg, preprocess_image(img, cfg))
 
+    def encode_image_slices(self, img, max_slices: int = 6):
+        """llava-uhd aspect-preserving encoding: overview + native-aspect
+        tiles, embeddings concatenated overview-first (reference
+        tools/mtmd/clip.cpp llava_uhd)."""
+        if self.vision is None:
+            raise ValueError("mmproj has no vision encoder")
+        params, cfg = self.vision
+        import jax.numpy as jnp
+
+        from .clip import clip_forward
+        from .media import preprocess_image_slices
+
+        tiles = preprocess_image_slices(img, cfg, max_slices=max_slices)
+        return jnp.concatenate(
+            [clip_forward(params, cfg, t) for t in tiles], axis=0)
+
     def encode_audio(self, audio):
         if self.audio is None:
             raise ValueError("mmproj has no audio encoder")

@@ -154,3 +154,78 @@ def chunks_to_embeds(model, chunks) -> "object":
         else:
             segs.append(jnp.asarray(ch.embeds, jnp.float32))
     return jnp.concatenate(segs, axis=0)[None]
+
+
+def _resize_rgb(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize [H, W, 3] uint8/f32 -> [h, w, 3] f32 (PIL-free)."""
+    src_h, src_w = arr.shape[:2]
+    if (src_h, src_w) == (h, w):
+        return arr.astype(np.float32)
+    ys = (np.arange(h) + 0.5) * src_h / h - 0.5
+    xs = (np.arange(w) + 0.5) * src_w / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, src_h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, src_w - 1)
+    y1 = np.clip(y0 + 1, 0, src_h - 1)
+    x1 = np.clip(x0 + 1, 0, src_w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float32)
+    top = a[y0][:, x0] * (1 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1 - fx) + a[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _normalize(arr: np.ndarray, cfg) -> np.ndarray:
+    mean = np.asarray(cfg.image_mean, np.float32).reshape(3, 1, 1)
+    std = np.asarray(cfg.image_std, np.float32).reshape(3, 1, 1)
+    x = arr.astype(np.float32) / 255.0
+    return (x.transpose(2, 0, 1) - mean) / std
+
+
+def best_slice_grid(w: int, h: int, max_slices: int) -> tuple[int, int]:
+    """Pick the (gx, gy) tile grid that best preserves the image's aspect
+    ratio with gx*gy <= max_slices (the llava-uhd candidate scan,
+    reference tools/mtmd/clip.cpp llava_uhd::get_slice_instructions:
+    minimize |log(W/H) - log(gx/gy)|, preferring more coverage)."""
+    best, best_err, best_cover = (1, 1), float("inf"), 0
+    target = np.log(w / h)
+    for gx in range(1, max_slices + 1):
+        for gy in range(1, max_slices + 1):
+            if gx * gy > max_slices:
+                continue
+            err = abs(target - np.log(gx / gy))
+            cover = gx * gy
+            if err < best_err - 1e-9 or (abs(err - best_err) < 1e-9
+                                         and cover > best_cover):
+                best, best_err, best_cover = (gx, gy), err, cover
+    return best
+
+
+def preprocess_image_slices(img, cfg, max_slices: int = 6) -> list:
+    """Aspect-preserving llava-uhd slicing: one square overview plus an
+    aspect-matched grid of native-resolution tiles (reference
+    tools/mtmd/clip.cpp llava_uhd slicing used by minicpmv/llava-uhd
+    class models).  Returns a list of normalized [3, S, S] arrays,
+    overview first."""
+    s = cfg.image_size
+    if isinstance(img, np.ndarray):
+        arr = img
+    else:
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("PIL is required to decode image files") from e
+        if isinstance(img, (str, bytes)):
+            img = Image.open(io.BytesIO(img) if isinstance(img, bytes) else img)
+        arr = np.asarray(img.convert("RGB"))
+    h, w = arr.shape[:2]
+    out = [_normalize(_resize_rgb(arr, s, s), cfg)]
+    if max_slices <= 1 or (h <= s and w <= s):
+        return out
+    gx, gy = best_slice_grid(w, h, max_slices)
+    resized = _resize_rgb(arr, gy * s, gx * s)
+    for ty in range(gy):
+        for tx in range(gx):
+            tile = resized[ty * s : (ty + 1) * s, tx * s : (tx + 1) * s]
+            out.append(_normalize(tile, cfg))
+    return out
