@@ -320,6 +320,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "DeepseekV2ForCausalLM": ("deepseek2", "deepseek2"),
     "DeepseekV3ForCausalLM": ("deepseek2", "deepseek2"),
     "MiniCPM3ForCausalLM": ("deepseek2", "minicpm3"),
+    "PLMForCausalLM": ("deepseek2", "plm"),
     "MambaForCausalLM": ("mamba", "mamba"),
     "Rwkv6ForCausalLM": ("rwkv6", "rwkv6"),
     "RWKV7ForCausalLM": ("rwkv7", "rwkv7"),

@@ -804,8 +804,14 @@ def convert_hf_deepseek2(
             _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.gate_proj.weight"]), gtype)
             _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
             _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+        elif p + "mlp.up_proj.weight" in state_dict:  # plm non-gated relu^2
+            _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.up_proj.weight"]), gtype)
+            _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
     _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
-    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    else:  # plm ties the head to the embeddings
+        _emit(w, "output.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
     w.write()
     return out_path
 

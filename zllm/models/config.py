@@ -354,7 +354,7 @@ class ModelConfig:
         mla = None
         kv_lora = int(kv("attention.kv_lora_rank", 0))
         attn_scale_override = 0.0
-        if arch in ("deepseek2", "minicpm3") and kv_lora > 0:
+        if arch in ("deepseek2", "minicpm3", "plm") and kv_lora > 0:
             mla = MlaConfig(
                 kv_lora_rank=kv_lora,
                 q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
@@ -487,7 +487,7 @@ class ModelConfig:
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
                 else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
-                else "relu2" if arch in ("nemotron", "arcee", "nemotron-h")
+                else "relu2" if arch in ("nemotron", "arcee", "nemotron-h", "plm")
                 else "xielu" if arch == "apertus"
                 else "gelu" if arch == "grok"
                 else "relu" if arch == "smallthinker"
