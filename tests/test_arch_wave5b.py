@@ -160,3 +160,111 @@ def test_pangu_embedded_matches_qwen2_plus_obias(tmp_path, toks):
     pc = str(tmp_path / "pangu0.gguf")
     convert_hf_llama(sd_zero, _cfg(), pc, arch="pangu-embedded", gtype=GGMLType.F32)
     np.testing.assert_allclose(_logits(pc, toks), base, rtol=2e-5, atol=2e-5)
+
+
+def test_qwen_v1_matches_numpy_spec(tmp_path, toks):
+    """qwen v1: fused c_attn (split at conversion), RMS norms, neox rope,
+    silu FFN with gate=w2/up=w1 (reference src/models/qwen.cpp)."""
+    from zllm.convert.hf import convert_hf_qwen
+    from zllm.gguf.constants import GGMLType as _G
+
+    rng = np.random.default_rng(6)
+    sd = {"transformer.wte.weight": _w(rng, V, H),
+          "transformer.ln_f.weight": _w(rng, H) + 1.0,
+          "lm_head.weight": _w(rng, V, H)}
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        sd[p + "ln_1.weight"] = _w(rng, H) + 1.0
+        sd[p + "ln_2.weight"] = _w(rng, H) + 1.0
+        sd[p + "attn.c_attn.weight"] = _w(rng, 3 * H, H)
+        sd[p + "attn.c_attn.bias"] = _w(rng, 3 * H)
+        sd[p + "attn.c_proj.weight"] = _w(rng, H, H)
+        sd[p + "mlp.w1.weight"] = _w(rng, F, H)   # up
+        sd[p + "mlp.w2.weight"] = _w(rng, F, H)   # gate
+        sd[p + "mlp.c_proj.weight"] = _w(rng, H, F)
+
+    hd = H // NH  # qwen v1 is MHA
+    t = toks.shape[1]
+    pos = np.arange(t)
+    x = sd["transformer.wte.weight"][toks[0]].astype(np.float64)
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        h = _rms(x, sd[p + "ln_1.weight"])
+        qkv = h @ sd[p + "attn.c_attn.weight"].T + sd[p + "attn.c_attn.bias"]
+        q = qkv[:, :H].reshape(t, NH, hd)
+        k = qkv[:, H : 2 * H].reshape(t, NH, hd)
+        v = qkv[:, 2 * H :].reshape(t, NH, hd)
+        q = _neox_rope(q, pos, hd, 10000.0)
+        k = _neox_rope(k, pos, hd, 10000.0)
+        x = x + _attn(q, k, v, hd**-0.5) @ sd[p + "attn.c_proj.weight"].T
+        h2 = _rms(x, sd[p + "ln_2.weight"])
+        x = x + (_silu(h2 @ sd[p + "mlp.w2.weight"].T)
+                 * (h2 @ sd[p + "mlp.w1.weight"].T)) @ sd[p + "mlp.c_proj.weight"].T
+    want = _rms(x, sd["transformer.ln_f.weight"]) @ sd["lm_head.weight"].T
+
+    cfg = dict(num_hidden_layers=NL, hidden_size=H, num_attention_heads=NH,
+               intermediate_size=2 * F, layer_norm_epsilon=1e-6,
+               rotary_emb_base=10000.0, vocab_size=V)
+    path = str(tmp_path / "qwen1.gguf")
+    convert_hf_qwen(sd, cfg, path, gtype=_G.F32)
+    got = _logits(path, toks)
+    np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-5)
+
+
+def test_codeshell_matches_numpy_spec(tmp_path, toks):
+    """codeshell: LayerNorm+bias blocks, grouped-query fused c_attn,
+    non-gated tanh-GELU FFN with biases, neox rope
+    (reference src/models/codeshell.cpp)."""
+    from zllm.convert.hf import convert_hf_codeshell
+    from zllm.gguf.constants import GGMLType as _G
+
+    rng = np.random.default_rng(7)
+    hd = H // NH
+    kvd = NKV * hd
+    sd = {"transformer.wte.weight": _w(rng, V, H),
+          "transformer.ln_f.weight": _w(rng, H) + 1.0,
+          "transformer.ln_f.bias": _w(rng, H),
+          "lm_head.weight": _w(rng, V, H)}
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        for nm in ("ln_1", "ln_2"):
+            sd[p + nm + ".weight"] = _w(rng, H) + 1.0
+            sd[p + nm + ".bias"] = _w(rng, H)
+        sd[p + "attn.c_attn.weight"] = _w(rng, H + 2 * kvd, H)
+        sd[p + "attn.c_attn.bias"] = _w(rng, H + 2 * kvd)
+        sd[p + "attn.c_proj.weight"] = _w(rng, H, H)
+        sd[p + "attn.c_proj.bias"] = _w(rng, H)
+        sd[p + "mlp.c_fc.weight"] = _w(rng, F, H)
+        sd[p + "mlp.c_fc.bias"] = _w(rng, F)
+        sd[p + "mlp.c_proj.weight"] = _w(rng, H, F)
+        sd[p + "mlp.c_proj.bias"] = _w(rng, H)
+
+    def gelu_tanh(x):
+        return 0.5 * x * (1.0 + np.tanh(0.7978845608 * (x + 0.044715 * x**3)))
+
+    t = toks.shape[1]
+    pos = np.arange(t)
+    x = sd["transformer.wte.weight"][toks[0]].astype(np.float64)
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        h = _ln(x, sd[p + "ln_1.weight"], sd[p + "ln_1.bias"])
+        qkv = h @ sd[p + "attn.c_attn.weight"].T + sd[p + "attn.c_attn.bias"]
+        q = qkv[:, :H].reshape(t, NH, hd)
+        k = qkv[:, H : H + kvd].reshape(t, NKV, hd)
+        v = qkv[:, H + kvd :].reshape(t, NKV, hd)
+        q = _neox_rope(q, pos, hd, 10000.0)
+        k = _neox_rope(k, pos, hd, 10000.0)
+        att = _attn(q, k, v, hd**-0.5)
+        x = x + att @ sd[p + "attn.c_proj.weight"].T + sd[p + "attn.c_proj.bias"]
+        h2 = _ln(x, sd[p + "ln_2.weight"], sd[p + "ln_2.bias"])
+        up = gelu_tanh(h2 @ sd[p + "mlp.c_fc.weight"].T + sd[p + "mlp.c_fc.bias"])
+        x = x + up @ sd[p + "mlp.c_proj.weight"].T + sd[p + "mlp.c_proj.bias"]
+    want = _ln(x, sd["transformer.ln_f.weight"], sd["transformer.ln_f.bias"]) \
+        @ sd["lm_head.weight"].T
+
+    cfg = dict(n_layer=NL, n_embd=H, n_head=NH, num_query_groups=NKV,
+               layer_norm_epsilon=1e-6, n_positions=128, vocab_size=V)
+    path = str(tmp_path / "codeshell.gguf")
+    convert_hf_codeshell(sd, cfg, path, gtype=_G.F32)
+    got = _logits(path, toks)
+    np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-5)

@@ -349,6 +349,8 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "GPTRefactForCausalLM": ("llama", "refact"),
     "MaincoderForCausalLM": ("llama", "maincoder"),
     "PanguEmbeddedForCausalLM": ("llama", "pangu-embedded"),
+    "QWenLMHeadModel": ("qwen", "qwen"),
+    "CodeShellForCausalLM": ("codeshell", "codeshell"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
@@ -418,6 +420,10 @@ def convert_hf_dir(
                                           gtype=gtype, tokenizer_kv=tok_kv)
         if family == "internlm2":
             return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "qwen":
+            return hfmod.convert_hf_qwen(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "codeshell":
+            return hfmod.convert_hf_codeshell(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "openelm":
             return hfmod.convert_hf_openelm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":

@@ -2533,3 +2533,113 @@ def convert_hf_nemotron_h(state_dict, config, out_path, *, gtype=GGMLType.F32,
         _emit(w, "output.weight", npy(state_dict["backbone.embeddings.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_qwen(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                    tokenizer_kv=None):
+    """Qwen v1 (QWenLMHeadModel): fused c_attn split into q/k/v here, RMS
+    norms, neox rope, silu FFN with gate=w2 / up=w1 and the halved
+    intermediate size (reference convert_hf_to_gguf.py QwenModel;
+    src/models/qwen.cpp)."""
+    npy = _npy
+    arch = "qwen"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_ff = int(config["intermediate_size"]) // 2
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 8192)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", n_ff)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("layer_norm_epsilon", 1e-6)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rotary_emb_base", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", n_embd // n_head)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "ln_1.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "ln_2.weight"]), GGMLType.F32)
+        ca = npy(state_dict[p + "attn.c_attn.weight"])  # [3E, E]
+        cb = npy(state_dict[p + "attn.c_attn.bias"])
+        _emit(w, o + "attn_q.weight", ca[:n_embd], gtype)
+        _emit(w, o + "attn_k.weight", ca[n_embd : 2 * n_embd], gtype)
+        _emit(w, o + "attn_v.weight", ca[2 * n_embd :], gtype)
+        _emit(w, o + "attn_q.bias", cb[:n_embd], GGMLType.F32)
+        _emit(w, o + "attn_k.bias", cb[n_embd : 2 * n_embd], GGMLType.F32)
+        _emit(w, o + "attn_v.bias", cb[2 * n_embd :], GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attn.c_proj.weight"]), gtype)
+        _emit(w, o + "ffn_gate.weight", npy(state_dict[p + "mlp.w2.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.w1.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_codeshell(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                         tokenizer_kv=None):
+    """CodeShell: gpt2-family LayerNorm(+bias) blocks with grouped-query
+    fused c_attn (split here), non-gated GELU FFN with biases, neox rope
+    (reference convert_hf_to_gguf.py CodeShellModel;
+    src/models/codeshell.cpp)."""
+    npy = _npy
+    arch = "codeshell"
+    n_layer = int(config["n_layer"])
+    n_embd = int(config["n_embd"])
+    n_head = int(config["n_head"])
+    n_kv = int(config.get("num_query_groups", 1))
+    head_dim = n_embd // n_head
+    kvd = n_kv * head_dim
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("n_positions", 8192)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", 4 * n_embd)
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", 10000.0)
+    w.add(f"{arch}.rope.dimension_count", head_dim)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        for hf, gg in (("ln_1", "attn_norm"), ("ln_2", "ffn_norm")):
+            _emit(w, o + f"{gg}.weight", npy(state_dict[p + hf + ".weight"]), GGMLType.F32)
+            _emit(w, o + f"{gg}.bias", npy(state_dict[p + hf + ".bias"]), GGMLType.F32)
+        ca = npy(state_dict[p + "attn.c_attn.weight"])  # [E + 2*kvd, E]
+        cb = npy(state_dict[p + "attn.c_attn.bias"])
+        _emit(w, o + "attn_q.weight", ca[:n_embd], gtype)
+        _emit(w, o + "attn_k.weight", ca[n_embd : n_embd + kvd], gtype)
+        _emit(w, o + "attn_v.weight", ca[n_embd + kvd :], gtype)
+        _emit(w, o + "attn_q.bias", cb[:n_embd], GGMLType.F32)
+        _emit(w, o + "attn_k.bias", cb[n_embd : n_embd + kvd], GGMLType.F32)
+        _emit(w, o + "attn_v.bias", cb[n_embd + kvd :], GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attn.c_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(state_dict[p + "attn.c_proj.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.c_fc.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
