@@ -351,6 +351,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "PanguEmbeddedForCausalLM": ("llama", "pangu-embedded"),
     "QWenLMHeadModel": ("qwen", "qwen"),
     "CodeShellForCausalLM": ("codeshell", "codeshell"),
+    "AfmoeForCausalLM": ("llama", "afmoe"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),

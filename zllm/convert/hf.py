@@ -120,6 +120,9 @@ _ARCH_RULES = {
     "maincoder": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     # refact: llama layout with NO positional encoding at all
     "refact": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # afmoe: neox rope, per-head QK norm, attention out-gate, sandwich
+    # norms, sigmoid MoE with shared expert + dense lead
+    "afmoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
     # (rope only on sliding layers -> nope_step on the full-attn layers)
     "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
@@ -297,6 +300,14 @@ def convert_hf_llama(
         if "moe_intermediate_size" in config:
             w.add(f"{arch}.expert_shared_feed_forward_length",
                   int(config["moe_intermediate_size"]) * int(config["n_shared_experts"]))
+    if "n_dense_layers" in config:  # afmoe leading dense layers
+        w.add(f"{arch}.leading_dense_block_count", int(config["n_dense_layers"]))
+    if "route_norm" in config:  # afmoe routed-weight normalization
+        w.add(f"{arch}.expert_weights_norm", bool(config["route_norm"]))
+    if "route_scale" in config:
+        w.add(f"{arch}.expert_weights_scale", float(config["route_scale"]))
+    if arch == "afmoe":
+        w.add(f"{arch}.expert_gating_func", 2)  # sigmoid default
     if "first_k_dense_replace" in config:
         w.add(f"{arch}.leading_dense_block_count", int(config["first_k_dense_replace"]))
     if "routed_scaling_factor" in config:
@@ -446,6 +457,8 @@ def convert_hf_llama(
             _emit(w, o + "attn_output.bias", npy(state_dict[p + "self_attn.o_proj.bias"]), GGMLType.F32)
         if p + "self_attn.sinks" in state_dict:  # gpt-oss attention sinks
             _emit(w, o + "attn_sinks.weight", npy(state_dict[p + "self_attn.sinks"]), GGMLType.F32)
+        if p + "self_attn.gate_proj.weight" in state_dict:  # afmoe out-gate
+            _emit(w, o + "attn_gate.weight", npy(state_dict[p + "self_attn.gate_proj.weight"]), gtype)
         if arch == "chameleon" and p + "self_attn.q_norm.weight" in state_dict:
             # per-head LayerNorm vectors move into the adjacent-pair rope
             # basis with the same half-split interleave the reference
@@ -471,7 +484,11 @@ def convert_hf_llama(
         if p + "self_attn.query_layernorm.weight" in state_dict:  # hunyuan QK-norm
             _emit(w, o + "attn_q_norm.weight", norm(state_dict[p + "self_attn.query_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "attn_k_norm.weight", norm(state_dict[p + "self_attn.key_layernorm.weight"]), GGMLType.F32)
-        if p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
+        if p + "pre_mlp_layernorm.weight" in state_dict:  # afmoe sandwich
+            _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_mlp_layernorm.weight"]), GGMLType.F32)
+            _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_mlp_layernorm.weight"]), GGMLType.F32)
+        elif p + "pre_feedforward_layernorm.weight" in state_dict:  # gemma2 sandwich
             _emit(w, o + "attn_post_norm.weight", norm(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_norm.weight", norm(state_dict[p + "pre_feedforward_layernorm.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_post_norm.weight", norm(state_dict[p + "post_feedforward_layernorm.weight"]), GGMLType.F32)
@@ -512,6 +529,22 @@ def convert_hf_llama(
                 _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_experts.gate_proj.weight"]), gtype)
                 _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_experts.up_proj.weight"]), gtype)
                 _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_experts.down_proj.weight"]), gtype)
+        elif p + "mlp.router.gate.weight" in state_dict:  # afmoe
+            _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.router.gate.weight"]), GGMLType.F32)
+            if p + "mlp.expert_bias" in state_dict:
+                _emit(w, o + "exp_probs_b.bias",
+                      npy(state_dict[p + "mlp.expert_bias"]).reshape(-1), GGMLType.F32)
+            n_exp = int(config["num_experts"])
+            for hf, gg in (("gate_proj", "ffn_gate_exps"), ("up_proj", "ffn_up_exps"),
+                           ("down_proj", "ffn_down_exps")):
+                stk = np.stack([npy(state_dict[f"{p}mlp.experts.{e}.{hf}.weight"])
+                                for e in range(n_exp)])
+                _emit(w, o + gg + ".weight", stk, gtype)
+            for hf, gg in (("gate_proj", "ffn_gate_shexp"), ("up_proj", "ffn_up_shexp"),
+                           ("down_proj", "ffn_down_shexp")):
+                if f"{p}mlp.shared_experts.{hf}.weight" in state_dict:
+                    _emit(w, o + gg + ".weight",
+                          npy(state_dict[f"{p}mlp.shared_experts.{hf}.weight"]), gtype)
         elif p + "mlp.router.weight" in state_dict:  # gpt-oss fused experts
             _emit(w, o + "ffn_gate_inp.weight", npy(state_dict[p + "mlp.router.weight"]), GGMLType.F32)
             _emit(w, o + "ffn_gate_inp.bias", npy(state_dict[p + "mlp.router.bias"]), GGMLType.F32)

@@ -463,11 +463,16 @@ class ModelConfig:
             logit_scale=logit_scale,
             emb_scale=float(kv("embedding_scale",
                                # grok-1 embedding_multiplier_scale default
-                               # (reference llama-model.cpp:799)
-                               78.38367176906169 if arch == "grok" else 1.0)),
+                               # (reference llama-model.cpp:799); afmoe MuP
+                               # scales embeddings by sqrt(n_embd)
+                               # (reference src/models/afmoe.cpp:10)
+                               78.38367176906169 if arch == "grok"
+                               else float(n_embd) ** 0.5 if arch == "afmoe"
+                               else 1.0)),
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
             swa_pattern={"gemma2": 2, "gemma3": 6, "gemma3n": 5, "cohere2": 4,
+                         "afmoe": 4,
                          "gpt-oss": 2, "olmo3": 4, "exaone4": 4,
                          # smallthinker set_swa_pattern(4, dense_first=true)
                          # (reference llama-model.cpp:2306)
@@ -533,7 +538,10 @@ class ModelConfig:
             # cohere2/exaone4 apply rope ONLY on sliding layers: the full-
             # attention layer of each window group is NoPE (HF is_sliding
             # gating; reference models/cohere2-iswa.cpp, exaone4.cpp)
-            nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4}.get(
+            nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4,
+                       # afmoe: rope only off the every-4th full-attention
+                       # layer (reference llama-model.cpp:2243)
+                       "afmoe": 4}.get(
                 arch,
                 # smallthinker: full-attention layers (il%4==0) are NoPE
                 # when SWA is on (reference llama-model.cpp:2299-2314)
@@ -636,4 +644,5 @@ _NEOX_ROPE_ARCHES = {
     "pangu-embedded",
     "codeshell",
     "qwen",
+    "afmoe",
 }

@@ -625,6 +625,12 @@ def layer_forward(
     # under tensor parallelism wo carries a psum flag (zllm.parallel);
     # bias is added after the reduce
     att = att.reshape(b, t, -1)
+    if cfg.arch == "afmoe" and "ssm_z" in layer:
+        # afmoe attention out-gate: att * sigmoid(gate(h)) BEFORE wo
+        # (reference src/models/afmoe.cpp:55-58; the GGUF tensor
+        # blk.N.attn_gate shares its loader key with the deltanet gate)
+        hg = h if h is not None else block_norm(x, layer, "attn_norm", cfg)
+        att = att * jax.nn.sigmoid(lora_linear(layer, "ssm_z", hg))
     if taps is not None:
         taps[f"{tapname}.attn_output.weight"] = att
     att = lora_linear(layer, "wo", att)
