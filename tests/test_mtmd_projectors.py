@@ -447,3 +447,57 @@ def test_ldp_projector(tmp_path, pix):
         g = g + b if residual else b
     want = g.transpose(1, 2, 0).reshape(-1, PROJ)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_glm_edge_adapter(tmp_path, pix):
+    """glm-edge: 2x2 stride-2 conv grid downsample, GLU adapter
+    (silu(h_to_4h) * gate), BOI/EOI embedding wrap (reference
+    models/llava.cpp PROJECTOR_TYPE_GLM_EDGE)."""
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "glmedge.gguf")
+    w = GGUFWriter(path)
+    _kv_common(w, "adapter")
+    t = _write_tower(w, rng, cls=True, pos=True, post_ln=True)
+    c2, c4 = PROJ, 2 * PROJ
+    mm = {"conv": _w(rng, c2, C, 2, 2), "conv_b": _w(rng, c2),
+          "mlp0": _w(rng, PROJ, c2), "lnq": _w(rng, PROJ) + 1.0,
+          "lnq_b": _w(rng, PROJ), "gate": _w(rng, c4, PROJ),
+          "h4h": _w(rng, c4, PROJ), "hh": _w(rng, PROJ, c4),
+          "boi": _w(rng, PROJ), "eoi": _w(rng, PROJ)}
+    w.add_tensor("adapter.conv.weight", mm["conv"], GGMLType.F32)
+    w.add_tensor("adapter.conv.bias", mm["conv_b"], GGMLType.F32)
+    w.add_tensor("adapter.linear.linear.weight", mm["mlp0"], GGMLType.F32)
+    w.add_tensor("adapter.linear.norm1.weight", mm["lnq"], GGMLType.F32)
+    w.add_tensor("adapter.linear.norm1.bias", mm["lnq_b"], GGMLType.F32)
+    w.add_tensor("adapter.linear.gate.weight", mm["gate"], GGMLType.F32)
+    w.add_tensor("adapter.linear.dense_h_to_4h.weight", mm["h4h"], GGMLType.F32)
+    w.add_tensor("adapter.linear.dense_4h_to_h.weight", mm["hh"], GGMLType.F32)
+    w.add_tensor("adapter.boi", mm["boi"], GGMLType.F32)
+    w.add_tensor("adapter.eoi", mm["eoi"], GGMLType.F32)
+    w.write()
+
+    got, cfg = _encode(path, pix)
+    assert cfg.n_tokens == (SIDE // 2) ** 2 + 2
+
+    x = _patchify(pix) @ t["patch_w"].reshape(C, -1).T + t["patch_b"]
+    x = np.concatenate([t["cls"][None], x], axis=0)
+    x = x + t["pos"][: x.shape[0]]
+    x = _vit_np(t, x)  # glm-edge runs ALL layers
+    x = _ln(x, t["post_ln"], t["post_ln_b"])
+    g = x[1:].reshape(SIDE, SIDE, C).transpose(2, 0, 1)
+    # 2x2 stride-2 valid conv
+    conv = np.zeros((c2, SIDE // 2, SIDE // 2))
+    for oc in range(c2):
+        for yy in range(SIDE // 2):
+            for xx in range(SIDE // 2):
+                conv[oc, yy, xx] = np.sum(
+                    g[:, 2 * yy : 2 * yy + 2, 2 * xx : 2 * xx + 2] * mm["conv"][oc])
+    y = conv.transpose(1, 2, 0).reshape(-1, c2) + mm["conv_b"]
+    y = y @ mm["mlp0"].T
+    y = _ln(y, mm["lnq"], mm["lnq_b"])
+    y = _gelu(y)
+    h = y @ mm["h4h"].T
+    gate = y @ mm["gate"].T
+    y = (h / (1.0 + np.exp(-h)) * gate) @ mm["hh"].T
+    want = np.concatenate([mm["boi"][None], y, mm["eoi"][None]], axis=0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

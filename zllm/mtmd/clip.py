@@ -66,6 +66,8 @@ class ClipConfig:
             return self.n_patches // (self.n_merge * self.n_merge)
         if self.proj_type in ("ldp", "ldpv2"):
             return (side // 2) ** 2
+        if self.proj_type == "adapter":  # glm-edge: conv/2 grid + BOI/EOI
+            return (side // 2) ** 2 + 2
         if self.proj_type == "resampler":
             return self.query_num
         if self.proj_type == "pixtral":
@@ -277,6 +279,18 @@ def load_vision_mmproj(f: GGUFFile, names: set):
         p["mm_2_b"] = get("mm.model.mlp.2.bias")
         p["peg_w"] = get("mm.model.peg.0.weight")  # [C, 1, 3, 3] depthwise
         p["peg_b"] = get("mm.model.peg.0.bias")
+    elif cfg.proj_type == "adapter":
+        # glm-edge (reference models/llava.cpp PROJECTOR_TYPE_GLM_EDGE)
+        p["glm_conv"] = get("adapter.conv.weight")  # [C2, C, 2, 2]
+        p["glm_conv_b"] = get("adapter.conv.bias")
+        p["glm_mlp_0"] = get("adapter.linear.linear.weight").T
+        p["glm_ln_q"] = get("adapter.linear.norm1.weight")
+        p["glm_ln_q_b"] = get("adapter.linear.norm1.bias")
+        p["glm_gate"] = get("adapter.linear.gate.weight").T
+        p["glm_h4h"] = get("adapter.linear.dense_h_to_4h.weight").T
+        p["glm_4hh"] = get("adapter.linear.dense_4h_to_h.weight").T
+        p["glm_boi"] = get("adapter.boi")
+        p["glm_eoi"] = get("adapter.eoi")
     elif cfg.proj_type == "ldp":
         p["mm_1"] = get("mm.model.mlp.1.weight").T
         p["mm_1_b"] = get("mm.model.mlp.1.bias")
@@ -580,6 +594,25 @@ def _project(p, cfg: ClipConfig, x: jax.Array) -> jax.Array:
         g = mobile_block(g, "ldp_b1_", 1, True)
         g = mobile_block(g, "ldp_b2_", 2, False)
         return g.transpose(1, 2, 0).reshape(-1, g.shape[0])
+    if cfg.proj_type == "adapter":
+        # glm-edge: 2x2 stride-2 conv + GLU adapter, BOI/EOI wrap
+        # (reference models/llava.cpp PROJECTOR_TYPE_GLM_EDGE)
+        if p["class_embd"] is not None:
+            x = x[1:]
+        side = cfg.image_size // cfg.patch_size
+        c = x.shape[-1]
+        g = x.reshape(side, side, c).transpose(2, 0, 1)[None]  # [1, C, H, W]
+        conv = jax.lax.conv_general_dilated(
+            g, p["glm_conv"], (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]
+        c2 = conv.shape[0]
+        y = conv.transpose(1, 2, 0).reshape(-1, c2) + p["glm_conv_b"]
+        y = y @ p["glm_mlp_0"]
+        y = _ln(y, p["glm_ln_q"], p["glm_ln_q_b"], cfg.eps)
+        y = _act(y, "gelu")
+        y = (jax.nn.silu(y @ p["glm_h4h"]) * (y @ p["glm_gate"])) @ p["glm_4hh"]
+        return jnp.concatenate(
+            [p["glm_boi"].reshape(1, -1), y, p["glm_eoi"].reshape(1, -1)], axis=0)
     if cfg.proj_type == "idefics3":
         # pixel shuffle: group m x m neighboring patches on the channel dim
         # (reference build_patch_merge_permute + mm.model.fc)

@@ -1457,9 +1457,14 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=
 
     m = x.shape[0]
     tk = fold
-    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2"))
-    if mult > 1 and k % (fold * mult) == 0:
-        tk = fold * mult
+    # round-5 device profile (TinyLlama prefill 512): TK_MULT=8 cuts the
+    # np-GEMM device time ~9% (fewer grid steps); pick the largest
+    # multiplier <= MULT that divides K
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "8"))
+    for mm in range(mult, 1, -1):
+        if k % (fold * mm) == 0:
+            tk = fold * mm
+            break
     gt = tk // 32
     nb = n // tn
     grid = (nb, k // tk)
@@ -1648,10 +1653,11 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     k, n = local_shape(qt)
 
     # TN=512 measured ~17% faster full-model decode than 256 (fewer grid
-    # steps); narrow-dtype (u8/bf16) dequant is blocked on Mosaic's missing
-    # u8 shift legalization
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024"))
-    tn = next((t for t in (tn_pref, 1024, 512, 256, 128) if n % t == 0), 128)
+    # steps); round-5 prefill profile: TN=2048 with TK_MULT=8 cuts the
+    # np-GEMM device time another 3% over TN=1024.  Narrow-dtype (u8/bf16)
+    # dequant is blocked on Mosaic's missing u8 shift legalization
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "2048"))
+    tn = next((t for t in (tn_pref, 2048, 1024, 512, 256, 128) if n % t == 0), 128)
     names = _plane_names(qt)
     diet = names is _Q4K_DIET
     planes_tuple = tuple(_plane_view(qt, nm) for nm in names)
