@@ -352,6 +352,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "QWenLMHeadModel": ("qwen", "qwen"),
     "CodeShellForCausalLM": ("codeshell", "codeshell"),
     "AfmoeForCausalLM": ("llama", "afmoe"),
+    "CogVLMForCausalLM": ("cogvlm", "cogvlm"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
@@ -423,6 +424,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_internlm2(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "qwen":
             return hfmod.convert_hf_qwen(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "cogvlm":
+            return hfmod.convert_hf_cogvlm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "codeshell":
             return hfmod.convert_hf_codeshell(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "openelm":

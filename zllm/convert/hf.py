@@ -2676,3 +2676,51 @@ def convert_hf_codeshell(state_dict, config, out_path, *, gtype=GGMLType.F32,
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_cogvlm(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                      tokenizer_kv=None):
+    """CogVLM text stack: per-layer dual weight sets — the language expert
+    serves token batches, the vision expert serves image-embedding batches
+    (reference src/models/cogvlm.cpp:15-37).  Fused query_key_value stays
+    fused (the loader splits by rows)."""
+    npy = _npy
+    arch = "cogvlm"
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_head)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add(f"{arch}.rope.dimension_count", n_embd // n_head)
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        a = p + "self_attn."
+        _emit(w, o + "attn_qkv.weight", npy(state_dict[a + "language_expert_query_key_value.weight"]), gtype)
+        _emit(w, o + "attn_output.weight", npy(state_dict[a + "language_expert_dense.weight"]), gtype)
+        _emit(w, o + "vis_attn_qkv.weight", npy(state_dict[a + "vision_expert_query_key_value.weight"]), gtype)
+        _emit(w, o + "vis_attn_output.weight", npy(state_dict[a + "vision_expert_dense.weight"]), gtype)
+        for hf, gg in (("gate_proj", "ffn_gate"), ("up_proj", "ffn_up"), ("down_proj", "ffn_down")):
+            _emit(w, o + f"{gg}.weight", npy(state_dict[f"{p}mlp.language_mlp.{hf}.weight"]), gtype)
+            _emit(w, o + f"vis_{gg.replace('ffn_', '')}.weight",
+                  npy(state_dict[f"{p}mlp.vision_mlp.{hf}.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+    _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path

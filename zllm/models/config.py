@@ -645,4 +645,5 @@ _NEOX_ROPE_ARCHES = {
     "codeshell",
     "qwen",
     "afmoe",
+    "cogvlm",
 }

@@ -888,7 +888,23 @@ def forward(
         b0, t0 = tokens.shape
         mask = jnp.ones((b0, t0, t0), bool)
 
+    # cogvlm: embedding (image) batches run the vision-expert weight set,
+    # token batches the language set (reference src/models/cogvlm.cpp:15-37)
+    vis_batch = (cfg.arch == "cogvlm" and embeds is not None
+                 and embeds_mask is None)
     for il, layer in enumerate(params["layers"]):
+        if vis_batch and "visexp_wq" in layer:
+            swap = dict(
+                wq=layer["visexp_wq"], wk=layer["visexp_wk"],
+                wv=layer["visexp_wv"], wo=layer["visexp_wo"],
+                ffn_gate=layer["visexp_ffn_gate"],
+                ffn_up=layer["visexp_ffn_up"],
+                ffn_down=layer["visexp_ffn_down"],
+            )
+            drop = ("wq", "wk", "wv", "wo", "wqkv", "ffn_gate", "ffn_up",
+                    "ffn_down", "ffn_gateup")
+            layer = {k: v for k, v in layer.items() if k not in drop}
+            layer.update(swap)
         window = cfg.sliding_window if cfg.is_swa_layer(il) else 0
         x, kv = layer_forward(
             layer, cfg, x, positions, kv, il,

@@ -159,10 +159,18 @@ _LAYER_MAP = {
     "ffn_down.bias": "ffn_down_b",
     "ffn_gate.bias": "ffn_gate_b",  # jais swiglu biases
     "ffn_norm_exps.weight": "ffn_norm_exps",  # arctic residual-MoE norm
+    # cogvlm vision-expert weights (reference LLM_TENSOR_VISEXP_*,
+    # src/llama-arch.cpp:495-499; selected for embedding batches)
+    "vis_attn_output.weight": "visexp_wo",
+    "vis_gate.weight": "visexp_ffn_gate",
+    "vis_up.weight": "visexp_ffn_up",
+    "vis_down.weight": "visexp_ffn_down",
 }
 
 # params keys holding 2-D matmul weights (eligible for quantized execution)
-_MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down", "ffn_gate_inp", "output"}
+_MATMUL_KEYS = {"wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down",
+                "ffn_gate_inp", "output", "visexp_wo", "visexp_ffn_gate",
+                "visexp_ffn_up", "visexp_ffn_down"}
 
 # 1-D / small tensors stay f32; large dense tensors go bf16 by default
 _VECTOR_KEYS = {
@@ -320,6 +328,13 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
                 # deltanet q|k|v projection (conversion-reordered); head
                 # layout differs from the attention layers — keep whole
                 params["layers"][il]["ssm_qkv"] = _load_matmul(f, name, quantized, dtype)
+                continue
+            if suffix == "vis_attn_qkv.weight":  # cogvlm vision expert
+                qd, kvd = cfg.q_dim, cfg.kv_dim
+                wq, wk, wv = _load_matmul_rows(
+                    f, name, [(0, qd), (qd, qd + kvd), (qd + kvd, qd + 2 * kvd)], quantized, dtype
+                )
+                params["layers"][il].update(visexp_wq=wq, visexp_wk=wk, visexp_wv=wv)
                 continue
             if suffix == "attn_qkv.weight":  # phi3-style fused QKV
                 qd, kvd = cfg.q_dim, cfg.kv_dim
