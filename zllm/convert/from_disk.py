@@ -353,6 +353,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "CodeShellForCausalLM": ("codeshell", "codeshell"),
     "AfmoeForCausalLM": ("llama", "afmoe"),
     "CogVLMForCausalLM": ("cogvlm", "cogvlm"),
+    "ExaoneMoEForCausalLM": ("llama", "exaone-moe"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),

@@ -123,6 +123,9 @@ _ARCH_RULES = {
     # afmoe: neox rope, per-head QK norm, attention out-gate, sandwich
     # norms, sigmoid MoE with shared expert + dense lead
     "afmoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # exaone-moe: exaone4 attention (per-head QK norm, rope on SWA layers
+    # only) + deepseek-style MoE with shared expert
+    "exaone-moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # exaone4: olmo2-style post-only norms + per-head QK norm + hybrid SWA
     # (rope only on sliding layers -> nope_step on the full-attn layers)
     "exaone4": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),

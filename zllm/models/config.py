@@ -472,7 +472,7 @@ class ModelConfig:
             residual_scale=float(kv("residual_scale", 1.0)),
             sliding_window=int(kv("attention.sliding_window", 0)),
             swa_pattern={"gemma2": 2, "gemma3": 6, "gemma3n": 5, "cohere2": 4,
-                         "afmoe": 4,
+                         "afmoe": 4, "exaone-moe": 4,
                          "gpt-oss": 2, "olmo3": 4, "exaone4": 4,
                          # smallthinker set_swa_pattern(4, dense_first=true)
                          # (reference llama-model.cpp:2306)
@@ -539,6 +539,7 @@ class ModelConfig:
             # attention layer of each window group is NoPE (HF is_sliding
             # gating; reference models/cohere2-iswa.cpp, exaone4.cpp)
             nope_step={"smollm3": 4, "cohere2": 4, "exaone4": 4,
+                       "exaone-moe": 4,
                        # afmoe: rope only off the every-4th full-attention
                        # layer (reference llama-model.cpp:2243)
                        "afmoe": 4}.get(
@@ -630,6 +631,7 @@ _NEOX_ROPE_ARCHES = {
     "arcee",
     # ernie4_5 uses adjacent-pair (interleaved) rope natively - NORM style
     "exaone4",
+    "exaone-moe",
     "olmoe",
     "glm4moe",
     "dots1",
