@@ -268,3 +268,77 @@ def test_codeshell_matches_numpy_spec(tmp_path, toks):
     convert_hf_codeshell(sd, cfg, path, gtype=_G.F32)
     got = _logits(path, toks)
     np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-5)
+
+
+def test_starcoder_v1_matches_numpy_spec(tmp_path, toks):
+    """starcoder v1: learned positions, LayerNorm+bias blocks, multi-query
+    fused c_attn, tanh-GELU FFN with biases, NO rope
+    (reference src/models/starcoder.cpp)."""
+    from zllm.convert.hf import convert_hf_starcoder
+    from zllm.gguf.constants import GGMLType as _G
+
+    rng = np.random.default_rng(8)
+    hd = H // NH
+    kvd = hd  # multi-query: 1 kv head
+    sd = {"transformer.wte.weight": _w(rng, V, H),
+          "transformer.wpe.weight": _w(rng, 128, H),
+          "transformer.ln_f.weight": _w(rng, H) + 1.0,
+          "transformer.ln_f.bias": _w(rng, H),
+          "lm_head.weight": _w(rng, V, H)}
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        for nm in ("ln_1", "ln_2"):
+            sd[p + nm + ".weight"] = _w(rng, H) + 1.0
+            sd[p + nm + ".bias"] = _w(rng, H)
+        sd[p + "attn.c_attn.weight"] = _w(rng, H + 2 * kvd, H)
+        sd[p + "attn.c_attn.bias"] = _w(rng, H + 2 * kvd)
+        sd[p + "attn.c_proj.weight"] = _w(rng, H, H)
+        sd[p + "attn.c_proj.bias"] = _w(rng, H)
+        sd[p + "mlp.c_fc.weight"] = _w(rng, F, H)
+        sd[p + "mlp.c_fc.bias"] = _w(rng, F)
+        sd[p + "mlp.c_proj.weight"] = _w(rng, H, F)
+        sd[p + "mlp.c_proj.bias"] = _w(rng, H)
+
+    def gelu_tanh(x):
+        return 0.5 * x * (1.0 + np.tanh(0.7978845608 * (x + 0.044715 * x**3)))
+
+    t = toks.shape[1]
+    x = (sd["transformer.wte.weight"][toks[0]]
+         + sd["transformer.wpe.weight"][np.arange(t)]).astype(np.float64)
+    for il in range(NL):
+        p = f"transformer.h.{il}."
+        h = _ln(x, sd[p + "ln_1.weight"], sd[p + "ln_1.bias"])
+        qkv = h @ sd[p + "attn.c_attn.weight"].T + sd[p + "attn.c_attn.bias"]
+        q = qkv[:, :H].reshape(t, NH, hd)
+        k = qkv[:, H : H + kvd].reshape(t, 1, hd)
+        v = qkv[:, H + kvd :].reshape(t, 1, hd)
+        att = _attn(q, k, v, hd**-0.5)
+        x = x + att @ sd[p + "attn.c_proj.weight"].T + sd[p + "attn.c_proj.bias"]
+        h2 = _ln(x, sd[p + "ln_2.weight"], sd[p + "ln_2.bias"])
+        up = gelu_tanh(h2 @ sd[p + "mlp.c_fc.weight"].T + sd[p + "mlp.c_fc.bias"])
+        x = x + up @ sd[p + "mlp.c_proj.weight"].T + sd[p + "mlp.c_proj.bias"]
+    want = _ln(x, sd["transformer.ln_f.weight"], sd["transformer.ln_f.bias"]) \
+        @ sd["lm_head.weight"].T
+
+    cfg = dict(n_layer=NL, n_embd=H, n_head=NH, multi_query=True,
+               layer_norm_epsilon=1e-6, n_positions=128, n_inner=F,
+               vocab_size=V)
+    path = str(tmp_path / "starcoder.gguf")
+    convert_hf_starcoder(sd, cfg, path, gtype=_G.F32)
+    got = _logits(path, toks)
+    np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-5)
+
+
+def test_mistral3_and_llama_embed_match_llama(tmp_path, toks):
+    """mistral3 / llama-embed are llama-graph clones."""
+    from zllm.convert import convert_hf_llama
+
+    rng = np.random.default_rng(9)
+    sd = _base_sd(rng)
+    pa = str(tmp_path / "l.gguf")
+    convert_hf_llama(sd, _cfg(), pa, arch="llama", gtype=GGMLType.F32)
+    base = _logits(pa, toks)
+    for arch in ("mistral3", "llama-embed"):
+        pb = str(tmp_path / f"{arch}.gguf")
+        convert_hf_llama(sd, _cfg(), pb, arch=arch, gtype=GGMLType.F32)
+        np.testing.assert_allclose(_logits(pb, toks), base, rtol=2e-5, atol=2e-5)

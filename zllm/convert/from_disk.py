@@ -354,6 +354,9 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "AfmoeForCausalLM": ("llama", "afmoe"),
     "CogVLMForCausalLM": ("cogvlm", "cogvlm"),
     "ExaoneMoEForCausalLM": ("llama", "exaone-moe"),
+    "GPTBigCodeForCausalLM": ("starcoder", "starcoder"),
+    "Mistral3ForConditionalGeneration": ("llama", "mistral3"),
+    "LlamaModel": ("llama", "llama-embed"),
     "BloomForCausalLM": ("bloom", "bloom"),
     "GraniteMoeForCausalLM": ("llama", "granitemoe"),
     "GraniteMoeSharedForCausalLM": ("llama", "granitemoe"),
@@ -427,6 +430,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_qwen(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "cogvlm":
             return hfmod.convert_hf_cogvlm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "starcoder":
+            return hfmod.convert_hf_starcoder(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "codeshell":
             return hfmod.convert_hf_codeshell(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "openelm":

@@ -52,6 +52,8 @@ _ARCH_RULES = {
     # ggml llama uses adjacent-pair rope -> permute Q/K; no biases
     "llama": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     "mistral": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    "mistral3": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
+    "llama-embed": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     "mixtral": dict(permute_qk=True, qkv_bias=False, norm_plus_one=False),
     # ggml qwen2 keeps HF half-split (neox) rope; attn has biases
     "qwen2": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
@@ -2725,5 +2727,64 @@ def convert_hf_cogvlm(state_dict, config, out_path, *, gtype=GGMLType.F32,
                   npy(state_dict[f"{p}mlp.vision_mlp.{hf}.weight"]), gtype)
     _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
     _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    w.write()
+    return out_path
+
+
+def convert_hf_starcoder(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                         tokenizer_kv=None):
+    """StarCoder v1 (GPTBigCodeForCausalLM): gpt2-family learned
+    positions + LayerNorm(+bias) blocks, multi-query fused c_attn, gelu
+    FFN with biases, no rope (reference src/models/starcoder.cpp)."""
+    npy = _npy
+    arch = "starcoder"
+    n_layer = int(config["n_layer"])
+    n_embd = int(config["n_embd"])
+    n_head = int(config["n_head"])
+    n_kv = 1 if config.get("multi_query", True) else n_head
+    head_dim = n_embd // n_head
+    kvd = n_kv * head_dim
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", arch)
+    w.add(f"{arch}.block_count", n_layer)
+    w.add(f"{arch}.context_length", int(config.get("n_positions", 8192)))
+    w.add(f"{arch}.embedding_length", n_embd)
+    w.add(f"{arch}.feed_forward_length", int(config.get("n_inner") or 4 * n_embd))
+    w.add(f"{arch}.attention.head_count", n_head)
+    w.add(f"{arch}.attention.head_count_kv", n_kv)
+    w.add(f"{arch}.attention.layer_norm_epsilon", float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for key, val in (tokenizer_kv or {}).items():
+        w.add(key, val)
+
+    _emit(w, "token_embd.weight", npy(state_dict["transformer.wte.weight"]), gtype)
+    _emit(w, "position_embd.weight", npy(state_dict["transformer.wpe.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"transformer.h.{il}."
+        o = f"blk.{il}."
+        for hf, gg in (("ln_1", "attn_norm"), ("ln_2", "ffn_norm")):
+            _emit(w, o + f"{gg}.weight", npy(state_dict[p + hf + ".weight"]), GGMLType.F32)
+            _emit(w, o + f"{gg}.bias", npy(state_dict[p + hf + ".bias"]), GGMLType.F32)
+        ca = npy(state_dict[p + "attn.c_attn.weight"])
+        cb = npy(state_dict[p + "attn.c_attn.bias"])
+        _emit(w, o + "attn_q.weight", ca[:n_embd], gtype)
+        _emit(w, o + "attn_k.weight", ca[n_embd : n_embd + kvd], gtype)
+        _emit(w, o + "attn_v.weight", ca[n_embd + kvd :], gtype)
+        _emit(w, o + "attn_q.bias", cb[:n_embd], GGMLType.F32)
+        _emit(w, o + "attn_k.bias", cb[n_embd : n_embd + kvd], GGMLType.F32)
+        _emit(w, o + "attn_v.bias", cb[n_embd + kvd :], GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "attn.c_proj.weight"]), gtype)
+        _emit(w, o + "attn_output.bias", npy(state_dict[p + "attn.c_proj.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.c_fc.weight"]), gtype)
+        _emit(w, o + "ffn_up.bias", npy(state_dict[p + "mlp.c_fc.bias"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.c_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.bias", npy(state_dict[p + "mlp.c_proj.bias"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(state_dict["transformer.ln_f.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.bias", npy(state_dict["transformer.ln_f.bias"]), GGMLType.F32)
+    if "lm_head.weight" in state_dict:
+        _emit(w, "output.weight", npy(state_dict["lm_head.weight"]), gtype)
+    else:
+        _emit(w, "output.weight", npy(state_dict["transformer.wte.weight"]), gtype)
     w.write()
     return out_path

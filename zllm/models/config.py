@@ -491,7 +491,8 @@ class ModelConfig:
                 else "gelu" if arch.startswith("gemma")
                 # HF GPTNeoX uses exact (erf) gelu; starcoder2 the tanh one
                 else "gelu_exact" if arch in ("gptneox", "falcon", "mpt")
-                else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom")
+                else "gelu" if arch in ("starcoder2", "gpt2", "phi2", "bloom",
+                                        "starcoder")
                 else "relu2" if arch in ("nemotron", "arcee", "nemotron-h", "plm")
                 else "xielu" if arch == "apertus"
                 else "gelu" if arch == "grok"
@@ -520,6 +521,7 @@ class ModelConfig:
                 "layer"
                 if arch in ("gptneox", "starcoder2", "stablelm", "command-r",
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
+                            "starcoder",
                             "phi2", "cohere2", "bloom", "dbrx", "jais",
                             "orion", "codeshell")
                 or arch.startswith("rwkv")
@@ -529,7 +531,7 @@ class ModelConfig:
             # jamba attention has no rope; gpt2 uses learned position
             # embeddings; mpt uses ALiBi
             use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom", "jais",
-                                  "nemotron-h", "refact"),
+                                  "nemotron-h", "refact", "starcoder"),
             parallel_residual=(
                 "shared" if arch in ("command-r", "phi2", "cohere2")
                 else "separate" if bool(kv("use_parallel_residual", False))
