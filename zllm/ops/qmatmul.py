@@ -1456,11 +1456,17 @@ def _qmm_np_call(x, planes_tuple, *, fmt, fold, k, n, tn, diet=False, interpret=
     import os as _os
 
     m = x.shape[0]
-    tk = fold
     # round-5 device profile (TinyLlama prefill 512): TK_MULT=8 cuts the
     # np-GEMM device time ~9% (fewer grid steps); pick the largest
-    # multiplier <= MULT that divides K
-    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "8"))
+    # multiplier <= MULT that divides K.
+    # XLA's memory-space pass parks mid-size full operands (x, the f32
+    # output) in S(1) vmem at prefill shapes — small ones are cheap, huge
+    # ones stay in HBM, but a 6-16MB resident plus fat kernel tiles blows
+    # the 16MB scoped budget (the 8B fused-qkv compile OOM).  Use the fat
+    # tiles only outside that danger window.
+    danger = any(6 * 2**20 <= b <= 16 * 2**20 for b in (m * n * 4, m * k * 4))
+    mult = int(_os.environ.get("ZLLM_QMM_TK_MULT", "2" if danger else "8"))
+    tk = fold
     for mm in range(mult, 1, -1):
         if k % (fold * mm) == 0:
             tk = fold * mm
@@ -1656,7 +1662,10 @@ def qmatmul(x: jax.Array, qt: QTensor, *, interpret: bool = False) -> jax.Array:
     # steps); round-5 prefill profile: TN=2048 with TK_MULT=8 cuts the
     # np-GEMM device time another 3% over TN=1024.  Narrow-dtype (u8/bf16)
     # dequant is blocked on Mosaic's missing u8 shift legalization
-    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "2048"))
+    m0 = x.shape[0]
+    danger = any(6 * 2**20 <= b <= 16 * 2**20
+                 for b in (m0 * n * 4, m0 * k * 4))  # see _qmm_np_call
+    tn_pref = int(os.environ.get("ZLLM_QMM_TN", "1024" if danger else "2048"))
     tn = next((t for t in (tn_pref, 2048, 1024, 512, 256, 128) if n % t == 0), 128)
     names = _plane_names(qt)
     diet = names is _Q4K_DIET
