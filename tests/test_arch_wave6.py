@@ -1,0 +1,212 @@
+"""Arch wave 6: plamo v1 and grovemoe, each verified against a numpy spec
+of the reference graph (src/models/plamo.cpp, src/models/grovemoe.cpp +
+build_moe_ffn's GROVEMOE cases in src/llama-graph.cpp) computed directly
+on the HF-layout state dict."""
+
+import numpy as np
+
+from test_arch_wave5 import _attn, _neox_rope, _rms, _silu, _w
+from zllm.gguf.constants import GGMLType
+
+
+def _fwd(sd_path_cfg, toks):
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.models.llama import forward
+    from zllm.models.loader import Model
+
+    m = Model.load(sd_path_cfg, quantized=False, dtype=jnp.float32)
+    t = toks.shape[1]
+    pos = np.broadcast_to(np.arange(t, dtype=np.int32), toks.shape)
+    out = jax.jit(lambda p, tk, q: forward(p, m.cfg, tk, q, None)[0])(
+        m.params, jnp.asarray(toks), jnp.asarray(pos))
+    return np.asarray(out)[0], m
+
+
+# ---------------------------------------------------------------- plamo v1
+
+PV, PH, PNH, PNKV, PNL, PF = 151, 64, 8, 2, 2, 44
+PHD = PH // PNH
+
+
+def _plamo_sd(rng):
+    sd = {"model.embed_tokens.weight": _w(rng, PV, PH),
+          "model.norm.weight": _w(rng, PH) + 1.0,
+          "lm_head.weight": _w(rng, PV, PH)}
+    for il in range(PNL):
+        p = f"model.layers.layers.{il}."
+        sd[p + "norm.weight"] = _w(rng, PH) + 1.0
+        sd[p + "self_attn.q_proj.weight"] = _w(rng, PH, PH)
+        sd[p + "self_attn.k_proj.weight"] = _w(rng, PNKV * PHD, PH)
+        sd[p + "self_attn.v_proj.weight"] = _w(rng, PNKV * PHD, PH)
+        sd[p + "self_attn.o_proj.weight"] = _w(rng, PH, PH)
+        sd[p + "mlp.gate_proj.weight"] = _w(rng, PF, PH)
+        sd[p + "mlp.up_proj.weight"] = _w(rng, PF, PH)
+        sd[p + "mlp.down_proj.weight"] = _w(rng, PH, PF)
+    return sd
+
+
+def _plamo_spec(sd, toks):
+    """HF-convention spec: q/o heads are GROUP-MAJOR (head h = g*n_kv + j
+    attends kv head j = h % n_kv); the converter's kv-major shuffle maps
+    this onto the reference's contiguous-group broadcast.  Parallel
+    residual: attn and mlp both read the shared `norm` output and the
+    layer emits x + attn + mlp (src/models/plamo.cpp:73-90)."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = sd["model.embed_tokens.weight"][toks].astype(np.float64)
+    grp = PNH // PNKV
+    for il in range(PNL):
+        p = f"model.layers.layers.{il}."
+        h = _rms(x, sd[p + "norm.weight"], 1e-6)
+        q = (h @ sd[p + "self_attn.q_proj.weight"].T).reshape(t, PNH, PHD)
+        k = (h @ sd[p + "self_attn.k_proj.weight"].T).reshape(t, PNKV, PHD)
+        v = (h @ sd[p + "self_attn.v_proj.weight"].T).reshape(t, PNKV, PHD)
+        q = _neox_rope(q, pos, PHD, 10000.0)
+        k = _neox_rope(k, pos, PHD, 10000.0)
+        # group-major broadcast: q head g*n_kv+j reads kv head j
+        kk, vv = np.tile(k, (1, grp, 1)), np.tile(v, (1, grp, 1))
+        s = np.einsum("thd,shd->hts", q, kk) * PHD**-0.5
+        mask = np.tril(np.ones((t, t), bool))
+        s = np.where(mask[None], s, -np.inf)
+        pr = np.exp(s - s.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("hts,shd->thd", pr, vv).reshape(t, PNH * PHD)
+        att = att @ sd[p + "self_attn.o_proj.weight"].T
+        mlp = (_silu(h @ sd[p + "mlp.gate_proj.weight"].T)
+               * (h @ sd[p + "mlp.up_proj.weight"].T)
+               ) @ sd[p + "mlp.down_proj.weight"].T
+        x = x + att + mlp
+    return _rms(x, sd["model.norm.weight"], 1e-6) @ sd["lm_head.weight"].T
+
+
+def test_plamo_v1_parity(tmp_path):
+    from zllm.convert.hf import convert_hf_plamo
+
+    rng = np.random.default_rng(0)
+    sd = _plamo_sd(rng)
+    cfg = dict(num_hidden_layers=PNL, hidden_size=PH, num_attention_heads=PNH,
+               num_key_value_heads=PNKV, intermediate_size=PF,
+               rms_norm_eps=1e-6, rope_theta=10000.0, vocab_size=PV)
+    path = str(tmp_path / "plamo.gguf")
+    convert_hf_plamo(sd, cfg, path, gtype=GGMLType.F32)
+    toks = np.random.default_rng(1).integers(0, PV, (1, 9)).astype(np.int32)
+    got, m = _fwd(path, toks)
+    assert m.cfg.parallel_residual == "shared"
+    want = _plamo_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------- grovemoe
+
+GV, GH, GNH, GNKV, GNL = 157, 64, 4, 2, 2
+GHD = GH // GNH
+GE, GK, GFE = 8, 3, 32     # routed experts, top-k, expert ff
+GPG, GFC = 2, 16           # experts per group, chunk ff
+GNC = GE // GPG
+GSCALE = 0.05
+
+
+def _grove_sd(rng):
+    sd = {"model.embed_tokens.weight": _w(rng, GV, GH),
+          "model.norm.weight": _w(rng, GH) + 1.0,
+          "lm_head.weight": _w(rng, GV, GH)}
+    for il in range(GNL):
+        p = f"model.layers.{il}."
+        a = p + "self_attn."
+        sd[p + "input_layernorm.weight"] = _w(rng, GH) + 1.0
+        sd[p + "post_attention_layernorm.weight"] = _w(rng, GH) + 1.0
+        sd[a + "q_proj.weight"] = _w(rng, GH, GH)
+        sd[a + "k_proj.weight"] = _w(rng, GNKV * GHD, GH)
+        sd[a + "v_proj.weight"] = _w(rng, GNKV * GHD, GH)
+        sd[a + "o_proj.weight"] = _w(rng, GH, GH)
+        sd[a + "q_norm.weight"] = _w(rng, GHD) + 1.0
+        sd[a + "k_norm.weight"] = _w(rng, GHD) + 1.0
+        sd[p + "mlp.gate.weight"] = _w(rng, GE, GH)
+        for e in range(GE):
+            sd[f"{p}mlp.experts.{e}.gate_proj.weight"] = _w(rng, GFE, GH)
+            sd[f"{p}mlp.experts.{e}.up_proj.weight"] = _w(rng, GFE, GH)
+            sd[f"{p}mlp.experts.{e}.down_proj.weight"] = _w(rng, GH, GFE)
+        for e in range(GNC):
+            sd[f"{p}mlp.chunk_experts.{e}.gate_proj.weight"] = _w(rng, GFC, GH)
+            sd[f"{p}mlp.chunk_experts.{e}.up_proj.weight"] = _w(rng, GFC, GH)
+            sd[f"{p}mlp.chunk_experts.{e}.down_proj.weight"] = _w(rng, GH, GFC)
+    return sd
+
+
+def _expert(sd, p, group, e, y):
+    g = _silu(y @ sd[f"{p}mlp.{group}.{e}.gate_proj.weight"].T)
+    u = y @ sd[f"{p}mlp.{group}.{e}.up_proj.weight"].T
+    return (g * u) @ sd[f"{p}mlp.{group}.{e}.down_proj.weight"].T
+
+
+def _grove_spec(sd, toks):
+    """Reference grovemoe.cpp graph: qwen3-style attention, then ONE set
+    of router logits drives both MoEs — main (softmax weights over top-k,
+    norm_w) and adjugate chunk experts (ids // experts_per_group, weights
+    = softmax probs AT the divided ids, 6.1e-5-clamped norm, input = the
+    MAIN MoE's output, scaled by expert_group_scale)."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = sd["model.embed_tokens.weight"][toks].astype(np.float64)
+    for il in range(GNL):
+        p = f"model.layers.{il}."
+        a = p + "self_attn."
+        h = _rms(x, sd[p + "input_layernorm.weight"], 1e-6)
+        q = (h @ sd[a + "q_proj.weight"].T).reshape(t, GNH, GHD)
+        k = (h @ sd[a + "k_proj.weight"].T).reshape(t, GNKV, GHD)
+        v = (h @ sd[a + "v_proj.weight"].T).reshape(t, GNKV, GHD)
+        q = _rms(q, sd[a + "q_norm.weight"], 1e-6)
+        k = _rms(k, sd[a + "k_norm.weight"], 1e-6)
+        q = _neox_rope(q, pos, GHD, 10000.0)
+        k = _neox_rope(k, pos, GHD, 10000.0)
+        x = x + _attn(q, k, v, GHD**-0.5) @ sd[a + "o_proj.weight"].T
+        h2 = _rms(x, sd[p + "post_attention_layernorm.weight"], 1e-6)
+        logits = h2 @ sd[p + "mlp.gate.weight"].T  # [T, E]
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        # main MoE: selection via sigmoid(logits) == top-k of logits
+        topi = np.argsort(-logits, axis=-1)[:, :GK]
+        wv = np.take_along_axis(probs, topi, axis=-1)
+        wv = wv / wv.sum(-1, keepdims=True)
+        moe = np.zeros((t, GH))
+        for ti in range(t):
+            for s in range(GK):
+                moe[ti] += wv[ti, s] * _expert(sd, p, "experts",
+                                               topi[ti, s], h2[ti])
+        # adjugate chunk MoE on the MAIN MoE OUTPUT
+        k2 = min(GK, GNC)
+        topi2 = np.argsort(-logits, axis=-1)[:, :k2]
+        cid = topi2 // GPG
+        w2 = np.take_along_axis(probs, cid, axis=-1)
+        w2 = w2 / np.maximum(w2.sum(-1, keepdims=True), 6.103515625e-5)
+        adj = np.zeros((t, GH))
+        for ti in range(t):
+            for s in range(k2):
+                adj[ti] += w2[ti, s] * _expert(sd, p, "chunk_experts",
+                                               cid[ti, s], moe[ti])
+        x = x + moe + GSCALE * adj
+    return _rms(x, sd["model.norm.weight"], 1e-6) @ sd["lm_head.weight"].T
+
+
+def test_grovemoe_parity(tmp_path):
+    from zllm.convert.hf import convert_hf_llama
+
+    rng = np.random.default_rng(0)
+    sd = _grove_sd(rng)
+    cfg = dict(num_hidden_layers=GNL, hidden_size=GH, num_attention_heads=GNH,
+               num_key_value_heads=GNKV, intermediate_size=GFE,
+               num_experts=GE, num_experts_per_tok=GK,
+               moe_intermediate_size=GFE, head_dim=GHD,
+               n_group_experts=GPG, expert_group_scale=GSCALE,
+               rms_norm_eps=1e-6, rope_theta=10000.0,
+               max_position_embeddings=128, vocab_size=GV)
+    path = str(tmp_path / "grove.gguf")
+    convert_hf_llama(sd, cfg, path, arch="grovemoe", gtype=GGMLType.F32)
+    toks = np.random.default_rng(1).integers(0, GV, (1, 7)).astype(np.int32)
+    got, m = _fwd(path, toks)
+    assert m.cfg.moe is not None and m.cfg.moe.group_experts == GPG
+    assert "ffn_up_chexps" in m.params["layers"][0]
+    want = _grove_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

@@ -307,6 +307,8 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "GraniteForCausalLM": ("llama", "granite"),
     "Qwen2MoeForCausalLM": ("llama", "qwen2moe"),
     "Qwen3MoeForCausalLM": ("llama", "qwen3moe"),
+    "GroveMoeForCausalLM": ("llama", "grovemoe"),
+    "PlamoForCausalLM": ("plamo", "plamo"),
     # diffusion LMs (reference convert: DreamModel/LLaDAModel/LLaDAMoEModel/
     # RND1Model; generation via tools/diffusion.py)
     "DreamModel": ("llama", "dream"),
@@ -436,6 +438,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_codeshell(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "openelm":
             return hfmod.convert_hf_openelm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "plamo":
+            return hfmod.convert_hf_plamo(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":
             return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bailingmoe":

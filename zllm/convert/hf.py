@@ -74,6 +74,12 @@ _ARCH_RULES = {
     "qwen2moe": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # qwen3moe: qwen3 attention (per-head QK norm) + MoE
     "qwen3moe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # grovemoe: qwen3-style attention (per-head QK norm, neox rope) + MoE
+    # with adjugate chunk experts (reference src/models/grovemoe.cpp)
+    "grovemoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # plamo v1: shared-norm parallel residual, neox rope, GQA via the
+    # reference converter's kv-major head shuffle (convert_hf_plamo)
+    "plamo": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # gpt-oss: attn biases + sinks, alternating SWA, MoE with biases
     "gpt-oss": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
     # stablelm: LayerNorm(+bias), partial rotary, optional attn biases
@@ -269,6 +275,16 @@ def convert_hf_llama(
     if "num_experts" in config:  # qwen2moe/qwen3moe naming
         w.add(f"{arch}.expert_count", int(config["num_experts"]))
         w.add(f"{arch}.expert_used_count", int(config.get("num_experts_per_tok", 2)))
+    if arch == "grovemoe":
+        # chunk-expert KVs; the HF config carries none of these, so the
+        # reference converter hardcodes the GroveMoE-Inst modeling values
+        # (convert_hf_to_gguf.py GroveMoeModel:9457-9462) — honored here
+        # as defaults, overridable via config keys
+        w.add(f"{arch}.expert_chunk_feed_forward_length",
+              int(config.get("head_dim") or 128))
+        w.add(f"{arch}.experts_per_group", int(config.get("n_group_experts", 2)))
+        w.add(f"{arch}.expert_group_scale", float(config.get("expert_group_scale", 0.05)))
+        w.add(f"{arch}.expert_weights_norm", True)
     if "moe_num_primary_experts" in config:  # smallthinker
         w.add(f"{arch}.expert_count", int(config["moe_num_primary_experts"]))
         w.add(f"{arch}.expert_used_count", int(config["moe_num_active_primary_experts"]))
@@ -584,6 +600,16 @@ def convert_hf_llama(
                 _emit(w, o + "ffn_gate_shexp.weight", npy(state_dict[p + "mlp.shared_experts.gate_proj.weight"]), gtype)
                 _emit(w, o + "ffn_up_shexp.weight", npy(state_dict[p + "mlp.shared_experts.up_proj.weight"]), gtype)
                 _emit(w, o + "ffn_down_shexp.weight", npy(state_dict[p + "mlp.shared_experts.down_proj.weight"]), gtype)
+            if p + "mlp.chunk_experts.0.gate_proj.weight" in state_dict:
+                # grovemoe adjugate chunk experts (convert_hf_to_gguf.py
+                # GroveMoeModel.modify_tensors chunk_experts merge)
+                n_ch = n_exp // int(config.get("n_group_experts", 2))
+                for hf_n, gg in (("gate_proj", "ffn_gate_chexps"),
+                                 ("up_proj", "ffn_up_chexps"),
+                                 ("down_proj", "ffn_down_chexps")):
+                    stk = np.stack([npy(state_dict[f"{p}mlp.chunk_experts.{e}.{hf_n}.weight"])
+                                    for e in range(n_ch)])
+                    _emit(w, o + gg + ".weight", stk, gtype)
         elif p + "block_sparse_moe.router.layer.weight" in state_dict:  # granitemoe
             _emit(w, o + "ffn_gate_inp.weight",
                   npy(state_dict[p + "block_sparse_moe.router.layer.weight"]), GGMLType.F32)
@@ -2392,6 +2418,44 @@ def convert_hf_openelm(state_dict, config, out_path, *, gtype=GGMLType.F32,
         _emit(w, o + "ffn_down.weight", npy(state_dict[p + "ffn.proj_2.weight"]), gtype)
     w.write()
     return out_path
+
+
+def convert_hf_plamo(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                     tokenizer_kv=None):
+    """PlamoForCausalLM (plamo v1) -> GGUF arch `plamo`.  HF nests blocks
+    under model.layers.layers.{i} with ONE shared pre-norm (`norm`); q and
+    o are stored group-major over GQA heads and must be shuffled kv-major
+    for the reference's broadcast convention (convert_hf_to_gguf.py
+    PlamoModel.shuffle_attn_{q,output}_weight, generalized from the 13B
+    hardcode; head h then reads kv head h // n_rep).  The 13B config's
+    num_key_value_heads is wrong upstream — the reference pins 5
+    (convert_hf_to_gguf.py:4901); mirrored for hidden_size 5120."""
+    npy = _npy
+    n_head = int(config["num_attention_heads"])
+    n_embd = int(config["hidden_size"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    if n_embd == 5120:
+        n_kv = 5
+    hd = n_embd // n_head
+    grp = n_head // n_kv
+    sd = {}
+    for k, v in state_dict.items():
+        nk = k.replace("model.layers.layers.", "model.layers.")
+        v = npy(v)
+        if nk.endswith(".norm.weight") and ".layers." in nk:
+            nk = nk.replace(".norm.weight", ".input_layernorm.weight")
+        elif nk.endswith("self_attn.q_proj.weight"):
+            v = v.reshape(grp, n_kv, hd, n_embd).transpose(1, 0, 2, 3)
+            v = np.ascontiguousarray(v.reshape(n_embd, n_embd))
+        elif nk.endswith("self_attn.o_proj.weight"):
+            v = v.reshape(n_embd, grp, n_kv, hd).transpose(0, 2, 1, 3)
+            v = np.ascontiguousarray(v.reshape(n_embd, n_embd))
+        sd[nk] = v
+    cfg = dict(config)
+    cfg["num_key_value_heads"] = n_kv
+    cfg.setdefault("max_position_embeddings", 4096)
+    return convert_hf_llama(sd, cfg, out_path, arch="plamo", gtype=gtype,
+                            tokenizer_kv=tokenizer_kv)
 
 
 def convert_hf_rwkv7(state_dict, config, out_path, *, arch="rwkv7",

@@ -30,6 +30,12 @@ class MoeConfig:
     n_group_used: int = 1
     # grok: tanh soft-cap on the router logits (f_router_logit_softcapping)
     router_softcap: float = 0.0
+    # grovemoe adjugate chunk experts (reference src/models/grovemoe.cpp:
+    # each group of `group_experts` routed experts shares one chunk expert
+    # that runs on the main MoE's output, scaled by `group_scale`)
+    group_experts: int = 0
+    group_scale: float = 0.0
+    n_ff_chexp: int = 0
 
 
 @dataclass(frozen=True)
@@ -338,6 +344,10 @@ class ModelConfig:
                                                    # arctic.cpp:105,
                                                    # smallthinker.cpp:94)
                                                    "grok", "arctic",
+                                                   # grovemoe.cpp passes
+                                                   # norm_w=true to both
+                                                   # build_moe_ffn calls
+                                                   "grovemoe",
                                                    "smallthinker")))),
                 scale=float(kv("expert_weights_scale", 1.0)),
                 n_dense_lead=int(kv("leading_dense_block_count", 0)),
@@ -347,6 +357,10 @@ class ModelConfig:
                                         30.0 if arch == "grok" else 0.0)),
                 n_expert_groups=int(kv("expert_group_count", 1) or 1),
                 n_group_used=int(kv("expert_group_used_count", 1) or 1),
+                # grovemoe chunk-expert KVs (llama-model.cpp:2326-2332)
+                group_experts=int(kv("experts_per_group", 0) or 0),
+                group_scale=float(kv("expert_group_scale", 0.0) or 0.0),
+                n_ff_chexp=int(kv("expert_chunk_feed_forward_length", 0) or 0),
             )
 
         # deepseek2 multi-head latent attention: the cache is MQA over
@@ -533,7 +547,9 @@ class ModelConfig:
             use_rope=arch not in ("jamba", "gpt2", "mpt", "bloom", "jais",
                                   "nemotron-h", "refact", "starcoder"),
             parallel_residual=(
-                "shared" if arch in ("command-r", "phi2", "cohere2")
+                # plamo: attn and FFN both read the attn_norm output, the
+                # layer output is ffn + attn + input (src/models/plamo.cpp)
+                "shared" if arch in ("command-r", "phi2", "cohere2", "plamo")
                 else "separate" if bool(kv("use_parallel_residual", False))
                 else "none"
             ),
@@ -594,6 +610,8 @@ def _xielu_params(f, n_layers: int) -> tuple:
 # (see reference convert_hf_to_gguf.py permute + ggml rope NORM mode)
 _NEOX_ROPE_ARCHES = {
     "exaone",
+    "grovemoe",
+    "plamo",
     "bailingmoe2",
     "smallthinker",
     "openelm",

@@ -326,6 +326,49 @@ def moe_ffn(layer, cfg, h: jax.Array, ep_axis: str | None = None,
     return out.astype(h.dtype)
 
 
+def _grove_adjugate(layer, cfg, h: jax.Array, y: jax.Array) -> jax.Array:
+    """grovemoe adjugate chunk experts (reference src/models/grovemoe.cpp:
+    78-117 + build_moe_ffn's GROVEMOE cases, src/llama-graph.cpp:1071-1074
+    and 1106-1112).  The SAME router logits that drove the main MoE pick
+    top-min(k, n_chunk) experts (sigmoid selection — monotone in the
+    logits, so plain top-k); each pick's expert id integer-divides by
+    experts-per-group into a chunk-expert id, and its weight is the full
+    softmax prob gathered AT the divided index (the reference's get_rows
+    on the divided ids), normalized with the 6.103515625e-5 clamp.  The
+    chunk experts run on the main MoE's OUTPUT `y`, and the result is
+    scaled by expert_group_scale.  Chunk stacks are small (n_ff_chexp ~
+    head_dim) and stay replicated under tp/ep (parallel/tp.py excludes
+    *_chexps from the expert-parallel plan), so a dense masked pass over
+    all chunk experts is used for every batch size."""
+    moe = cfg.moe
+    lead, kdim = y.shape[:-1], y.shape[-1]
+    hf = h.reshape(-1, kdim)
+    yf = y.reshape(-1, kdim)
+    t = hf.shape[0]
+    logits = linear(hf, layer["ffn_gate_inp"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    nch = moe.n_experts // moe.group_experts
+    k2 = min(moe.n_experts_used, nch)
+    _, topi = jax.lax.top_k(logits, k2)
+    cid = topi // moe.group_experts  # [T, k2] chunk-expert ids
+    wv = jnp.take_along_axis(probs, cid, axis=-1)
+    wv = wv / jnp.clip(jnp.sum(wv, axis=-1, keepdims=True), 6.103515625e-5)
+    # duplicate chunk picks sum their weights (one masked dense pass then
+    # matches the reference's per-slot contributions)
+    dense_gate = jax.vmap(lambda g, i, v: g.at[i].add(v))(
+        jnp.zeros((t, nch), jnp.float32), cid, wv)
+    act = _act(cfg)
+    gwd = _experts_dense(layer["ffn_gate_chexps"], y.dtype)
+    uwd = _experts_dense(layer["ffn_up_chexps"], y.dtype)
+    dwd = _experts_dense(layer["ffn_down_chexps"], y.dtype)
+    ge = jnp.einsum("tk,ekf->tef", yf, gwd)
+    ue = jnp.einsum("tk,ekf->tef", yf, uwd)
+    de = jnp.einsum("tef,efk->tek", act(ge, ue), dwd)
+    out = jnp.einsum("tek,te->tk", de, dense_gate.astype(de.dtype))
+    return (out * jnp.asarray(moe.group_scale, out.dtype)).astype(
+        y.dtype).reshape(*lead, kdim)
+
+
 def layer_forward(
     layer: dict,
     cfg,
@@ -669,6 +712,8 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
     if cfg.moe is not None and "ffn_gate_inp" in layer:
         moe_out = moe_ffn(layer, cfg, h2, ep_axis=ep_axis, stats=stats,
                           router_h=x_in if cfg.router_input == "raw" else None)
+        if "ffn_up_chexps" in layer and cfg.moe.group_experts > 0:
+            moe_out = moe_out + _grove_adjugate(layer, cfg, h2, moe_out)
         if cfg.moe_dense_parallel and ("ffn_gate" in layer or "ffn_gateup" in layer):
             # grok-2: dense ffn runs in parallel with the experts on the
             # same normed input; the sum is scaled by sqrt(2)/2

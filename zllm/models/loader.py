@@ -54,6 +54,9 @@ _LAYER_MAP = {
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_chexps.weight": "ffn_gate_chexps",
+    "ffn_up_chexps.weight": "ffn_up_chexps",
+    "ffn_down_chexps.weight": "ffn_down_chexps",
     "ffn_gate_inp.bias": "ffn_gate_inp_b",
     "ffn_gate_exps.bias": "ffn_gate_exps_b",
     "ffn_up_exps.bias": "ffn_up_exps_b",
@@ -366,7 +369,7 @@ def load_params(f: GGUFFile, cfg: ModelConfig, *, quantized: bool = True, dtype=
                 params["layers"][il][key] = _load_matmul(f, name, quantized, dtype)
             elif key in _VECTOR_KEYS:
                 params["layers"][il][key] = _load_dense(f, name, jnp.float32)
-            elif key.endswith("_exps"):
+            elif key.endswith(("_exps", "_chexps")):
                 # expert stacks: GGUF [E, N, K] -> QTensorE (kept quantized
                 # in HBM; sparse dispatch gathers per-expert planes) or
                 # dense [E, K, N]

@@ -113,8 +113,11 @@ def _flag_and_spec(key: str, w, plan: TpPlan):
         return w.with_collectives(psum_axis="tp"), P("tp", None)
     if key == "output" and plan.vocab:
         return w.with_collectives(gather_axis="tp"), P(None, "tp")
-    if key.endswith("_exps") and plan.moe:
-        # expert parallelism: E axis (leading, on every plane) over tp
+    if key.endswith("_exps") and not key.endswith("_chexps") and plan.moe:
+        # expert parallelism: E axis (leading, on every plane) over tp.
+        # grovemoe chunk stacks (*_chexps) stay replicated — they are tiny
+        # (n_ff_chexp ~ head_dim) and run dense (models/llama.py
+        # _grove_adjugate)
         return w, P("tp")
     return w, P()
 
