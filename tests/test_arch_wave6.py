@@ -210,3 +210,96 @@ def test_grovemoe_parity(tmp_path):
     assert "ffn_up_chexps" in m.params["layers"][0]
     want = _grove_spec(sd, toks[0])
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ------------------------------------------------------------------ bitnet
+
+BV, BH, BNH, BNKV, BNL, BF = 163, 64, 4, 2, 2, 256
+BHD = BH // BNH
+
+
+def _tq(x):
+    s = max(np.abs(x).mean(), 1e-5)
+    return (np.round(x / s).clip(-1, 1) * s).astype(np.float32)
+
+
+def _bitnet_sd(rng):
+    sd = {"model.embed_tokens.weight": _w(rng, BV, BH),
+          "model.norm.weight": _w(rng, BH) + 1.0}
+    for il in range(BNL):
+        p = f"model.layers.{il}."
+        sd[p + "input_layernorm.weight"] = _w(rng, BH) + 1.0
+        sd[p + "post_attention_layernorm.weight"] = _w(rng, BH) + 1.0
+        sd[p + "self_attn.inner_attn_ln.weight"] = _w(rng, BH) + 1.0
+        sd[p + "mlp.ffn_layernorm.weight"] = _w(rng, BF) + 1.0
+        sd[p + "self_attn.q_proj.weight"] = _w(rng, BH, BH)
+        sd[p + "self_attn.k_proj.weight"] = _w(rng, BNKV * BHD, BH)
+        sd[p + "self_attn.v_proj.weight"] = _w(rng, BNKV * BHD, BH)
+        sd[p + "self_attn.o_proj.weight"] = _w(rng, BH, BH)
+        sd[p + "mlp.gate_proj.weight"] = _w(rng, BF, BH)
+        sd[p + "mlp.up_proj.weight"] = _w(rng, BF, BH)
+        sd[p + "mlp.down_proj.weight"] = _w(rng, BH, BF)
+    return sd
+
+
+def _bitnet_spec(sd, toks):
+    """Reference bitnet.cpp graph on ternary-fake-quantized weights:
+    llama-style block with an EXTRA rms norm on the attention output
+    before o_proj (inner_attn_ln) and on the activated ffn hidden before
+    down_proj (ffn_layernorm); lm_head tied to the embedding."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = sd["model.embed_tokens.weight"][toks].astype(np.float64)
+    for il in range(BNL):
+        p = f"model.layers.{il}."
+        h = _rms(x, sd[p + "input_layernorm.weight"], 1e-5)
+        q = (h @ _tq(sd[p + "self_attn.q_proj.weight"]).T).reshape(t, BNH, BHD)
+        k = (h @ _tq(sd[p + "self_attn.k_proj.weight"]).T).reshape(t, BNKV, BHD)
+        v = (h @ _tq(sd[p + "self_attn.v_proj.weight"]).T).reshape(t, BNKV, BHD)
+        q = _neox_rope(q, pos, BHD, 10000.0)
+        k = _neox_rope(k, pos, BHD, 10000.0)
+        att = _attn(q, k, v, BHD**-0.5)
+        att = _rms(att, sd[p + "self_attn.inner_attn_ln.weight"], 1e-5)
+        x = x + att @ _tq(sd[p + "self_attn.o_proj.weight"]).T
+        h2 = _rms(x, sd[p + "post_attention_layernorm.weight"], 1e-5)
+        gu = (_silu(h2 @ _tq(sd[p + "mlp.gate_proj.weight"]).T)
+              * (h2 @ _tq(sd[p + "mlp.up_proj.weight"]).T))
+        gu = _rms(gu, sd[p + "mlp.ffn_layernorm.weight"], 1e-5)
+        x = x + gu @ _tq(sd[p + "mlp.down_proj.weight"]).T
+    xn = _rms(x, sd["model.norm.weight"], 1e-5)
+    return xn @ sd["model.embed_tokens.weight"].T
+
+
+def test_bitnet_parity(tmp_path):
+    from zllm.convert.hf import convert_hf_bitnet
+
+    rng = np.random.default_rng(0)
+    sd = _bitnet_sd(rng)
+    cfg = dict(num_hidden_layers=BNL, hidden_size=BH, num_attention_heads=BNH,
+               num_key_value_heads=BNKV, intermediate_size=BF,
+               rms_norm_eps=1e-5, rope_theta=10000.0, vocab_size=BV)
+    path = str(tmp_path / "bitnet.gguf")
+    convert_hf_bitnet(sd, cfg, path, gtype=GGMLType.F32)
+    toks = np.random.default_rng(1).integers(0, BV, (1, 9)).astype(np.int32)
+    got, m = _fwd(path, toks)
+    want = _bitnet_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_bitnet_tq2_roundtrip(tmp_path):
+    """The ternary weights survive TQ2_0 packing (per-256-block max-abs
+    scale == the shared fake-quant scale), so a TQ2_0 GGUF decodes to the
+    same ternary planes and the forward stays within dequant tolerance."""
+    from zllm.convert.hf import convert_hf_bitnet
+
+    rng = np.random.default_rng(2)
+    sd = _bitnet_sd(rng)
+    cfg = dict(num_hidden_layers=BNL, hidden_size=BH, num_attention_heads=BNH,
+               num_key_value_heads=BNKV, intermediate_size=BF,
+               rms_norm_eps=1e-5, rope_theta=10000.0, vocab_size=BV)
+    path = str(tmp_path / "bitnet_tq.gguf")
+    convert_hf_bitnet(sd, cfg, path, gtype=GGMLType.TQ2_0)
+    toks = np.random.default_rng(3).integers(0, BV, (1, 7)).astype(np.int32)
+    got, m = _fwd(path, toks)
+    want = _bitnet_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)

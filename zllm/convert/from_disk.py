@@ -309,6 +309,7 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("llama", "qwen3moe"),
     "GroveMoeForCausalLM": ("llama", "grovemoe"),
     "PlamoForCausalLM": ("plamo", "plamo"),
+    "BitnetForCausalLM": ("bitnet", "bitnet"),
     # diffusion LMs (reference convert: DreamModel/LLaDAModel/LLaDAMoEModel/
     # RND1Model; generation via tools/diffusion.py)
     "DreamModel": ("llama", "dream"),
@@ -440,6 +441,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_openelm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "plamo":
             return hfmod.convert_hf_plamo(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "bitnet":
+            return hfmod.convert_hf_bitnet(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":
             return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bailingmoe":

@@ -2420,6 +2420,63 @@ def convert_hf_openelm(state_dict, config, out_path, *, gtype=GGMLType.F32,
     return out_path
 
 
+def convert_hf_bitnet(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                      tokenizer_kv=None):
+    """BitnetForCausalLM -> GGUF arch `bitnet`.  The seven matmul weights
+    per block are ternary fake-quantized exactly like the reference
+    converter (convert_hf_to_gguf.py BitnetModel.weight_quant: round to
+    {-1,0,1} of w/mean|w|, then rescale); inner_attn_ln / mlp.ffn_layernorm
+    become attn_sub_norm / ffn_sub_norm (src/models/bitnet.cpp applies them
+    before wo / ffn_down).  lm_head is tied to the token embedding
+    (bitnet.cpp:154 uses tok_embd directly)."""
+    npy = _npy
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+
+    def tq(x):
+        x = npy(x).astype(np.float32)
+        scale = max(np.abs(x).mean(), 1e-5)
+        return np.round(x / scale).clip(-1, 1) * scale
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "bitnet")
+    w.add("bitnet.block_count", n_layer)
+    w.add("bitnet.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add("bitnet.embedding_length", n_embd)
+    w.add("bitnet.feed_forward_length", int(config["intermediate_size"]))
+    w.add("bitnet.attention.head_count", n_head)
+    w.add("bitnet.attention.head_count_kv", n_kv)
+    w.add("bitnet.attention.key_length", n_embd // n_head)
+    w.add("bitnet.attention.value_length", n_embd // n_head)
+    w.add("bitnet.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add("bitnet.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add("bitnet.rope.dimension_count", n_embd // n_head)
+    w.add("bitnet.vocab_size", int(config["vocab_size"]))
+    if tokenizer_kv:
+        for k, v in tokenizer_kv.items():
+            w.add(k, v)
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"model.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "input_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_q.weight", tq(state_dict[p + "self_attn.q_proj.weight"]), gtype)
+        _emit(w, o + "attn_k.weight", tq(state_dict[p + "self_attn.k_proj.weight"]), gtype)
+        _emit(w, o + "attn_v.weight", tq(state_dict[p + "self_attn.v_proj.weight"]), gtype)
+        _emit(w, o + "attn_sub_norm.weight", npy(state_dict[p + "self_attn.inner_attn_ln.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_output.weight", tq(state_dict[p + "self_attn.o_proj.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "post_attention_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_gate.weight", tq(state_dict[p + "mlp.gate_proj.weight"]), gtype)
+        _emit(w, o + "ffn_up.weight", tq(state_dict[p + "mlp.up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_sub_norm.weight", npy(state_dict[p + "mlp.ffn_layernorm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_down.weight", tq(state_dict[p + "mlp.down_proj.weight"]), gtype)
+    w.write()
+    return out_path
+
+
 def convert_hf_plamo(state_dict, config, out_path, *, gtype=GGMLType.F32,
                      tokenizer_kv=None):
     """PlamoForCausalLM (plamo v1) -> GGUF arch `plamo`.  HF nests blocks

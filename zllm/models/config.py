@@ -612,6 +612,7 @@ _NEOX_ROPE_ARCHES = {
     "exaone",
     "grovemoe",
     "plamo",
+    "bitnet",
     "bailingmoe2",
     "smallthinker",
     "openelm",

@@ -472,6 +472,13 @@ def layer_forward(
             q = jnp.clip(q, -cfg.clamp_kqv, cfg.clamp_kqv)
             k = jnp.clip(k, -cfg.clamp_kqv, cfg.clamp_kqv)
             v = jnp.clip(v, -cfg.clamp_kqv, cfg.clamp_kqv)
+    if "wq_scale" in layer:
+        # bitnet TQ-packed GGUFs carry per-projection scalar scales
+        # (reference src/models/bitnet.cpp:33-56); scalar mul commutes with
+        # the head reshape, so this covers the fused-wqkv path too
+        q = q * layer["wq_scale"].astype(q.dtype)
+        k = k * layer["wk_scale"].astype(k.dtype)
+        v = v * layer["wv_scale"].astype(v.dtype)
 
     from ..ops.attention import (
         attn_decode_qkv, attn_decode_update, use_decode_fused, use_decode_qkv,
@@ -676,7 +683,13 @@ def layer_forward(
         att = att * jax.nn.sigmoid(lora_linear(layer, "ssm_z", hg))
     if taps is not None:
         taps[f"{tapname}.attn_output.weight"] = att
+    if "attn_sub_norm" in layer:
+        # bitnet: inner RMS norm on the attention output BEFORE wo
+        # (reference src/models/bitnet.cpp:86-91)
+        att = rms_norm(att, layer["attn_sub_norm"], cfg.norm_eps)
     att = lora_linear(layer, "wo", att)
+    if "wo_scale" in layer:
+        att = att * layer["wo_scale"].astype(att.dtype)
     if "bo" in layer:
         att = att + layer["bo"].astype(att.dtype)
     if "attn_post_norm" in layer:
@@ -732,11 +745,22 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
     if "ffn_gateup" in layer:  # load-time fused gate|up
         gup = lora_linear(layer, "ffn_gateup", h2, layer.get("ffn_gateup_b"))
         half = gup.shape[-1] // 2
-        gu = act(gup[..., :half], gup[..., half:])
+        g, u = gup[..., :half], gup[..., half:]
+        if "ffn_gate_scale" in layer:  # bitnet TQ scales, pre-activation
+            g = g * layer["ffn_gate_scale"].astype(g.dtype)
+            u = u * layer["ffn_up_scale"].astype(u.dtype)
+        gu = act(g, u)
     elif "ffn_gate" in layer:
         # jais carries biases on all three ffn projections
-        gu = act(lora_linear(layer, "ffn_gate", h2, layer.get("ffn_gate_b")),
-                 lora_linear(layer, "ffn_up", h2, layer.get("ffn_up_b")))
+        g = lora_linear(layer, "ffn_gate", h2, layer.get("ffn_gate_b"))
+        u = lora_linear(layer, "ffn_up", h2, layer.get("ffn_up_b"))
+        if "ffn_gate_scale" in layer:
+            # bitnet per-projection scales apply to the raw projection
+            # outputs, before the activation (reference build_ffn gate_s/
+            # up_s, src/llama-graph.cpp LLM_FFN_PAR)
+            g = g * layer["ffn_gate_scale"].astype(g.dtype)
+            u = u * layer["ffn_up_scale"].astype(u.dtype)
+        gu = act(g, u)
     else:
         # non-gated MLP (gptneox/starcoder2: up -> gelu -> down; nemotron:
         # relu^2; reference LLM_FFN_GELU/RELU_SQR, src/llama-graph.cpp:1160)
@@ -759,9 +783,15 @@ def _ffn_core(layer, cfg, h2, tapname, taps, ep_axis, stats=None, il=None,
             ).astype(up.dtype)
         else:
             gu = jax.nn.gelu(uf, approximate=cfg.act != "gelu_exact").astype(up.dtype)
+    if "ffn_sub_norm" in layer:
+        # bitnet: inner RMS norm between the activation and ffn_down
+        # (reference src/models/bitnet.cpp:125-128)
+        gu = rms_norm(gu, layer["ffn_sub_norm"], cfg.norm_eps)
     if taps is not None:
         taps[f"{tapname}.ffn_down.weight"] = gu
     ff = lora_linear(layer, "ffn_down", gu)
+    if "ffn_down_scale" in layer:
+        ff = ff * layer["ffn_down_scale"].astype(ff.dtype)
     if "ffn_down_b" in layer:
         ff = ff + layer["ffn_down_b"].astype(ff.dtype)
     return ff
@@ -805,6 +835,7 @@ def _ffn_block(layer, cfg, x, tapname, taps, ep_axis, stats=None, il=None,
         taps is None and x.ndim == 3 and x.shape[0] == 1 and x.shape[1] == 1
         and not cfg.swin_norm
         and "ffn_gate_inp" not in layer and cfg.norm_kind == "rms"
+        and "ffn_sub_norm" not in layer  # bitnet inner norm breaks the fusion
         and cfg.act == "silu" and "ffn_norm" in layer and "ffn_gateup" in layer
         and "ffn_gateup_b" not in layer
         and layer.get("ffn_gateup.lora") is None

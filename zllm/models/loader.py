@@ -43,6 +43,17 @@ _LAYER_MAP = {
     "attn_k_norm.weight": "attn_k_norm",
     "attn_post_norm.weight": "attn_post_norm",
     "post_attention_norm.weight": "attn_post_norm",
+    # bitnet: inner RMS norms before wo / ffn_down and per-projection TQ
+    # scales (reference src/models/bitnet.cpp; tensors blk.N.*.scale)
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
+    "attn_q.scale": "wq_scale",
+    "attn_k.scale": "wk_scale",
+    "attn_v.scale": "wv_scale",
+    "attn_output.scale": "wo_scale",
+    "ffn_gate.scale": "ffn_gate_scale",
+    "ffn_up.scale": "ffn_up_scale",
+    "ffn_down.scale": "ffn_down_scale",
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_b",
     "ffn_gate.weight": "ffn_gate",
@@ -180,6 +191,8 @@ _VECTOR_KEYS = {
     "attn_norm", "ffn_norm", "ffn_norm_b", "attn_q_norm", "attn_k_norm",
     "attn_q_norm_b", "attn_k_norm_b", "attn_post_norm",
     "ffn_post_norm", "out_norm", "bq", "bk", "bv", "bo", "attn_sinks",
+    "attn_sub_norm", "ffn_sub_norm", "wq_scale", "wk_scale", "wv_scale",
+    "wo_scale", "ffn_gate_scale", "ffn_up_scale", "ffn_down_scale",
     "attn_out_norm", "attn_out_norm_b", "layer_out_norm", "layer_out_norm_b",
     "ffn_up_b", "ffn_down_b", "ffn_gate_b", "ffn_norm_exps",
     "attn_q_a_norm", "attn_kv_a_norm", "ffn_exp_probs_b",
