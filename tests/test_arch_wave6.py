@@ -303,3 +303,156 @@ def test_bitnet_tq2_roundtrip(tmp_path):
     got, m = _fwd(path, toks)
     want = _bitnet_spec(sd, toks[0])
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+# ---------------------------------------------------- qwen-vl text stacks
+
+def _mrope(x, pos_thwe, n_rot, theta, sections, interleaved=False):
+    """ggml_rope_multi semantics (reference ggml-cpu/ops.cpp:5565-5630):
+    each pair-sector s in [0, n_rot/2) draws its POSITION from the t/h/w/e
+    component chosen by `sections` (contiguous blocks, or %3-interleaved
+    for qwen3vl's IMROPE), while the frequency theta^(-2s/n_rot)
+    progression is shared; rotation pairs (s, s+n_rot/2) like neox.
+    pos_thwe: [4, T] position components."""
+    t, nh, d = x.shape
+    half = n_rot // 2
+    sec = list(sections) + [0] * (4 - len(sections))
+    comp = np.zeros(half, np.int32)
+    for s in range(half):
+        if interleaved:
+            if s % 3 == 1 and s < 3 * sec[1]:
+                comp[s] = 1
+            elif s % 3 == 2 and s < 3 * sec[2]:
+                comp[s] = 2
+            elif s % 3 == 0 and s < 3 * sec[0]:
+                comp[s] = 0
+            else:
+                comp[s] = 3
+        else:
+            sw = sec[0] + sec[1]
+            comp[s] = (0 if s < sec[0] else 1 if s < sw
+                       else 2 if s < sw + sec[2] else 3)
+    inv = theta ** (-np.arange(half) * 2.0 / n_rot)
+    p = pos_thwe[comp, :].T  # [T, half]
+    ang = p * inv[None, :]
+    cos, sin = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x1, x2 = x[..., :half], x[..., half:n_rot]
+    return np.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos,
+                           x[..., n_rot:]], axis=-1)
+
+
+QVV, QVH, QVNH, QVNKV, QVNL, QVF = 167, 64, 4, 2, 2, 48
+QVHD = QVH // QVNH
+
+
+def _qwenvl_sd(rng, qk_norm):
+    sd = {"model.embed_tokens.weight": _w(rng, QVV, QVH),
+          "model.norm.weight": _w(rng, QVH) + 1.0,
+          "lm_head.weight": _w(rng, QVV, QVH)}
+    for il in range(QVNL):
+        p = f"model.layers.{il}."
+        a = p + "self_attn."
+        sd[p + "input_layernorm.weight"] = _w(rng, QVH) + 1.0
+        sd[p + "post_attention_layernorm.weight"] = _w(rng, QVH) + 1.0
+        sd[a + "q_proj.weight"] = _w(rng, QVH, QVH)
+        sd[a + "k_proj.weight"] = _w(rng, QVNKV * QVHD, QVH)
+        sd[a + "v_proj.weight"] = _w(rng, QVNKV * QVHD, QVH)
+        sd[a + "o_proj.weight"] = _w(rng, QVH, QVH)
+        if qk_norm:
+            sd[a + "q_norm.weight"] = _w(rng, QVHD) + 1.0
+            sd[a + "k_norm.weight"] = _w(rng, QVHD) + 1.0
+        else:
+            sd[a + "q_proj.bias"] = _w(rng, QVH)
+            sd[a + "k_proj.bias"] = _w(rng, QVNKV * QVHD)
+            sd[a + "v_proj.bias"] = _w(rng, QVNKV * QVHD)
+        sd[p + "mlp.gate_proj.weight"] = _w(rng, QVF, QVH)
+        sd[p + "mlp.up_proj.weight"] = _w(rng, QVF, QVH)
+        sd[p + "mlp.down_proj.weight"] = _w(rng, QVH, QVF)
+    return sd
+
+
+def _qwenvl_spec(sd, toks, sections, interleaved, qk_norm):
+    """qwen2vl.cpp / qwen3vl.cpp text path with REAL m-rope: text tokens
+    carry equal t/h/w/e position components, so this must coincide with
+    the plain-neox forward zllm runs."""
+    t = toks.shape[0]
+    pos4 = np.broadcast_to(np.arange(t), (4, t)).astype(np.float64)
+    x = sd["model.embed_tokens.weight"][toks].astype(np.float64)
+    for il in range(QVNL):
+        p = f"model.layers.{il}."
+        a = p + "self_attn."
+        h = _rms(x, sd[p + "input_layernorm.weight"], 1e-6)
+        q = h @ sd[a + "q_proj.weight"].T
+        k = h @ sd[a + "k_proj.weight"].T
+        v = h @ sd[a + "v_proj.weight"].T
+        if not qk_norm:
+            q = q + sd[a + "q_proj.bias"]
+            k = k + sd[a + "k_proj.bias"]
+            v = v + sd[a + "v_proj.bias"]
+        q = q.reshape(t, QVNH, QVHD)
+        k = k.reshape(t, QVNKV, QVHD)
+        v = v.reshape(t, QVNKV, QVHD)
+        if qk_norm:
+            q = _rms(q, sd[a + "q_norm.weight"], 1e-6)
+            k = _rms(k, sd[a + "k_norm.weight"], 1e-6)
+        q = _mrope(q, pos4, QVHD, 10000.0, sections, interleaved)
+        k = _mrope(k, pos4, QVHD, 10000.0, sections, interleaved)
+        x = x + _attn(q, k, v, QVHD**-0.5) @ sd[a + "o_proj.weight"].T
+        h2 = _rms(x, sd[p + "post_attention_layernorm.weight"], 1e-6)
+        x = x + (_silu(h2 @ sd[p + "mlp.gate_proj.weight"].T)
+                 * (h2 @ sd[p + "mlp.up_proj.weight"].T)
+                 ) @ sd[p + "mlp.down_proj.weight"].T
+    return _rms(x, sd["model.norm.weight"], 1e-6) @ sd["lm_head.weight"].T
+
+
+def _run_qwenvl(tmp_path, arch, sections, interleaved, qk_norm, seed):
+    from zllm.convert.hf import convert_hf_llama
+
+    rng = np.random.default_rng(seed)
+    sd = _qwenvl_sd(rng, qk_norm)
+    cfg = dict(num_hidden_layers=QVNL, hidden_size=QVH,
+               num_attention_heads=QVNH, num_key_value_heads=QVNKV,
+               intermediate_size=QVF, rms_norm_eps=1e-6, rope_theta=10000.0,
+               vocab_size=QVV, max_position_embeddings=128,
+               rope_scaling={"type": "mrope", "mrope_section": sections})
+    path = str(tmp_path / f"{arch}.gguf")
+    convert_hf_llama(sd, cfg, path, arch=arch, gtype=GGMLType.F32)
+    toks = np.random.default_rng(seed + 1).integers(0, QVV, (1, 9)).astype(np.int32)
+    got, _ = _fwd(path, toks)
+    want = _qwenvl_spec(sd, toks[0], sections, interleaved, qk_norm)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_qwen2vl_text_mrope(tmp_path):
+    # sectioned m-rope [t,h,w] (qwen2vl.cpp), qwen2-style attn biases
+    _run_qwenvl(tmp_path, "qwen2vl", [2, 3, 3], False, qk_norm=False, seed=0)
+
+
+def test_qwen3vl_text_imrope(tmp_path):
+    # interleaved m-rope (qwen3vl.cpp IMROPE), qwen3 per-head QK norm
+    _run_qwenvl(tmp_path, "qwen3vl", [2, 3, 3], True, qk_norm=True, seed=4)
+
+
+def test_qwen3vlmoe_text_equals_qwen3moe(tmp_path):
+    """qwen3vl-moe.cpp's text graph is qwen3moe's + m-rope; with text
+    positions the two GGUFs (same weights, archs qwen3vlmoe vs qwen3moe)
+    must produce identical logits."""
+    from zllm.convert.hf import convert_hf_llama
+
+    rng = np.random.default_rng(7)
+    sd = {k: v for k, v in _grove_sd(rng).items() if "chunk_experts" not in k}
+    cfg = dict(num_hidden_layers=GNL, hidden_size=GH, num_attention_heads=GNH,
+               num_key_value_heads=GNKV, intermediate_size=GFE,
+               num_experts=GE, num_experts_per_tok=GK,
+               moe_intermediate_size=GFE, norm_topk_prob=True,
+               rms_norm_eps=1e-6, rope_theta=10000.0,
+               max_position_embeddings=128, vocab_size=GV)
+    toks = np.random.default_rng(8).integers(0, GV, (1, 7)).astype(np.int32)
+    pa = str(tmp_path / "a.gguf")
+    convert_hf_llama(sd, cfg, pa, arch="qwen3moe", gtype=GGMLType.F32)
+    got_a, _ = _fwd(pa, toks)
+    cfg["rope_scaling"] = {"type": "mrope", "mrope_section": [2, 3, 3]}
+    pb = str(tmp_path / "b.gguf")
+    convert_hf_llama(sd, cfg, pb, arch="qwen3vlmoe", gtype=GGMLType.F32)
+    got_b, _ = _fwd(pb, toks)
+    np.testing.assert_allclose(got_a, got_b, rtol=1e-6, atol=1e-7)

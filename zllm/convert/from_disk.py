@@ -310,6 +310,12 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "GroveMoeForCausalLM": ("llama", "grovemoe"),
     "PlamoForCausalLM": ("plamo", "plamo"),
     "BitnetForCausalLM": ("bitnet", "bitnet"),
+    # qwen-vl text stacks (vision tower dropped; equal text positions make
+    # m-rope == neox rope, so the text GGUF serves standalone)
+    "Qwen2VLForConditionalGeneration": ("qwenvl", "qwen2vl"),
+    "Qwen2_5_VLForConditionalGeneration": ("qwenvl", "qwen2vl"),
+    "Qwen3VLForConditionalGeneration": ("qwenvl", "qwen3vl"),
+    "Qwen3VLMoeForConditionalGeneration": ("qwenvl", "qwen3vlmoe"),
     # diffusion LMs (reference convert: DreamModel/LLaDAModel/LLaDAMoEModel/
     # RND1Model; generation via tools/diffusion.py)
     "DreamModel": ("llama", "dream"),
@@ -443,6 +449,21 @@ def convert_hf_dir(
             return hfmod.convert_hf_plamo(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bitnet":
             return hfmod.convert_hf_bitnet(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "qwenvl":
+            # strip the VLM nesting: text weights live under
+            # model.language_model.* (new transformers) or model.* (older
+            # qwen2vl); the vision tower (visual.*) is not part of the
+            # text GGUF (reference emits it as a separate mmproj file)
+            tsd = {}
+            for k, v in sd.items():
+                if "visual." in k:
+                    continue
+                tsd[k.replace("model.language_model.", "model.")
+                     .replace("language_model.model.", "model.")] = v
+            tcfg = dict(config.get("text_config") or config)
+            tcfg.setdefault("rope_scaling", config.get("rope_scaling"))
+            return hfmod.convert_hf_llama(tsd, tcfg, out_path, arch=gguf_arch,
+                                          gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bloom":
             return hfmod.convert_hf_bloom(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bailingmoe":

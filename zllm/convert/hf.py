@@ -77,6 +77,12 @@ _ARCH_RULES = {
     # grovemoe: qwen3-style attention (per-head QK norm, neox rope) + MoE
     # with adjugate chunk experts (reference src/models/grovemoe.cpp)
     "grovemoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    # qwen2vl/qwen3vl(-moe) TEXT stacks: qwen2/qwen3/qwen3moe layouts with
+    # m-rope sections (equal text positions -> plain neox rope; reference
+    # src/models/qwen2vl.cpp, qwen3vl.cpp, qwen3vl-moe.cpp)
+    "qwen2vl": dict(permute_qk=False, qkv_bias=True, norm_plus_one=False),
+    "qwen3vl": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
+    "qwen3vlmoe": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
     # plamo v1: shared-norm parallel residual, neox rope, GQA via the
     # reference converter's kv-major head shuffle (convert_hf_plamo)
     "plamo": dict(permute_qk=False, qkv_bias=False, norm_plus_one=False),
@@ -397,6 +403,14 @@ def convert_hf_llama(
     if "logits_scaling" in config:
         w.add(f"{arch}.logit_scale", float(config["logits_scaling"]))
     rs = config.get("rope_scaling") or {}
+    if rs.get("mrope_section"):
+        # qwen2vl/qwen3vl m-rope sections [t, h, w(, e)]; text tokens carry
+        # equal position components, under which ggml_rope_multi reduces
+        # exactly to neox rope (ggml-cpu/ops.cpp:5565-5630 — the theta
+        # progression is shared, only the position source varies per
+        # sector), so the text stack needs only this KV for parity
+        sec = [int(s) for s in rs["mrope_section"]]
+        w.add(f"{arch}.rope.dimension_sections", (sec + [0, 0, 0, 0])[:4])
     if rs.get("rope_type") == "yarn":
         w.add(f"{arch}.rope.scaling.type", "yarn")
         w.add(f"{arch}.rope.scaling.factor", float(rs["factor"]))

@@ -335,6 +335,9 @@ class ModelConfig:
                 norm_topk_prob=bool(kv("expert_weights_norm",
                                        kv("norm_topk_prob",
                                           arch in ("llama", "mixtral", "qwen3moe",
+                                                   # qwen3vl-moe.cpp:111
+                                                   # norm_w=true
+                                                   "qwen3vlmoe",
                                                    "hunyuan-moe", "ernie4_5-moe",
                                                    # reference minimax-m2.cpp
                                                    # hardcodes norm_w=true
@@ -629,6 +632,11 @@ _NEOX_ROPE_ARCHES = {
     "qwen2moe",
     "qwen3",
     "qwen3moe",
+    # m-rope text stacks: equal position components reduce ggml_rope_multi
+    # to plain neox rope (ggml-cpu/ops.cpp:5565-5630)
+    "qwen2vl",
+    "qwen3vl",
+    "qwen3vlmoe",
     "gemma",
     "gemma2",
     "gemma3",
