@@ -456,3 +456,87 @@ def test_qwen3vlmoe_text_equals_qwen3moe(tmp_path):
     convert_hf_llama(sd, cfg, pb, arch="qwen3vlmoe", gtype=GGMLType.F32)
     got_b, _ = _fwd(pb, toks)
     np.testing.assert_allclose(got_a, got_b, rtol=1e-6, atol=1e-7)
+
+
+# ----------------------------------------------------------------- plamo3
+
+P3V, P3H, P3NH, P3NKV, P3NL, P3F = 173, 64, 4, 2, 2, 40
+P3HD = P3H // P3NH
+P3W, P3PAT = 4, 2          # window, pattern (layer il swa iff (il+1)%2 != 0)
+P3B, P3BSWA = 10000.0, 100000.0
+
+
+def _plamo3_sd(rng):
+    sd = {"model.embed_tokens.weight": _w(rng, P3V, P3H),
+          "model.norm.weight": _w(rng, P3H),
+          "lm_head.weight": _w(rng, P3V, P3H)}
+    for il in range(P3NL):
+        p = f"model.layers.layers.{il}."
+        sd[p + "pre_mixer_norm.weight"] = _w(rng, P3H)
+        sd[p + "mixer.qkv_proj.weight"] = _w(rng, (P3NH + 2 * P3NKV) * P3HD, P3H)
+        sd[p + "mixer.q_norm.weight"] = _w(rng, P3HD)
+        sd[p + "mixer.k_norm.weight"] = _w(rng, P3HD)
+        sd[p + "mixer.o_proj.weight"] = _w(rng, P3H, P3H)
+        sd[p + "post_mixer_norm.weight"] = _w(rng, P3H)
+        sd[p + "pre_mlp_norm.weight"] = _w(rng, P3H)
+        sd[p + "mlp.gate_up_proj.weight"] = _w(rng, 2 * P3F, P3H)
+        sd[p + "mlp.down_proj.weight"] = _w(rng, P3H, P3F)
+        sd[p + "post_mlp_norm.weight"] = _w(rng, P3H)
+    return sd
+
+
+def _plamo3_spec(sd, toks):
+    """Reference plamo3.cpp graph with the converter's baked norm offsets
+    (+1 pre norms and q/k norms, +1/5 post_mixer, +1/5^1.5 post_mlp):
+    sandwich-normed attention with fused qkv, per-head q/k RMS norm, neox
+    rope (swa layers use window + the swa rope base; full layers are
+    every pattern-th), and a fused-[gate|up] SwiGLU FFN."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = sd["model.embed_tokens.weight"][toks].astype(np.float64)
+    for il in range(P3NL):
+        p = f"model.layers.layers.{il}."
+        swa = (il + 1) % P3PAT != 0
+        base, win = (P3BSWA, P3W) if swa else (P3B, 0)
+        h = _rms(x, sd[p + "pre_mixer_norm.weight"] + 1.0, 1e-5)
+        qkv = h @ sd[p + "mixer.qkv_proj.weight"].T
+        qd = P3NH * P3HD
+        kvd = P3NKV * P3HD
+        q = qkv[:, :qd].reshape(t, P3NH, P3HD)
+        k = qkv[:, qd:qd + kvd].reshape(t, P3NKV, P3HD)
+        v = qkv[:, qd + kvd:].reshape(t, P3NKV, P3HD)
+        q = _rms(q, sd[p + "mixer.q_norm.weight"] + 1.0, 1e-5)
+        k = _rms(k, sd[p + "mixer.k_norm.weight"] + 1.0, 1e-5)
+        q = _neox_rope(q, pos, P3HD, base)
+        k = _neox_rope(k, pos, P3HD, base)
+        att = _attn(q, k, v, P3HD**-0.5, window=win)
+        att = att @ sd[p + "mixer.o_proj.weight"].T
+        att = _rms(att, sd[p + "post_mixer_norm.weight"] + 0.2, 1e-5)
+        x = x + att
+        h2 = _rms(x, sd[p + "pre_mlp_norm.weight"] + 1.0, 1e-5)
+        gu = h2 @ sd[p + "mlp.gate_up_proj.weight"].T
+        ff = (_silu(gu[:, :P3F]) * gu[:, P3F:]) @ sd[p + "mlp.down_proj.weight"].T
+        ff = _rms(ff, sd[p + "post_mlp_norm.weight"] + 5**-1.5, 1e-5)
+        x = x + ff
+    return _rms(x, sd["model.norm.weight"] + 1.0, 1e-5) @ sd["lm_head.weight"].T
+
+
+def test_plamo3_parity(tmp_path):
+    from zllm.convert.hf import convert_hf_plamo3
+
+    rng = np.random.default_rng(0)
+    sd = _plamo3_sd(rng)
+    cfg = dict(num_hidden_layers=P3NL, hidden_size=P3H,
+               num_attention_heads=P3NH, num_key_value_heads=P3NKV,
+               intermediate_size=P3F, rms_norm_eps=1e-5, rope_theta=P3B,
+               rope_local_theta=P3BSWA, window_size=P3W,
+               sliding_window_pattern=P3PAT, vocab_size=P3V,
+               max_position_embeddings=128)
+    path = str(tmp_path / "plamo3.gguf")
+    convert_hf_plamo3(sd, cfg, path, gtype=GGMLType.F32)
+    toks = np.random.default_rng(1).integers(0, P3V, (1, 9)).astype(np.int32)
+    got, m = _fwd(path, toks)
+    assert m.cfg.swa_pattern == P3PAT and m.cfg.sliding_window == P3W
+    assert m.cfg.rope_swa is not None and m.cfg.rope_swa.base == P3BSWA
+    want = _plamo3_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

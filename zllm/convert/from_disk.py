@@ -309,6 +309,8 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("llama", "qwen3moe"),
     "GroveMoeForCausalLM": ("llama", "grovemoe"),
     "PlamoForCausalLM": ("plamo", "plamo"),
+    "Plamo3ForCausalLM": ("plamo3", "plamo3"),
+    "PLaMo3ForCausalLM": ("plamo3", "plamo3"),
     "BitnetForCausalLM": ("bitnet", "bitnet"),
     # qwen-vl text stacks (vision tower dropped; equal text positions make
     # m-rope == neox rope, so the text GGUF serves standalone)
@@ -447,6 +449,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_openelm(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "plamo":
             return hfmod.convert_hf_plamo(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "plamo3":
+            return hfmod.convert_hf_plamo3(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bitnet":
             return hfmod.convert_hf_bitnet(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "qwenvl":

@@ -2491,6 +2491,69 @@ def convert_hf_bitnet(state_dict, config, out_path, *, gtype=GGMLType.F32,
     return out_path
 
 
+def convert_hf_plamo3(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                      tokenizer_kv=None):
+    """Plamo3ForCausalLM -> GGUF arch `plamo3`.  Gemma2-style sandwich
+    norms with the reference converter's baked offsets (pre norms +1,
+    post_mixer +1/5, post_mlp +1/5^1.5, q/k norms +1 —
+    convert_hf_to_gguf.py Plamo3Model.modify_tensors), fused qkv_proj and
+    gate_up_proj kept fused (graph: src/models/plamo3.cpp), periodic
+    sliding-window with per-layer rope base on local layers."""
+    npy = _npy
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    hd = int(config.get("head_dim",
+                        config.get("hidden_size_per_head", n_embd // n_head)))
+
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "plamo3")
+    w.add("plamo3.block_count", n_layer)
+    w.add("plamo3.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add("plamo3.embedding_length", n_embd)
+    w.add("plamo3.feed_forward_length", int(config["intermediate_size"]))
+    w.add("plamo3.attention.head_count", n_head)
+    w.add("plamo3.attention.head_count_kv", n_kv)
+    w.add("plamo3.attention.key_length", hd)
+    w.add("plamo3.attention.value_length", hd)
+    w.add("plamo3.attention.layer_norm_rms_epsilon", float(config.get("rms_norm_eps", 1e-5)))
+    w.add("plamo3.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add("plamo3.rope.dimension_count", hd)
+    w.add("plamo3.vocab_size", int(config["vocab_size"]))
+    sw = int(config.get("window_size", config.get("sliding_window", 0)) or 0)
+    if sw:
+        w.add("plamo3.attention.sliding_window", sw)
+        w.add("plamo3.attention.sliding_window_pattern",
+              int(config.get("sliding_window_pattern", 8)))
+        for k in ("local_rope_theta", "rope_local_theta", "rope_theta_local",
+                  "swa_rope_theta", "rope_local_base_freq"):
+            if config.get(k):
+                w.add("plamo3.rope.freq_base_swa", float(config[k]))
+                break
+    for k, v in (tokenizer_kv or {}).items():
+        w.add(k, v)
+    _emit(w, "token_embd.weight", npy(state_dict["model.embed_tokens.weight"]), gtype)
+    _emit(w, "output_norm.weight", npy(state_dict["model.norm.weight"]) + 1.0, GGMLType.F32)
+    out_w = state_dict.get("lm_head.weight", state_dict["model.embed_tokens.weight"])
+    _emit(w, "output.weight", npy(out_w), gtype)
+    for il in range(n_layer):
+        p = f"model.layers.layers.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(state_dict[p + "pre_mixer_norm.weight"]) + 1.0, GGMLType.F32)
+        _emit(w, o + "attn_qkv.weight", npy(state_dict[p + "mixer.qkv_proj.weight"]), gtype)
+        _emit(w, o + "attn_q_norm.weight", npy(state_dict[p + "mixer.q_norm.weight"]) + 1.0, GGMLType.F32)
+        _emit(w, o + "attn_k_norm.weight", npy(state_dict[p + "mixer.k_norm.weight"]) + 1.0, GGMLType.F32)
+        _emit(w, o + "attn_output.weight", npy(state_dict[p + "mixer.o_proj.weight"]), gtype)
+        _emit(w, o + "attn_post_norm.weight", npy(state_dict[p + "post_mixer_norm.weight"]) + 1.0 / 5, GGMLType.F32)
+        _emit(w, o + "ffn_norm.weight", npy(state_dict[p + "pre_mlp_norm.weight"]) + 1.0, GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(state_dict[p + "mlp.gate_up_proj.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(state_dict[p + "mlp.down_proj.weight"]), gtype)
+        _emit(w, o + "ffn_post_norm.weight", npy(state_dict[p + "post_mlp_norm.weight"]) + 1.0 / 5**1.5, GGMLType.F32)
+    w.write()
+    return out_path
+
+
 def convert_hf_plamo(state_dict, config, out_path, *, gtype=GGMLType.F32,
                      tokenizer_kv=None):
     """PlamoForCausalLM (plamo v1) -> GGUF arch `plamo`.  HF nests blocks

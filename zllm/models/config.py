@@ -493,7 +493,13 @@ class ModelConfig:
                          "gpt-oss": 2, "olmo3": 4, "exaone4": 4,
                          # smallthinker set_swa_pattern(4, dense_first=true)
                          # (reference llama-model.cpp:2306)
-                         "smallthinker": 4}.get(arch, 1),
+                         "smallthinker": 4}.get(
+                arch,
+                # plamo3: KV-driven period, default 8 (llama-model.cpp
+                # PLAMO3 case: sliding_window_pattern scalar)
+                int(kv("attention.sliding_window_pattern", 8) or 8)
+                if arch == "plamo3" and int(kv("attention.sliding_window", 0))
+                else 1),
             swa_dense_first=arch == "smallthinker",
             router_input="raw" if arch == "smallthinker" else "norm",
             moe_dense_parallel=arch == "grok",
@@ -615,6 +621,7 @@ _NEOX_ROPE_ARCHES = {
     "exaone",
     "grovemoe",
     "plamo",
+    "plamo3",
     "bitnet",
     "bailingmoe2",
     "smallthinker",

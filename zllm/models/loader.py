@@ -716,10 +716,10 @@ class Model:
                 # (qwen3next tensor table has no FFN_NORM)
                 if "attn_post_norm" in layer:
                     layer["ffn_norm"] = layer.pop("attn_post_norm")
-        if cfg.arch in ("chatglm", "plamo2"):
-            # reference chatglm/plamo2 GGUFs store the fused [gate|up]
-            # projection as ffn_up (build_ffn LLM_FFN_SWIGLU with no gate
-            # tensor); our graph consumes it as ffn_gateup
+        if cfg.arch in ("chatglm", "plamo2", "plamo3"):
+            # reference chatglm/plamo2/plamo3 GGUFs store the fused
+            # [gate|up] projection as ffn_up (build_ffn LLM_FFN_SWIGLU with
+            # no gate tensor); our graph consumes it as ffn_gateup
             for layer in params.get("layers", []):
                 if "ffn_up" in layer and "ffn_gate" not in layer:
                     layer["ffn_gateup"] = layer.pop("ffn_up")
