@@ -540,3 +540,101 @@ def test_plamo3_parity(tmp_path):
     assert m.cfg.rope_swa is not None and m.cfg.rope_swa.base == P3BSWA
     want = _plamo3_spec(sd, toks[0])
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# ------------------------------------------------------------- modern-bert
+
+MBV, MBH, MBNH, MBNL, MBF = 179, 64, 4, 4, 40
+MBHD = MBH // MBNH
+MBW, MBPAT = 4, 2          # symmetric window (half=2), global every 2nd
+MBB, MBBSWA = 10000.0, 1000.0
+
+
+def _mbert_sd(rng):
+    sd = {"model.embeddings.tok_embeddings.weight": _w(rng, MBV, MBH),
+          "model.embeddings.norm.weight": _w(rng, MBH) + 1.0,
+          "model.final_norm.weight": _w(rng, MBH) + 1.0}
+    for il in range(MBNL):
+        p = f"model.layers.{il}."
+        if il > 0:  # layer 0 ships no attn_norm (modern-bert.cpp:32-37)
+            sd[p + "attn_norm.weight"] = _w(rng, MBH) + 1.0
+        sd[p + "attn.Wqkv.weight"] = _w(rng, 3 * MBH, MBH)
+        sd[p + "attn.Wo.weight"] = _w(rng, MBH, MBH)
+        sd[p + "mlp_norm.weight"] = _w(rng, MBH) + 1.0
+        sd[p + "mlp.Wi.weight"] = _w(rng, 2 * MBF, MBH)
+        sd[p + "mlp.Wo.weight"] = _w(rng, MBH, MBF)
+    return sd
+
+
+def _ln0(x, w, eps=1e-5):
+    x = x.astype(np.float64)
+    mu = x.mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(x.var(-1, keepdims=True) + eps) * w
+
+
+def _gelu_tanh_np(x):
+    return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+
+def _mbert_spec(sd, toks):
+    """src/models/modern-bert.cpp: bias-free pre-norm LN encoder, fused
+    Wqkv, neox rope (local layers use the swa base), SYMMETRIC window
+    |i-j| <= n_swa/2 on local layers (every pattern-th layer global),
+    fused-GEGLU Wi, final_norm."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = _ln0(sd["model.embeddings.tok_embeddings.weight"][toks],
+             sd["model.embeddings.norm.weight"])
+    for il in range(MBNL):
+        p = f"model.layers.{il}."
+        swa = (il + 1) % MBPAT != 0
+        h = _ln0(x, sd[p + "attn_norm.weight"]) if il > 0 else x
+        qkv = h @ sd[p + "attn.Wqkv.weight"].T
+        q = qkv[:, :MBH].reshape(t, MBNH, MBHD)
+        k = qkv[:, MBH:2 * MBH].reshape(t, MBNH, MBHD)
+        v = qkv[:, 2 * MBH:].reshape(t, MBNH, MBHD)
+        base = MBBSWA if swa else MBB
+        q = _neox_rope(q, pos, MBHD, base)
+        k = _neox_rope(k, pos, MBHD, base)
+        s = np.einsum("thd,shd->hts", q, k) * MBHD**-0.5
+        if swa:
+            keep = np.abs(pos[:, None] - pos[None, :]) <= MBW // 2
+            s = np.where(keep[None], s, -np.inf)
+        pr = np.exp(s - s.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("hts,shd->thd", pr, v).reshape(t, MBH)
+        x = x + att @ sd[p + "attn.Wo.weight"].T
+        h2 = _ln0(x, sd[p + "mlp_norm.weight"])
+        gu = h2 @ sd[p + "mlp.Wi.weight"].T
+        x = x + (_gelu_tanh_np(gu[:, :MBF]) * gu[:, MBF:]) @ sd[p + "mlp.Wo.weight"].T
+    return _ln0(x, sd["model.final_norm.weight"])
+
+
+def test_modern_bert_parity(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.convert.hf import convert_hf_modern_bert
+    from zllm.models.bert import bert_forward
+    from zllm.models.loader import Model
+
+    rng = np.random.default_rng(0)
+    sd = _mbert_sd(rng)
+    cfg = dict(num_hidden_layers=MBNL, hidden_size=MBH,
+               num_attention_heads=MBNH, intermediate_size=MBF,
+               norm_eps=1e-5, global_rope_theta=MBB, local_rope_theta=MBBSWA,
+               local_attention=MBW, global_attn_every_n_layers=MBPAT,
+               vocab_size=MBV, max_position_embeddings=128)
+    path = str(tmp_path / "mbert.gguf")
+    convert_hf_modern_bert(sd, cfg, path, gtype=GGMLType.F32)
+    m = Model.load(path, quantized=False, dtype=jnp.float32)
+    assert m.cfg.is_encoder and m.cfg.swa_pattern == MBPAT
+    assert "attn_norm" not in m.params["layers"][0]
+    assert "attn_norm" in m.params["layers"][1]
+    toks = np.random.default_rng(1).integers(0, MBV, (1, 9)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(9, dtype=np.int32), toks.shape)
+    got = np.asarray(jax.jit(
+        lambda p, t, q: bert_forward(p, m.cfg, t, q)
+    )(m.params, jnp.asarray(toks), jnp.asarray(pos)))[0]
+    want = _mbert_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

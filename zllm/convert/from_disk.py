@@ -312,6 +312,9 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "Plamo3ForCausalLM": ("plamo3", "plamo3"),
     "PLaMo3ForCausalLM": ("plamo3", "plamo3"),
     "BitnetForCausalLM": ("bitnet", "bitnet"),
+    "ModernBertModel": ("modern-bert", "modern-bert"),
+    "ModernBertForMaskedLM": ("modern-bert", "modern-bert"),
+    "ModernBertForSequenceClassification": ("modern-bert", "modern-bert"),
     # qwen-vl text stacks (vision tower dropped; equal text positions make
     # m-rope == neox rope, so the text GGUF serves standalone)
     "Qwen2VLForConditionalGeneration": ("qwenvl", "qwen2vl"),
@@ -451,6 +454,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_plamo(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "plamo3":
             return hfmod.convert_hf_plamo3(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "modern-bert":
+            return hfmod.convert_hf_modern_bert(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bitnet":
             return hfmod.convert_hf_bitnet(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "qwenvl":

@@ -2491,6 +2491,72 @@ def convert_hf_bitnet(state_dict, config, out_path, *, gtype=GGMLType.F32,
     return out_path
 
 
+def convert_hf_modern_bert(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                           tokenizer_kv=None, pooling=0):
+    """ModernBertModel -> GGUF arch `modern-bert` (encoder; reference
+    src/models/modern-bert.cpp + convert_hf_to_gguf.py ModernBertModel).
+    Pre-norm bias-free LN blocks with fused Wqkv and fused-GEGLU Wi;
+    layer 0 ships no attn_norm; symmetric local attention windows with
+    a separate local rope base, every global_attn_every_n_layers-th
+    layer global.  `pooling`: llama.h LLAMA_POOLING_TYPE_* int."""
+    npy = _npy
+
+    def g(k, *alts, default=None):
+        for kk in (k, *alts):
+            if kk in config:
+                return config[kk]
+        return default
+
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in state_dict.items()}
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    hd = n_embd // n_head
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "modern-bert")
+    w.add("modern-bert.block_count", n_layer)
+    w.add("modern-bert.context_length", int(g("max_position_embeddings", default=8192)))
+    w.add("modern-bert.embedding_length", n_embd)
+    w.add("modern-bert.feed_forward_length", int(config["intermediate_size"]))
+    w.add("modern-bert.attention.head_count", n_head)
+    w.add("modern-bert.attention.head_count_kv",
+          int(g("num_key_value_heads", default=n_head)))
+    w.add("modern-bert.attention.key_length", hd)
+    w.add("modern-bert.attention.value_length", hd)
+    w.add("modern-bert.attention.layer_norm_epsilon",
+          float(g("norm_eps", "layer_norm_eps", default=1e-5)))
+    w.add("modern-bert.rope.freq_base",
+          float(g("global_rope_theta", "rope_theta", default=10000.0)))
+    w.add("modern-bert.rope.dimension_count", hd)
+    w.add("modern-bert.vocab_size", int(config["vocab_size"]))
+    sw = int(g("local_attention", "sliding_window", default=0) or 0)
+    if sw:
+        w.add("modern-bert.attention.sliding_window", sw)
+        w.add("modern-bert.attention.sliding_window_pattern",
+              int(g("global_attn_every_n_layers", default=3)))
+        if g("local_rope_theta") is not None:
+            w.add("modern-bert.rope.freq_base_swa", float(config["local_rope_theta"]))
+    if pooling:
+        w.add("modern-bert.pooling_type", int(pooling))
+    for k, v in (tokenizer_kv or {}).items():
+        w.add(k, v)
+    _emit(w, "token_embd.weight", npy(sd["embeddings.tok_embeddings.weight"]), gtype)
+    _emit(w, "token_embd_norm.weight", npy(sd["embeddings.norm.weight"]), GGMLType.F32)
+    _emit(w, "output_norm.weight", npy(sd["final_norm.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"layers.{il}."
+        o = f"blk.{il}."
+        if p + "attn_norm.weight" in sd:  # absent on layer 0
+            _emit(w, o + "attn_norm.weight", npy(sd[p + "attn_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_qkv.weight", npy(sd[p + "attn.Wqkv.weight"]), gtype)
+        _emit(w, o + "attn_output.weight", npy(sd[p + "attn.Wo.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(sd[p + "mlp_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(sd[p + "mlp.Wi.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(sd[p + "mlp.Wo.weight"]), gtype)
+    w.write()
+    return out_path
+
+
 def convert_hf_plamo3(state_dict, config, out_path, *, gtype=GGMLType.F32,
                       tokenizer_kv=None):
     """Plamo3ForCausalLM -> GGUF arch `plamo3`.  Gemma2-style sandwich

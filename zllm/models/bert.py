@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.layers import layer_norm
+from ..ops.layers import apply_rope, layer_norm
 from ..ops.linear import linear
 
 # LLAMA_POOLING_TYPE_* (include/llama.h)
@@ -36,6 +36,9 @@ def bert_forward(
 
     scale = 1.0 / (cfg.head_dim**0.5)
     neg = jnp.asarray(-1e9, jnp.float32)
+    if cfg.arch == "modern-bert":
+        return _modern_bert_layers(params, cfg, x, positions, attn_mask,
+                                   scale, neg)
     for layer in params["layers"]:
         q = linear(x, layer["wq"], layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
         k = linear(x, layer["wk"], layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
@@ -52,6 +55,55 @@ def bert_forward(
         f = linear(h, layer["ffn_down"], layer.get("ffn_down_b"))
         x = layer_norm(x + f, layer["layer_out_norm"], layer.get("layer_out_norm_b"), cfg.norm_eps)
     return x
+
+
+def _modern_bert_layers(params, cfg, x, positions, attn_mask, scale, neg):
+    """ModernBERT encoder blocks (reference src/models/modern-bert.cpp):
+    PRE-norm bias-free LayerNorm blocks (layer 0 carries no attn_norm —
+    the embedding norm feeds it directly), fused wqkv, neox rope with a
+    per-layer base (local layers use rope.freq_base_swa), SYMMETRIC
+    sliding window on local layers (|i-j| <= n_swa/2, llama-hparams.h
+    LLAMA_SWA_TYPE_SYMMETRIC; every pattern-th layer is global), fused
+    GEGLU [gate|up] as ffn_up, and a final output_norm."""
+    b, t = x.shape[:2]
+    pad = (None if attn_mask is None
+           else (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * neg)
+    win = None
+    if cfg.sliding_window > 0:
+        half = cfg.sliding_window // 2
+        d = positions[:, :, None] - positions[:, None, :]  # [B, T, S]
+        win = jnp.where((jnp.abs(d) > half)[:, None], neg, 0.0)
+    for il, layer in enumerate(params["layers"]):
+        swa = cfg.sliding_window > 0 and cfg.is_swa_layer(il)
+        h = (layer_norm(x, layer["attn_norm"], layer.get("attn_norm_b"),
+                        cfg.norm_eps) if "attn_norm" in layer else x)
+        # the fused Wqkv ships split by the loader (attn_qkv row split)
+        q = linear(h, layer["wq"]).reshape(b, t, -1, cfg.head_dim)
+        k = linear(h, layer["wk"]).reshape(b, t, -1, cfg.head_dim)
+        v = linear(h, layer["wv"]).reshape(b, t, -1, cfg.head_dim)
+        rp = cfg.rope_swa if (swa and cfg.rope_swa is not None) else cfg.rope
+        q = apply_rope(q, positions, rp)
+        k = apply_rope(k, positions, rp)
+        if k.shape[2] != q.shape[2]:
+            rep = q.shape[2] // k.shape[2]
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * scale
+        if pad is not None:
+            s = s + pad
+        if swa and win is not None:
+            s = s + win
+        p = jax.nn.softmax(s, axis=-1)
+        att = jnp.einsum("bhts,bshd->bthd", p.astype(v.dtype), v).reshape(b, t, -1)
+        x = x + linear(att, layer["wo"])
+        h2 = layer_norm(x, layer["ffn_norm"], layer.get("ffn_norm_b"), cfg.norm_eps)
+        gu = linear(h2, layer["ffn_up"])
+        half_f = gu.shape[-1] // 2
+        geglu = jax.nn.gelu(gu[..., :half_f].astype(jnp.float32),
+                            approximate=True).astype(gu.dtype) * gu[..., half_f:]
+        x = x + linear(geglu, layer["ffn_down"])
+    return layer_norm(x, params["out_norm"], params.get("out_norm_b"), cfg.norm_eps)
 
 
 def pool(hidden: jax.Array, pooling: str, attn_mask: jax.Array | None = None) -> jax.Array:

@@ -239,7 +239,8 @@ class ModelConfig:
     def is_encoder(self) -> bool:
         """Bidirectional encoder family (bert): no causal mask, no KV
         cache, no LM head (reference: hparams.causal_attn == false)."""
-        return self.arch in ("bert", "nomic-bert", "jina-bert-v2")
+        return self.arch in ("bert", "nomic-bert", "jina-bert-v2",
+                             "modern-bert")
 
     @property
     def is_diffusion(self) -> bool:
@@ -495,10 +496,12 @@ class ModelConfig:
                          # (reference llama-model.cpp:2306)
                          "smallthinker": 4}.get(
                 arch,
-                # plamo3: KV-driven period, default 8 (llama-model.cpp
-                # PLAMO3 case: sliding_window_pattern scalar)
-                int(kv("attention.sliding_window_pattern", 8) or 8)
-                if arch == "plamo3" and int(kv("attention.sliding_window", 0))
+                # plamo3/modern-bert: KV-driven period (llama-model.cpp
+                # PLAMO3 default 8, MODERN_BERT default 3)
+                int(kv("attention.sliding_window_pattern",
+                       3 if arch == "modern-bert" else 8) or 8)
+                if arch in ("plamo3", "modern-bert")
+                and int(kv("attention.sliding_window", 0))
                 else 1),
             swa_dense_first=arch == "smallthinker",
             router_input="raw" if arch == "smallthinker" else "norm",
@@ -622,6 +625,7 @@ _NEOX_ROPE_ARCHES = {
     "grovemoe",
     "plamo",
     "plamo3",
+    "modern-bert",
     "bitnet",
     "bailingmoe2",
     "smallthinker",
