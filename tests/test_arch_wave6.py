@@ -638,3 +638,93 @@ def test_modern_bert_parity(tmp_path):
     )(m.params, jnp.asarray(toks), jnp.asarray(pos)))[0]
     want = _mbert_spec(sd, toks[0])
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+# --------------------------------------------------------------- neo-bert
+
+NBV, NBH, NBNH, NBNL, NBF = 181, 64, 4, 2, 36
+NBHD = NBH // NBNH
+
+
+def _nrope(x, pos, n_rot, theta):
+    """NORM-style rope: adjacent (even, odd) pairs (neo-bert is in the
+    reference's LLAMA_ROPE_TYPE_NORM case list)."""
+    t, nh, d = x.shape
+    half = n_rot // 2
+    inv = theta ** (-np.arange(half) * 2.0 / n_rot)
+    ang = pos[:, None] * inv[None, :]
+    cos, sin = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    o1, o2 = x1 * cos - x2 * sin, x1 * sin + x2 * cos
+    out = np.empty_like(x)
+    out[..., 0::2], out[..., 1::2] = o1, o2
+    return out
+
+
+def _nbert_sd(rng):
+    sd = {"model.encoder.weight": _w(rng, NBV, NBH),
+          "model.layer_norm.weight": _w(rng, NBH) + 1.0}
+    for il in range(NBNL):
+        p = f"model.transformer_encoder.{il}."
+        sd[p + "attention_norm.weight"] = _w(rng, NBH) + 1.0
+        sd[p + "qkv.weight"] = _w(rng, 3 * NBH, NBH)
+        sd[p + "wo.weight"] = _w(rng, NBH, NBH)
+        sd[p + "ffn_norm.weight"] = _w(rng, NBH) + 1.0
+        sd[p + "ffn.w12.weight"] = _w(rng, 2 * NBF, NBH)
+        sd[p + "ffn.w3.weight"] = _w(rng, NBH, NBF)
+    return sd
+
+
+def _nbert_spec(sd, toks):
+    """src/models/neo-bert.cpp: RMS pre-norm bidirectional encoder, no
+    embedding norm, fused qkv, NORM rope, fused-SwiGLU w12, final RMS
+    norm (output_norm_enc)."""
+    t = toks.shape[0]
+    pos = np.arange(t)
+    x = sd["model.encoder.weight"][toks].astype(np.float64)
+    for il in range(NBNL):
+        p = f"model.transformer_encoder.{il}."
+        h = _rms(x, sd[p + "attention_norm.weight"], 1e-6)
+        qkv = h @ sd[p + "qkv.weight"].T
+        q = qkv[:, :NBH].reshape(t, NBNH, NBHD)
+        k = qkv[:, NBH:2 * NBH].reshape(t, NBNH, NBHD)
+        v = qkv[:, 2 * NBH:].reshape(t, NBNH, NBHD)
+        q = _nrope(q, pos, NBHD, 10000.0)
+        k = _nrope(k, pos, NBHD, 10000.0)
+        s = np.einsum("thd,shd->hts", q, k) * NBHD**-0.5
+        pr = np.exp(s - s.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("hts,shd->thd", pr, v).reshape(t, NBH)
+        x = x + att @ sd[p + "wo.weight"].T
+        h2 = _rms(x, sd[p + "ffn_norm.weight"], 1e-6)
+        gu = h2 @ sd[p + "ffn.w12.weight"].T
+        x = x + (_silu(gu[:, :NBF]) * gu[:, NBF:]) @ sd[p + "ffn.w3.weight"].T
+    return _rms(x, sd["model.layer_norm.weight"], 1e-6)
+
+
+def test_neo_bert_parity(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from zllm.convert.hf import convert_hf_neo_bert
+    from zllm.models.bert import bert_forward
+    from zllm.models.loader import Model
+
+    rng = np.random.default_rng(0)
+    sd = _nbert_sd(rng)
+    cfg = dict(num_hidden_layers=NBNL, hidden_size=NBH,
+               num_attention_heads=NBNH, intermediate_size=3 * NBF // 2,
+               norm_eps=1e-6, rope_theta=10000.0, vocab_size=NBV,
+               max_position_embeddings=128)
+    path = str(tmp_path / "nbert.gguf")
+    convert_hf_neo_bert(sd, cfg, path, gtype=GGMLType.F32)
+    m = Model.load(path, quantized=False, dtype=jnp.float32)
+    assert m.cfg.is_encoder and m.cfg.pooling == "cls"
+    assert m.cfg.n_ff == NBF
+    toks = np.random.default_rng(1).integers(0, NBV, (1, 8)).astype(np.int32)
+    pos = np.broadcast_to(np.arange(8, dtype=np.int32), toks.shape)
+    got = np.asarray(jax.jit(
+        lambda p, t, q: bert_forward(p, m.cfg, t, q)
+    )(m.params, jnp.asarray(toks), jnp.asarray(pos)))[0]
+    want = _nbert_spec(sd, toks[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)

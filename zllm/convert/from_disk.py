@@ -315,6 +315,9 @@ _CONVERTERS: dict[str, tuple[str, str]] = {
     "ModernBertModel": ("modern-bert", "modern-bert"),
     "ModernBertForMaskedLM": ("modern-bert", "modern-bert"),
     "ModernBertForSequenceClassification": ("modern-bert", "modern-bert"),
+    "NeoBERT": ("neo-bert", "neo-bert"),
+    "NeoBERTLMHead": ("neo-bert", "neo-bert"),
+    "NeoBERTForSequenceClassification": ("neo-bert", "neo-bert"),
     # qwen-vl text stacks (vision tower dropped; equal text positions make
     # m-rope == neox rope, so the text GGUF serves standalone)
     "Qwen2VLForConditionalGeneration": ("qwenvl", "qwen2vl"),
@@ -456,6 +459,8 @@ def convert_hf_dir(
             return hfmod.convert_hf_plamo3(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "modern-bert":
             return hfmod.convert_hf_modern_bert(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
+        if family == "neo-bert":
+            return hfmod.convert_hf_neo_bert(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "bitnet":
             return hfmod.convert_hf_bitnet(sd, config, out_path, gtype=gtype, tokenizer_kv=tok_kv)
         if family == "qwenvl":

@@ -2557,6 +2557,55 @@ def convert_hf_modern_bert(state_dict, config, out_path, *, gtype=GGMLType.F32,
     return out_path
 
 
+def convert_hf_neo_bert(state_dict, config, out_path, *, gtype=GGMLType.F32,
+                        tokenizer_kv=None):
+    """NeoBERT -> GGUF arch `neo-bert` (encoder; reference
+    src/models/neo-bert.cpp + convert_hf_to_gguf.py NeoBert).  RMS
+    pre-norm blocks with fused qkv and fused-SwiGLU ffn.w12, NO embedding
+    norm, NORM-style rope, CLS pooling, final norm stored as
+    enc.output_norm."""
+    npy = _npy
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in state_dict.items()}
+    n_layer = int(config["num_hidden_layers"])
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    w12 = npy(sd["transformer_encoder.0.ffn.w12.weight"])
+    w = GGUFWriter(out_path)
+    w.add("general.architecture", "neo-bert")
+    w.add("neo-bert.block_count", n_layer)
+    w.add("neo-bert.context_length", int(config.get("max_position_embeddings", 4096)))
+    w.add("neo-bert.embedding_length", n_embd)
+    # NeoBERT's effective ffn width is 2/3 of HF intermediate_size
+    # (convert_hf_to_gguf.py:5686); derived here from the fused w12 rows
+    w.add("neo-bert.feed_forward_length", int(w12.shape[0] // 2))
+    w.add("neo-bert.attention.head_count", n_head)
+    w.add("neo-bert.attention.head_count_kv",
+          int(config.get("num_key_value_heads", n_head)))
+    w.add("neo-bert.attention.key_length", n_embd // n_head)
+    w.add("neo-bert.attention.value_length", n_embd // n_head)
+    w.add("neo-bert.attention.layer_norm_rms_epsilon",
+          float(config.get("norm_eps", 1e-6)))
+    w.add("neo-bert.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add("neo-bert.rope.dimension_count", n_embd // n_head)
+    w.add("neo-bert.vocab_size", int(config["vocab_size"]))
+    w.add("neo-bert.pooling_type", 2)  # CLS
+    for k, v in (tokenizer_kv or {}).items():
+        w.add(k, v)
+    _emit(w, "token_embd.weight", npy(sd["encoder.weight"]), gtype)
+    _emit(w, "enc.output_norm.weight", npy(sd["layer_norm.weight"]), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"transformer_encoder.{il}."
+        o = f"blk.{il}."
+        _emit(w, o + "attn_norm.weight", npy(sd[p + "attention_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "attn_qkv.weight", npy(sd[p + "qkv.weight"]), gtype)
+        _emit(w, o + "attn_output.weight", npy(sd[p + "wo.weight"]), gtype)
+        _emit(w, o + "ffn_norm.weight", npy(sd[p + "ffn_norm.weight"]), GGMLType.F32)
+        _emit(w, o + "ffn_up.weight", npy(sd[p + "ffn.w12.weight"]), gtype)
+        _emit(w, o + "ffn_down.weight", npy(sd[p + "ffn.w3.weight"]), gtype)
+    w.write()
+    return out_path
+
+
 def convert_hf_plamo3(state_dict, config, out_path, *, gtype=GGMLType.F32,
                       tokenizer_kv=None):
     """Plamo3ForCausalLM -> GGUF arch `plamo3`.  Gemma2-style sandwich

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.layers import apply_rope, layer_norm
+from ..ops.layers import apply_rope, layer_norm, rms_norm
 from ..ops.linear import linear
 
 # LLAMA_POOLING_TYPE_* (include/llama.h)
@@ -32,13 +32,14 @@ def bert_forward(
         x = x + params["type_emb"][0]
     if "pos_emb" in params:
         x = x + params["pos_emb"][positions]
-    x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
+    if "tok_norm" in params:  # neo-bert has no embedding norm
+        x = layer_norm(x, params["tok_norm"], params.get("tok_norm_b"), cfg.norm_eps)
 
     scale = 1.0 / (cfg.head_dim**0.5)
     neg = jnp.asarray(-1e9, jnp.float32)
-    if cfg.arch == "modern-bert":
-        return _modern_bert_layers(params, cfg, x, positions, attn_mask,
-                                   scale, neg)
+    if cfg.arch in ("modern-bert", "neo-bert"):
+        return _prenorm_encoder_layers(params, cfg, x, positions, attn_mask,
+                                       scale, neg)
     for layer in params["layers"]:
         q = linear(x, layer["wq"], layer.get("bq")).reshape(b, t, -1, cfg.head_dim)
         k = linear(x, layer["wk"], layer.get("bk")).reshape(b, t, -1, cfg.head_dim)
@@ -57,15 +58,25 @@ def bert_forward(
     return x
 
 
-def _modern_bert_layers(params, cfg, x, positions, attn_mask, scale, neg):
-    """ModernBERT encoder blocks (reference src/models/modern-bert.cpp):
-    PRE-norm bias-free LayerNorm blocks (layer 0 carries no attn_norm —
-    the embedding norm feeds it directly), fused wqkv, neox rope with a
-    per-layer base (local layers use rope.freq_base_swa), SYMMETRIC
-    sliding window on local layers (|i-j| <= n_swa/2, llama-hparams.h
-    LLAMA_SWA_TYPE_SYMMETRIC; every pattern-th layer is global), fused
-    GEGLU [gate|up] as ffn_up, and a final output_norm."""
+def _prenorm_encoder_layers(params, cfg, x, positions, attn_mask, scale, neg):
+    """ModernBERT / NeoBERT encoder blocks (reference
+    src/models/modern-bert.cpp, neo-bert.cpp): PRE-norm bias-free blocks
+    (LayerNorm for modern-bert — whose layer 0 carries no attn_norm, the
+    embedding norm feeds it directly — RMS for neo-bert), fused wqkv,
+    neox rope with a per-layer base (modern-bert local layers use
+    rope.freq_base_swa), SYMMETRIC sliding window on local layers
+    (|i-j| <= n_swa/2, llama-hparams.h LLAMA_SWA_TYPE_SYMMETRIC; every
+    pattern-th layer global), fused [gate|up] GLU FFN (GEGLU for
+    modern-bert, SwiGLU for neo-bert), and a final output norm
+    (output_norm / neo-bert's enc.output_norm)."""
     b, t = x.shape[:2]
+    if cfg.norm_kind == "layer":
+        def nrm(a, w, wb):
+            return layer_norm(a, w, wb, cfg.norm_eps)
+    else:
+        def nrm(a, w, wb):
+            return rms_norm(a, w, cfg.norm_eps)
+    gelu_glu = cfg.arch == "modern-bert"  # else SwiGLU (neo-bert)
     pad = (None if attn_mask is None
            else (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * neg)
     win = None
@@ -75,8 +86,8 @@ def _modern_bert_layers(params, cfg, x, positions, attn_mask, scale, neg):
         win = jnp.where((jnp.abs(d) > half)[:, None], neg, 0.0)
     for il, layer in enumerate(params["layers"]):
         swa = cfg.sliding_window > 0 and cfg.is_swa_layer(il)
-        h = (layer_norm(x, layer["attn_norm"], layer.get("attn_norm_b"),
-                        cfg.norm_eps) if "attn_norm" in layer else x)
+        h = (nrm(x, layer["attn_norm"], layer.get("attn_norm_b"))
+             if "attn_norm" in layer else x)
         # the fused Wqkv ships split by the loader (attn_qkv row split)
         q = linear(h, layer["wq"]).reshape(b, t, -1, cfg.head_dim)
         k = linear(h, layer["wk"]).reshape(b, t, -1, cfg.head_dim)
@@ -97,13 +108,15 @@ def _modern_bert_layers(params, cfg, x, positions, attn_mask, scale, neg):
         p = jax.nn.softmax(s, axis=-1)
         att = jnp.einsum("bhts,bshd->bthd", p.astype(v.dtype), v).reshape(b, t, -1)
         x = x + linear(att, layer["wo"])
-        h2 = layer_norm(x, layer["ffn_norm"], layer.get("ffn_norm_b"), cfg.norm_eps)
+        h2 = nrm(x, layer["ffn_norm"], layer.get("ffn_norm_b"))
         gu = linear(h2, layer["ffn_up"])
         half_f = gu.shape[-1] // 2
-        geglu = jax.nn.gelu(gu[..., :half_f].astype(jnp.float32),
-                            approximate=True).astype(gu.dtype) * gu[..., half_f:]
-        x = x + linear(geglu, layer["ffn_down"])
-    return layer_norm(x, params["out_norm"], params.get("out_norm_b"), cfg.norm_eps)
+        gate = gu[..., :half_f].astype(jnp.float32)
+        gate = (jax.nn.gelu(gate, approximate=True) if gelu_glu
+                else jax.nn.silu(gate))
+        x = x + linear(gate.astype(gu.dtype) * gu[..., half_f:], layer["ffn_down"])
+    ow = params.get("out_norm", params.get("enc_out_norm"))
+    return nrm(x, ow, params.get("out_norm_b"))
 
 
 def pool(hidden: jax.Array, pooling: str, attn_mask: jax.Array | None = None) -> jax.Array:

@@ -240,7 +240,7 @@ class ModelConfig:
         """Bidirectional encoder family (bert): no causal mask, no KV
         cache, no LM head (reference: hparams.causal_attn == false)."""
         return self.arch in ("bert", "nomic-bert", "jina-bert-v2",
-                             "modern-bert")
+                             "modern-bert", "neo-bert")
 
     @property
     def is_diffusion(self) -> bool:
@@ -549,7 +549,9 @@ class ModelConfig:
                             "gpt2", "falcon", "nemotron", "olmo", "mpt",
                             "starcoder",
                             "phi2", "cohere2", "bloom", "dbrx", "jais",
-                            "orion", "codeshell")
+                            "orion", "codeshell",
+                            # modern-bert: LLM_NORM (bias-free LN) blocks
+                            "modern-bert")
                 or arch.startswith("rwkv")
                 else "rms"
             ),
